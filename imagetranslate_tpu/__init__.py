@@ -1,0 +1,27 @@
+"""imagetranslate_tpu — a TPU-native (JAX/XLA/Pallas/pjit) rebuild of the
+capabilities of rasoolims/ImageTranslate.
+
+The reference implementation (studied at /root/reference) is a single-GPU
+PyTorch codebase for multilingual MASS pretraining, (un)supervised MT via
+back-translation, and image captioning. This package is a from-scratch
+TPU-first framework with the same capabilities:
+
+- ``text``      — first-party SentencePiece-BPE tokenizer (C++ hot path) and
+                  the ``TextProcessor`` facade (reference: textprocessor.py).
+- ``data``      — offline binarizers and a length-bucketed, fixed-shape host
+                  input pipeline (reference: create_mt_batches.py, dataset.py).
+- ``models``    — pure-functional flax transformer encoder/decoder stacks,
+                  image encoders, LM/SenSim heads (reference: seq2seq.py,
+                  mass_seq2seq.py, image_model.py, lm.py, sen_sim.py).
+- ``ops``       — Pallas TPU kernels + XLA fallbacks for the hot ops
+                  (flash attention, fused label-smoothed softmax-xent).
+- ``decoding``  — jit-compiled fixed-shape KV-cached beam search
+                  (reference: seq_gen.py).
+- ``parallel``  — device-mesh / sharding story (dp/tp via pjit + shard_map)
+                  replacing the reference's parallel.py.
+- ``train``     — trainers, optimizer schedule, checkpointing
+                  (reference: train_image_mt.py et al., utils.py).
+- ``cli``       — user-facing command line tools (translate, caption, ...).
+"""
+
+__version__ = "0.1.0"

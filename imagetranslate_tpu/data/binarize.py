@@ -1,0 +1,122 @@
+"""Offline binarization (reference: create_mt_batches.py, create_batches.py).
+
+Artifact formats are marshal-compatible with the reference so datasets can be
+interchanged:
+
+- MT binary (`.mt`): list of (src_ids, dst_ids, src_lang_type, dst_lang_type)
+  length-filtered to [min_len, max_len] and sorted by target length
+  (create_mt_batches.py:16-40). The *_lang_type entries are language TYPE ids
+  (text_processor.languages values), not token ids (create_mt_batches.py:12-15).
+- MASS binary (`.mass.N` shards): list of (ids, lang_type), sorted by length,
+  sharded every `shard_size` examples (create_mt_batches.py:43-71).
+- Doc-LM blocks (create_batches.py:9-53): fixed-seq_len vectors in `N.pkl`
+  blocks of sen_block_size plus an `info.txt` header
+  "block_size\tline_num\tfile_count".
+"""
+
+from __future__ import annotations
+
+import marshal
+import os
+from typing import List, Optional, Tuple
+
+from imagetranslate_tpu.text.processor import TextProcessor
+
+
+def write_mt(tp: TextProcessor, output_file: str, src_txt_file: str,
+             src_lang_token_id: int, dst_txt_file: Optional[str] = None,
+             dst_lang_token_id: Optional[int] = None, min_len: int = 1,
+             max_len: int = 175, shard_size: int = 6_000_000):
+    """Parallel mode -> one `.mt` file; monolingual mode -> `.N` MASS shards."""
+    src_lang_type = tp.languages[tp.id2token(src_lang_token_id)]
+    if dst_txt_file is not None:
+        dst_lang_type = tp.languages[tp.id2token(dst_lang_token_id)]
+        examples: List[Tuple] = []
+        with open(src_txt_file) as s_fp, open(dst_txt_file) as d_fp:
+            for src_line, dst_line in zip(s_fp, d_fp):
+                if not src_line.strip() or not dst_line.strip():
+                    continue
+                src_ids = tp.tokenize_one_sentence_with_langid(
+                    src_line.strip(), src_lang_token_id)
+                dst_ids = tp.tokenize_one_sentence_with_langid(
+                    dst_line.strip(), dst_lang_token_id)
+                if min_len <= len(src_ids) <= max_len and \
+                        min_len <= len(dst_ids) <= max_len:
+                    examples.append((src_ids, dst_ids, src_lang_type,
+                                     dst_lang_type))
+        examples.sort(key=lambda e: len(e[1]))
+        with open(output_file, "wb") as fw:
+            marshal.dump(examples, fw)
+        return len(examples)
+
+    part_num = 0
+    examples = []
+    total = 0
+
+    def flush():
+        nonlocal examples, part_num
+        examples.sort(key=lambda e: len(e[0]))
+        with open(f"{output_file}.{part_num}", "wb") as fw:
+            marshal.dump(examples, fw)
+        examples = []
+        part_num += 1
+
+    with open(src_txt_file) as s_fp:
+        for line in s_fp:
+            if not line.strip():
+                continue
+            ids = tp.tokenize_one_sentence_with_langid(line.strip(),
+                                                       src_lang_token_id)
+            if min_len <= len(ids) <= max_len:
+                examples.append((ids, src_lang_type))
+                total += 1
+            if len(examples) >= shard_size:
+                flush()
+    if examples:
+        flush()
+    return total
+
+
+def load_mt(path: str) -> List[Tuple]:
+    with open(path, "rb") as fr:
+        return marshal.load(fr)
+
+
+def load_mass(path_prefix: str) -> List[Tuple]:
+    """Glob-load `prefix*` shards (dataset.py:204-205)."""
+    import glob
+
+    examples: List[Tuple] = []
+    for path in sorted(glob.glob(path_prefix + "*")):
+        with open(path, "rb") as fr:
+            examples.extend(marshal.load(fr))
+    return examples
+
+
+def write_doc_blocks(tp: TextProcessor, txt_file: str, cache_dir: str,
+                     seq_len: int = 512, sen_block_size: int = 10_000):
+    """Doc-level LM binaries (create_batches.py:9-53)."""
+    os.makedirs(cache_dir, exist_ok=True)
+    sentences = []
+    line_num, file_count = 0, 0
+    with open(txt_file) as fp:
+        for doc in fp:
+            if not doc.strip():
+                continue
+            for seq in tp.tokenize_lines(doc.strip(), blind_split=True,
+                                         split_len=seq_len):
+                sentences.append([int(x) for x in seq])
+                line_num += 1
+                if len(sentences) >= sen_block_size:
+                    with open(os.path.join(cache_dir, f"{file_count}.pkl"),
+                              "wb") as fw:
+                        marshal.dump(sentences, fw)
+                    sentences = []
+                    file_count += 1
+    if sentences:
+        with open(os.path.join(cache_dir, f"{file_count}.pkl"), "wb") as fw:
+            marshal.dump(sentences, fw)
+        file_count += 1
+    with open(os.path.join(cache_dir, "info.txt"), "w") as fw:
+        fw.write(f"{sen_block_size}\t{line_num}\t{file_count}")
+    return line_num

@@ -1,0 +1,219 @@
+"""Length-bucketed, fixed-shape host batching.
+
+The reference pre-builds whole dynamic-shape batches inside its Dataset
+objects under quadratic/cubic "capacity" formulas (dataset.py:118-123 for MT,
+234-235 for MASS) — every batch has its own shape, which on TPU would trigger
+a recompile per batch. Here sequence lengths round up to a bucket multiple and
+row counts are a deterministic function of the bucketed shape, so XLA sees a
+small closed set of shapes; short batches pad with dummy rows masked out of
+the loss (`row_mask`).
+
+Row-count budgeting keeps the reference's capacity semantics so memory
+behavior is comparable:
+    rows <= max_batch // (sb + db)                       (dataset.py:120)
+    rows <= capacity*1e6 // ((sb^2 + db^2) * db)          (dataset.py:118-119)
+for MASS (db := sb):
+    rows <= max_batch // (2 * sb)                         (dataset.py:235)
+    rows <= capacity*1e6 // (2 * sb^3)                    (dataset.py:234)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def bucket_len(n: int, step: int = 16, minimum: int = 32) -> int:
+    return max(minimum, ((n + step - 1) // step) * step)
+
+
+def _rows_for(sb: int, db: int, max_batch: int, capacity_mb: int,
+              min_rows: int = 1, row_quantum: int = 8) -> int:
+    by_tokens = max_batch // (sb + db)
+    by_capacity = int(capacity_mb * 1_000_000) // ((sb * sb + db * db) * db)
+    rows = max(min_rows, min(by_tokens, by_capacity))
+    # Quantize row counts down to multiples of `row_quantum` (floor) so the
+    # set of (rows, sb, db) shapes stays small; tiny budgets keep exact rows.
+    if rows > row_quantum:
+        rows = (rows // row_quantum) * row_quantum
+    return rows
+
+
+@dataclasses.dataclass
+class MTBatch:
+    src: np.ndarray        # [N, sb] int32
+    src_mask: np.ndarray   # [N, sb] bool
+    dst: np.ndarray        # [N, db] int32
+    dst_mask: np.ndarray   # [N, db] bool
+    src_langs: np.ndarray  # [N] language type ids
+    dst_langs: np.ndarray  # [N]
+    src_sizes: np.ndarray  # [N] true source lengths
+    row_mask: np.ndarray   # [N] bool, False for padding rows
+    examples: Optional[list] = None  # original (src, dst) id lists, real rows
+
+
+class MTBatcher:
+    """examples: list of (src_ids, dst_ids, src_lang_type, dst_lang_type)
+    already length-sorted by the binarizer."""
+
+    def __init__(self, examples: Sequence[Tuple], pad_id: int = 0,
+                 max_batch: int = 4000, capacity_mb: int = 600,
+                 max_seq_len: int = 175, bucket_step: int = 16,
+                 keep_examples: bool = False):
+        self.pad_id = pad_id
+        self.batches: List[MTBatch] = []
+        self._build(examples, max_batch, capacity_mb, max_seq_len, bucket_step,
+                    keep_examples)
+
+    def _build(self, examples, max_batch, capacity_mb, max_seq_len,
+               bucket_step, keep_examples):
+        cur: List[Tuple] = []
+        cur_sb = cur_db = 0
+
+        def flush():
+            nonlocal cur, cur_sb, cur_db
+            if not cur:
+                return
+            rows = _rows_for(cur_sb, cur_db, max_batch, capacity_mb,
+                             min_rows=len(cur))
+            rows = max(rows, len(cur))
+            self.batches.append(self._pack(cur, rows, cur_sb, cur_db,
+                                           keep_examples))
+            cur, cur_sb, cur_db = [], 0, 0
+
+        for ex in examples:
+            src = ex[0][:max_seq_len]
+            dst = ex[1][:max_seq_len]
+            sb = bucket_len(len(src), bucket_step)
+            db = bucket_len(len(dst), bucket_step)
+            nsb, ndb = max(cur_sb, sb), max(cur_db, db)
+            rows_budget = _rows_for(nsb, ndb, max_batch, capacity_mb)
+            if cur and (nsb != cur_sb or ndb != cur_db or
+                        len(cur) + 1 > rows_budget):
+                flush()
+                nsb, ndb = sb, db
+            cur.append((src, dst, ex[2], ex[3]))
+            cur_sb, cur_db = nsb, ndb
+        flush()
+
+    def _pack(self, rows_data, rows, sb, db, keep_examples) -> MTBatch:
+        n = len(rows_data)
+        src = np.full((rows, sb), self.pad_id, np.int32)
+        dst = np.full((rows, db), self.pad_id, np.int32)
+        src_langs = np.zeros((rows,), np.int32)
+        dst_langs = np.zeros((rows,), np.int32)
+        src_sizes = np.ones((rows,), np.int32)
+        row_mask = np.zeros((rows,), bool)
+        for i, (s, d, sl, dl) in enumerate(rows_data):
+            src[i, :len(s)] = s
+            dst[i, :len(d)] = d
+            src_langs[i], dst_langs[i] = sl, dl
+            src_sizes[i] = len(s)
+            row_mask[i] = True
+        # Padding rows replicate row 0 so the model never sees fully-empty
+        # sequences (their loss weight is zero via row_mask anyway).
+        if n < rows and n > 0:
+            src[n:] = src[0]
+            dst[n:] = dst[0]
+            src_langs[n:] = src_langs[0]
+            dst_langs[n:] = dst_langs[0]
+            src_sizes[n:] = src_sizes[0]
+        return MTBatch(src, src != self.pad_id, dst, dst != self.pad_id,
+                       src_langs, dst_langs, src_sizes, row_mask,
+                       examples=[r[:2] for r in rows_data] if keep_examples else None)
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self) -> Iterator[MTBatch]:
+        return iter(self.batches)
+
+    def shuffled(self, seed: int) -> Iterator[MTBatch]:
+        order = list(range(len(self.batches)))
+        random.Random(seed).shuffle(order)
+        for i in order:
+            yield self.batches[i]
+
+
+@dataclasses.dataclass
+class MassBatch:
+    src: np.ndarray        # [N, S]
+    src_mask: np.ndarray   # [N, S]
+    langs: np.ndarray      # [N] language type ids
+    lang_tokens: np.ndarray  # [N] the row's first token (language token id)
+    lengths: np.ndarray    # [N] index of first pad (dataset.py pad_idx)
+    row_mask: np.ndarray   # [N]
+
+
+class MassBatcher:
+    """examples: list of (ids, lang_type), length-sorted."""
+
+    def __init__(self, examples: Sequence[Tuple], pad_id: int = 0,
+                 max_batch: int = 4000, capacity_mb: int = 600,
+                 max_seq_len: int = 512, bucket_step: int = 16):
+        self.pad_id = pad_id
+        self.batches: List[MassBatch] = []
+        cur: List[Tuple] = []
+        cur_s = 0
+
+        def rows_for(s):
+            by_tokens = max_batch // (2 * s)
+            by_capacity = int(capacity_mb * 1_000_000) // (2 * s ** 3)
+            rows = max(1, min(by_tokens, by_capacity))
+            if rows > 8:
+                rows = (rows // 8) * 8
+            return rows
+
+        def flush():
+            nonlocal cur, cur_s
+            if not cur:
+                return
+            rows = max(rows_for(cur_s), len(cur))
+            self.batches.append(self._pack(cur, rows, cur_s))
+            cur, cur_s = [], 0
+
+        for ex in examples:
+            ids = ex[0]
+            if len(ids) > max_seq_len:
+                continue
+            s = bucket_len(len(ids), bucket_step)
+            ns = max(cur_s, s)
+            if cur and (ns != cur_s or len(cur) + 1 > rows_for(ns)):
+                flush()
+                ns = s
+            cur.append(ex)
+            cur_s = ns
+        flush()
+
+    def _pack(self, rows_data, rows, s) -> MassBatch:
+        n = len(rows_data)
+        src = np.full((rows, s), self.pad_id, np.int32)
+        langs = np.zeros((rows,), np.int32)
+        lengths = np.ones((rows,), np.int32)
+        row_mask = np.zeros((rows,), bool)
+        for i, (ids, lt) in enumerate(rows_data):
+            src[i, :len(ids)] = ids
+            langs[i] = lt
+            lengths[i] = len(ids)
+            row_mask[i] = True
+        if n < rows and n > 0:
+            src[n:] = src[0]
+            langs[n:] = langs[0]
+            lengths[n:] = lengths[0]
+        return MassBatch(src, src != self.pad_id, langs, src[:, 0].copy(),
+                         lengths, row_mask)
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self) -> Iterator[MassBatch]:
+        return iter(self.batches)
+
+    def shuffled(self, seed: int) -> Iterator[MassBatch]:
+        order = list(range(len(self.batches)))
+        random.Random(seed).shuffle(order)
+        for i in order:
+            yield self.batches[i]

@@ -1,0 +1,196 @@
+"""Fixed-shape, KV-cached, jit-compiled batched beam search.
+
+Replaces the reference's BeamDecoder (seq_gen.py:27-242), which re-runs the
+full decoder over the whole prefix at every step with no KV cache — O(T^2)
+decoder passes. Here each step decodes ONE token against a fixed-size cache
+inside `lax.while_loop`, with the beam reorder expressed as a gather on the
+cache pytree.
+
+Reference semantics preserved:
+- GNMT length penalty ((len + 6)/6)^alpha (seq_gen.py:37-44) applied through
+  the reference's exact *compounding* recurrence
+  ``score_i = (score_{i-1} + logp_i) / penalty(size_{i-1})``
+  (seq_gen.py:199) — including the quirk that already-finished beams keep
+  being re-normalized each step. Matching this keeps output selection parity.
+- per-row max output length ``min(a*src_len + b, max_positions)``
+  (seq_gen.py:113-121); rows past their limit emit only pad.
+- finished beams contribute logp 0 and extend with pad (seq_gen.py:195-213).
+  Deviation: the reference lets a finished beam tie across all vocab entries
+  (filling several topk slots with duplicates, seq_gen.py:199-213); here a
+  finished beam proposes exactly one (pad) continuation, which removes the
+  duplicate-beam pathology without changing the returned top beam.
+- greedy mode (beam_width=1) skips the penalty, like seq_gen.py:200-201.
+- early exit when every beam holds an EOS (seq_gen.py:134-136).
+
+The returned buffer is [B, L]: the top beam per row, starting with the
+language token, padded after EOS; `lengths` gives the index of the first EOS
+(or the row's max len). Host-side trimming mirrors get_outputs_until_eos
+(seq_gen.py:6-24).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from imagetranslate_tpu.models.seq2seq import Seq2Seq
+from imagetranslate_tpu.models.transformer import pad_bias
+
+NEG = -1e9
+
+
+class BeamState(NamedTuple):
+    i: jnp.ndarray            # scalar step
+    tokens: jnp.ndarray       # [B, K, L]
+    scores: jnp.ndarray       # [B, K] running (penalized) scores
+    sizes: jnp.ndarray        # [B, K] non-pad tokens emitted so far
+    finished: jnp.ndarray     # [B, K] has EOS
+    cache: Any                # decoder cache, leaves lead with B*K
+
+
+def _gather_beams(tree, beam_idx, batch: int, k: int):
+    """Reorder cache leaves [B*K, ...] by beam_idx [B, K]."""
+    flat_idx = (jnp.arange(batch)[:, None] * k + beam_idx).reshape(-1)
+
+    def g(leaf):
+        return leaf[flat_idx] if leaf.ndim >= 1 and leaf.shape[0] == batch * k else leaf
+
+    return jax.tree.map(g, tree)
+
+
+def max_len_for(src_len: int, max_len_a: float, max_len_b: int,
+                max_positions: int) -> int:
+    """seq_gen.py:113-114 (static variant for buffer sizing)."""
+    return min(int(max_len_a * src_len + max_len_b), max_positions)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "beam_width", "max_len", "len_penalty_ratio",
+                     "pad_id", "eos_id", "max_len_a", "max_len_b"),
+)
+def beam_search(
+    model: Seq2Seq,
+    params,
+    enc_states: jnp.ndarray,    # [B, S, E]
+    src_mask: jnp.ndarray,      # [B, S] keep-mask for cross-attention
+    first_tokens: jnp.ndarray,  # [B] initial (target-language) token
+    tgt_langs: jnp.ndarray,     # [B] target language index
+    src_sizes: Optional[jnp.ndarray] = None,  # [B] true source lengths
+    *,
+    beam_width: int = 4,
+    max_len: int = 128,
+    max_len_a: float = 1.3,
+    max_len_b: int = 5,
+    len_penalty_ratio: float = 0.8,
+    pad_id: int = 0,
+    eos_id: int = 4,
+):
+    B, S, E = enc_states.shape
+    K, L = beam_width, max_len
+    V = model.cfg.vocab_size
+    lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
+
+    if src_sizes is None:
+        max_lens = jnp.full((B,), L, jnp.int32)
+    else:
+        per_row = jnp.floor(max_len_a * src_sizes.astype(jnp.float32)
+                            + max_len_b).astype(jnp.int32)
+        max_lens = jnp.minimum(per_row, L)
+
+    # Expand encoder context to B*K rows once (contrast seq_gen.py:146 which
+    # repeat_interleaves inside the loop every step).
+    enc_k = jnp.repeat(enc_states, K, axis=0)
+    mask_k = jnp.repeat(src_mask, K, axis=0)
+    cross_bias = pad_bias(mask_k)
+    langs_k = jnp.repeat(tgt_langs, K, axis=0)
+
+    cache = model.apply(params, enc_k, B * K, L, lang_idx,
+                        method=Seq2Seq.init_cache)
+
+    tokens = jnp.full((B, K, L), pad_id, jnp.int32)
+    tokens = tokens.at[:, :, 0].set(first_tokens[:, None])
+    # Only beam 0 is live at step 1 (all beams start identical); others start
+    # at NEG so the first topk fans out from beam 0 alone.
+    scores = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.float32), jnp.full((B, K - 1), NEG, jnp.float32)],
+        axis=1) if K > 1 else jnp.zeros((B, K), jnp.float32)
+
+    def penalty(sizes):
+        return jnp.power((sizes + 6.0) / 6.0, len_penalty_ratio)
+
+    def cond(st: BeamState):
+        return (st.i < L) & ~jnp.all(st.finished)
+
+    def body(st: BeamState):
+        i = st.i
+        prev = jax.lax.dynamic_slice_in_dim(st.tokens, i - 1, 1, axis=2)
+        prev = prev.reshape(B * K, 1)
+        logits, new_cache = model.apply(
+            params, prev, st.cache, i - 1, cross_bias, langs_k, lang_idx,
+            method=Seq2Seq.decode_step)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logp = logp.reshape(B, K, V)
+
+        row_done = (max_lens < i + 1)[:, None]            # [B, 1]
+        frozen = st.finished | row_done                    # [B, K]
+
+        # Live beams: add logp. Frozen beams: single pad continuation at
+        # unchanged (then re-penalized) score.
+        cand = st.scores[:, :, None] + jnp.where(frozen[:, :, None], 0.0, logp)
+        frozen_mask = frozen[:, :, None] & (jnp.arange(V)[None, None, :] != pad_id)
+        cand = jnp.where(frozen_mask, NEG, cand)
+        if K > 1:
+            cand = cand / penalty(st.sizes)[:, :, None]
+
+        flat = cand.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(flat, K)
+        beam_idx = top_idx // V
+        word = (top_idx % V).astype(jnp.int32)
+
+        # Gather parent beams, then append the word.
+        parent_tokens = jnp.take_along_axis(st.tokens, beam_idx[:, :, None], axis=1)
+        new_tokens = jax.lax.dynamic_update_slice_in_dim(
+            parent_tokens, word[:, :, None], i, axis=2)
+        parent_sizes = jnp.take_along_axis(st.sizes, beam_idx, axis=1)
+        new_sizes = parent_sizes + (word != pad_id).astype(jnp.float32)
+        parent_finished = jnp.take_along_axis(frozen, beam_idx, axis=1)
+        new_finished = parent_finished | (word == eos_id)
+
+        new_cache = _gather_beams(new_cache, beam_idx, B, K)
+        return BeamState(i + 1, new_tokens, top_scores, new_sizes,
+                         new_finished, new_cache)
+
+    init = BeamState(
+        i=jnp.asarray(1, jnp.int32),
+        tokens=tokens,
+        scores=scores,
+        sizes=jnp.zeros((B, K), jnp.float32),
+        finished=jnp.zeros((B, K), jnp.bool_),
+        cache=cache,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    best = final.tokens[:, 0, :]                       # [B, L]
+    is_eos = best == eos_id
+    any_eos = jnp.any(is_eos, axis=1)
+    first_eos = jnp.argmax(is_eos, axis=1)
+    lengths = jnp.where(any_eos, first_eos, max_lens)  # exclusive of EOS
+    return best, lengths
+
+
+def trim_outputs(best, lengths, remove_first_token: bool = False):
+    """Host-side: list of python int lists, EOS excluded
+    (get_outputs_until_eos parity, seq_gen.py:6-24)."""
+    import numpy as np
+
+    best = np.asarray(best)
+    lengths = np.asarray(lengths)
+    out = []
+    for row, ln in zip(best, lengths):
+        start = 1 if remove_first_token else 0
+        out.append([int(t) for t in row[start:int(ln)]])
+    return out

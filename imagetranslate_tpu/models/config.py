@@ -1,0 +1,95 @@
+"""Typed model configuration.
+
+Replaces the reference's dict-based config builder (lm_config.py:4-30) and the
+pickled arch tuple inside checkpoints (seq2seq.py:183-196) with one JSON-
+serializable dataclass. Defaults mirror the reference's BERT-base settings
+(lm_config.py:5-19): hidden 768, 12 heads, FFN 3072, 512 positions, gelu,
+dropout 0.1, layer-norm eps 1e-12, initializer range 0.02.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Seq2SeqConfig:
+    vocab_size: int
+    # Number of languages; doubles as the token-type vocabulary, exactly as the
+    # reference sets config["type_vocab_size"] = len(languages) (seq2seq.py:36).
+    num_languages: int = 2
+    hidden_size: int = 768
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    enc_layers: int = 6
+    dec_layers: int = 3
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    pad_id: int = 0
+    bos_id: int = 1
+    eos_id: int = 4  # </s> — 5th special token, matching reference ordering.
+    # Per-language decoders + output layers (reference `lang_dec`,
+    # seq2seq.py:67-77). When False a single decoder is shared and embeddings
+    # are tied between encoder and decoder (seq2seq.py:45-65).
+    lang_dec: bool = False
+    # Tie the output projection to the word embedding (reference `tie_embed`).
+    tie_embed: bool = False
+    # Lexical proposal attention (reference `use_proposals`, seq2seq.py:79-83).
+    use_proposals: bool = False
+    # Image-branch settings (reference image_model.py:85-124).
+    resnet_depth: int = 1
+    freeze_image: bool = False
+    use_obj: bool = False
+    # TPU-specific knobs (no reference equivalent):
+    dtype: str = "bfloat16"  # activation/compute dtype
+    remat: bool = False      # jax.checkpoint each layer to trade FLOPs for HBM
+    use_pallas_attention: bool = True   # Pallas flash-attention on TPU
+    use_pallas_xent: bool = True        # Pallas fused label-smoothed xent
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Seq2SeqConfig":
+        raw = json.loads(text)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in fields})
+
+    def replace(self, **kw) -> "Seq2SeqConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_config(vocab_size: int = 128, num_languages: int = 2, **kw) -> Seq2SeqConfig:
+    """Small config for tests: fast to init/compile on a CPU mesh."""
+    base = dict(
+        vocab_size=vocab_size,
+        num_languages=num_languages,
+        hidden_size=32,
+        num_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        enc_layers=2,
+        dec_layers=2,
+        dropout=0.0,
+        attention_dropout=0.0,
+        dtype="float32",
+        use_pallas_attention=False,
+        use_pallas_xent=False,
+    )
+    base.update(kw)
+    return Seq2SeqConfig(**base)

@@ -1,0 +1,241 @@
+"""The flagship multilingual encoder-decoder (reference: seq2seq.py:20-213,
+mass_seq2seq.py:6-60).
+
+One flax module covers both the supervised-MT forward and the MASS forward:
+the MASS path (mass_seq2seq.py:43-50) is just the same decoder invoked with
+explicit target `position_ids`, so `__call__` takes an optional
+``tgt_positions``; there is no separate MassSeq2Seq class.
+
+Differences from the reference, by design (TPU-first):
+- logits come back dense [B, T-1, V] with a loss mask instead of gathering
+  non-pad rows (seq2seq.py:175-178) — static shapes for XLA.
+- per-language decoders (`lang_dec`) use a lifted `nn.switch` on a scalar
+  language index: one compiled program, only the selected branch executes.
+- proposal attention masks scores for real (the reference's
+  `attend_scores[attend_mask].fill_` at seq2seq.py:132 mutates a copy).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from imagetranslate_tpu.models.config import Seq2SeqConfig
+from imagetranslate_tpu.models.transformer import (
+    Cache,
+    Decoder,
+    Embeddings,
+    Encoder,
+    OutputLayer,
+    causal_pad_bias,
+    dense_init,
+    pad_bias,
+)
+from imagetranslate_tpu.ops.attention import NEG_INF
+
+
+def expand_langs(langs: jnp.ndarray, seq_len: int) -> jnp.ndarray:
+    """[B] per-row language index -> [B, T] per-token (seq2seq.py:151-152)."""
+    if langs.ndim == 2:
+        return langs
+    return jnp.broadcast_to(langs[:, None], (langs.shape[0], seq_len))
+
+
+class ProposalAttention(nn.Module):
+    """Lexical-proposal gate (seq2seq.py:110-144): attend decoder states over
+    candidate-translation word embeddings, blend via a learned sigmoid gate,
+    LayerNorm the result."""
+
+    cfg: Seq2SeqConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.gate = self.param("gate", nn.initializers.constant(0.1),
+                               (1, cfg.hidden_size))
+        self.ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32)
+
+    def __call__(self, decoder_output, proposal_embed, proposal_pad_mask):
+        """decoder_output: [B, T, E]; proposal_embed: [B, P, E];
+        proposal_pad_mask: [B, P] True where a real proposal token."""
+        scores = jnp.einsum("bte,bpe->btp", decoder_output, proposal_embed,
+                            preferred_element_type=jnp.float32)
+        scores = jnp.where(proposal_pad_mask[:, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1).astype(proposal_embed.dtype)
+        context = jnp.einsum("btp,bpe->bte", probs, proposal_embed)
+        # Rows whose proposal list is empty (all pad) contribute ~nothing
+        # (reference sets them to 1e-8, seq2seq.py:137-138).
+        empty = ~jnp.any(proposal_pad_mask, axis=-1)
+        context = jnp.where(empty[:, None, None], 1e-8, context)
+        sig = jax.nn.sigmoid(self.gate + 1e-8).astype(decoder_output.dtype)
+        mixed = sig * decoder_output + (1.0 - sig) * context
+        return self.ln(mixed).astype(decoder_output.dtype)
+
+
+class AttentionPool(nn.Module):
+    """Masked attention pooling to one vector per sequence — the sentence/image
+    embedding used by SenSim (sen_sim.py:44-63), the contrastive mm_mode
+    (image_model.py:240-253) and Caption2Image (image_model.py:433-436)."""
+
+    cfg: Seq2SeqConfig
+
+    def setup(self):
+        self.w = nn.Dense(1, kernel_init=dense_init(self.cfg),
+                          dtype=self.cfg.compute_dtype)
+
+    def __call__(self, states, keep_mask=None):
+        scores = self.w(states)[..., 0].astype(jnp.float32)
+        if keep_mask is not None:
+            scores = jnp.where(keep_mask, scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=1).astype(states.dtype)
+        return jnp.einsum("bf,bfd->bd", probs, states)
+
+
+class Seq2Seq(nn.Module):
+    cfg: Seq2SeqConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.embeddings = Embeddings(cfg)
+        self.encoder = Encoder(cfg)
+        n_dec = cfg.num_languages if cfg.lang_dec else 1
+        self.decoders = [Decoder(cfg) for _ in range(n_dec)]
+        if cfg.tie_embed:
+            # Tied projection: logits = h @ word_emb.T + bias. One bias per
+            # decoder head, matching one BertOutputLayer per language.
+            self.out_bias = [
+                self.param(f"out_bias_{i}", nn.initializers.zeros, (cfg.vocab_size,))
+                for i in range(n_dec)
+            ]
+        else:
+            self.output_layers = [OutputLayer(cfg) for _ in range(n_dec)]
+        if cfg.use_proposals:
+            self.proposal_attn = ProposalAttention(cfg)
+
+    # ---------------- encoding ----------------
+
+    def encode(self, src_ids, src_mask, src_langs, deterministic: bool = True):
+        """reference Seq2Seq.encode (seq2seq.py:101-108)."""
+        B, S = src_ids.shape
+        lang_ids = expand_langs(src_langs, S)
+        pos = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
+        x = self.embeddings(src_ids, pos, lang_ids, deterministic)
+        return self.encoder(x, pad_bias(src_mask), deterministic)
+
+    # ---------------- language-switched submodule calls ----------------
+
+    def _run_decoder(self, lang_idx, x, enc, self_bias, cross_bias,
+                     deterministic: bool):
+        if len(self.decoders) == 1:
+            return self.decoders[0](x, enc, self_bias, cross_bias, deterministic)
+        if self.is_initializing():
+            # nn.switch traces only one branch at init; create every
+            # decoder's params by running them all once.
+            outs = [d(x, enc, self_bias, cross_bias, deterministic)
+                    for d in self.decoders]
+            return outs[0]
+        branches = [
+            (lambda m, *a, _i=i: m.decoders[_i](*a, deterministic))
+            for i in range(len(self.decoders))
+        ]
+        return nn.switch(lang_idx, branches, self, x, enc, self_bias, cross_bias)
+
+    def project(self, hidden, lang_idx=0):
+        """hidden -> fp32 vocab logits, honoring tie_embed / lang_dec."""
+        cfg = self.cfg
+        if cfg.tie_embed:
+            logits = self.embeddings.attend(hidden).astype(jnp.float32)
+            if len(self.out_bias) == 1:
+                return logits + self.out_bias[0]
+            bias = jnp.stack(self.out_bias)[lang_idx]
+            return logits + bias
+        if len(self.output_layers) == 1:
+            return self.output_layers[0](hidden)
+        if self.is_initializing():
+            return [ol(hidden) for ol in self.output_layers][0]
+        branches = [
+            (lambda m, h, _i=i: m.output_layers[_i](h))
+            for i in range(len(self.output_layers))
+        ]
+        return nn.switch(lang_idx, branches, self, hidden)
+
+    # ---------------- training forward ----------------
+
+    def __call__(self, src_ids, src_mask, tgt_ids, tgt_mask, src_langs,
+                 tgt_langs, tgt_positions=None, proposals=None,
+                 proposal_mask=None, deterministic: bool = True,
+                 enc_states=None):
+        """Teacher-forced forward. Decoder consumes tgt[:, :-1] and the loss
+        applies to tgt[:, 1:] under mask tgt_mask[:, 1:] (seq2seq.py:170-178).
+
+        tgt_positions: optional [B, T] explicit decoder positions — the MASS
+        path (mass_seq2seq.py:47-50 passes the masked-span positions).
+        Returns fp32 logits [B, T-1, V].
+        """
+        B, T = tgt_ids.shape
+        if enc_states is None:
+            enc_states = self.encode(src_ids, src_mask, src_langs, deterministic)
+        lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
+
+        dec_in = tgt_ids[:, :-1]
+        dec_mask = tgt_mask[:, :-1]
+        lang_ids = expand_langs(tgt_langs, T)[:, :-1]
+        if tgt_positions is None:
+            pos = jnp.broadcast_to(jnp.arange(T - 1)[None, :], (B, T - 1))
+        else:
+            pos = tgt_positions[:, :-1]
+        x = self.embeddings(dec_in, pos, lang_ids, deterministic)
+        hidden = self._run_decoder(lang_idx, x, enc_states,
+                                   causal_pad_bias(dec_mask),
+                                   pad_bias(src_mask), deterministic)
+        if self.cfg.use_proposals and proposals is not None:
+            pe = self.embeddings.word(proposals)
+            hidden = self.proposal_attn(hidden, pe, proposal_mask)
+        return self.project(hidden, lang_idx)
+
+    # ---------------- decoding (KV cache) ----------------
+
+    def init_cache(self, enc_states, batch: int, max_len: int,
+                   lang_idx=0) -> Cache:
+        if len(self.decoders) == 1:
+            return self.decoders[0].init_cache(enc_states, batch, max_len)
+        if self.is_initializing():
+            return [d.init_cache(enc_states, batch, max_len)
+                    for d in self.decoders][0]
+        branches = [
+            (lambda m, e, _i=i: m.decoders[_i].init_cache(e, batch, max_len))
+            for i in range(len(self.decoders))
+        ]
+        return nn.switch(lang_idx, branches, self, enc_states)
+
+    def decode_step(self, prev_token, cache: Cache, index, cross_bias,
+                    tgt_langs, lang_idx=None, positions=None,
+                    proposals=None, proposal_mask=None):
+        """prev_token: [B, 1] ids; index: scalar write position. Returns
+        (fp32 logits [B, V], new_cache)."""
+        B = prev_token.shape[0]
+        if lang_idx is None:
+            lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
+        if positions is None:
+            positions = jnp.full((B, 1), index, jnp.int32)
+        lang_ids = expand_langs(tgt_langs, 1)
+        x = self.embeddings(prev_token, positions, lang_ids, True)
+        if len(self.decoders) == 1:
+            hidden, cache = self.decoders[0].step(x, cache, index, cross_bias)
+        elif self.is_initializing():
+            hidden, cache = [d.step(x, cache, index, cross_bias)
+                             for d in self.decoders][0]
+        else:
+            branches = [
+                (lambda m, *a, _i=i: m.decoders[_i].step(*a))
+                for i in range(len(self.decoders))
+            ]
+            hidden, cache = nn.switch(lang_idx, branches, self, x, cache,
+                                      index, cross_bias)
+        if self.cfg.use_proposals and proposals is not None:
+            pe = self.embeddings.word(proposals)
+            hidden = self.proposal_attn(hidden, pe, proposal_mask)
+        logits = self.project(hidden, lang_idx)
+        return logits[:, 0, :], cache

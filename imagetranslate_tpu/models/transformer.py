@@ -1,0 +1,287 @@
+"""BERT-style transformer encoder/decoder stacks, TPU-first.
+
+Capability parity with the reference's model layer (bert_seq2seq.py,
+seq2seq.py, lm_config.py) re-designed for XLA:
+
+- post-LayerNorm blocks, gelu FFN, additive -10000 masks, language id as
+  token-type embedding per token (seq2seq.py:151-152), learned positions —
+  the exact math of HF transformers==2.9.0 BertModel that the reference
+  star-imports (bert_seq2seq.py:3).
+- encoder and decoder share word/position/type embedding tables (the
+  reference ties them when lang_dec=False, seq2seq.py:47-52); here sharing is
+  structural: the parent model owns one Embeddings module and feeds embedded
+  activations to both stacks.
+- static shapes everywhere: loss positions are masked, never gathered
+  (contrast seq2seq.py:175-178 which gathers non-pad rows).
+- explicit KV-cache decode path (`decode_step`) — the reference's beam search
+  re-runs the decoder over the whole prefix every step (seq_gen.py:131-227);
+  on TPU we decode one token at a time against a fixed-size cache updated with
+  `lax.dynamic_update_slice`.
+
+Known reference quirks intentionally NOT replicated:
+- seq2seq.py:63-65 aliases decoder self-attention weights to the encoder's
+  when layer counts match (never true under default enc=6/dec=3).
+- seq2seq.py:132's proposal-attention masking is a no-op on a copy; here the
+  mask is applied for real (see models/seq2seq.py ProposalAttention).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from imagetranslate_tpu.models.config import Seq2SeqConfig
+from imagetranslate_tpu.ops.attention import (
+    dot_product_attention,
+    make_attention_bias,
+)
+
+Cache = Dict[str, Any]
+
+
+def dense_init(cfg: Seq2SeqConfig):
+    return nn.initializers.normal(stddev=cfg.initializer_range)
+
+
+class Embeddings(nn.Module):
+    """word + position + language(token-type) embeddings -> LN -> dropout."""
+
+    cfg: Seq2SeqConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.word = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                             embedding_init=dense_init(cfg), dtype=cfg.compute_dtype)
+        self.position = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                                 embedding_init=dense_init(cfg), dtype=cfg.compute_dtype)
+        self.lang = nn.Embed(max(1, cfg.num_languages), cfg.hidden_size,
+                             embedding_init=dense_init(cfg), dtype=cfg.compute_dtype)
+        self.ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32)
+        self.drop = nn.Dropout(cfg.dropout)
+
+    def __call__(self, input_ids, position_ids, lang_ids, deterministic: bool = True):
+        x = self.word(input_ids) + self.position(position_ids) + self.lang(lang_ids)
+        x = self.ln(x).astype(self.cfg.compute_dtype)
+        return self.drop(x, deterministic=deterministic)
+
+    def attend(self, query):
+        """Logits against the word-embedding table (for tie_embed)."""
+        return self.word.attend(query.astype(self.cfg.compute_dtype))
+
+
+class Attention(nn.Module):
+    """Multi-head attention with post-LN residual output block.
+
+    Mirrors BertSelfAttention + BertSelfOutput. Supports an explicit KV cache
+    for single-token decode: pass `cache=(k, v, index)` where k/v are
+    [B, S_max, H, D] buffers and index is the write position.
+    """
+
+    cfg: Seq2SeqConfig
+
+    def setup(self):
+        cfg = self.cfg
+        h, d = cfg.num_heads, cfg.head_dim
+        mk = lambda: nn.DenseGeneral((h, d), kernel_init=dense_init(cfg),
+                                     dtype=cfg.compute_dtype)
+        self.query, self.key, self.value = mk(), mk(), mk()
+        self.out = nn.DenseGeneral(cfg.hidden_size, axis=(-2, -1),
+                                   kernel_init=dense_init(cfg),
+                                   dtype=cfg.compute_dtype)
+        self.ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32)
+        self.drop = nn.Dropout(cfg.dropout)
+
+    def __call__(
+        self,
+        x,                       # [B, T, E] query input
+        kv,                      # [B, S, E] key/value input (self-attn: kv=x)
+        bias,                    # additive bias broadcastable to [B, H, T, S]
+        deterministic: bool = True,
+        cache: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
+        precomputed_kv: bool = False,
+    ):
+        cfg = self.cfg
+        q = self.query(x)
+        new_kv = None
+        if precomputed_kv:
+            k, v = kv  # already projected [B, S, H, D] (cross-attn cache)
+        else:
+            k = self.key(kv)
+            v = self.value(kv)
+            if cache is not None:
+                ck, cv, index = cache
+                k = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, index, 0, 0))
+                v = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, index, 0, 0))
+                new_kv = (k, v)
+
+        ctx = dot_product_attention(
+            q, k, v, bias=bias,
+            dropout_rate=cfg.attention_dropout,
+            deterministic=deterministic,
+            dropout_rng=(None if deterministic else self.make_rng("dropout")),
+            use_pallas=cfg.use_pallas_attention,
+        )
+        out = self.out(ctx)
+        out = self.drop(out, deterministic=deterministic)
+        out = self.ln(out + x).astype(cfg.compute_dtype)
+        if new_kv is not None:
+            return out, new_kv
+        return out
+
+    def project_kv(self, kv):
+        """Project encoder states to (k, v) once per sequence (cross-attn
+        cache for decoding — computed once, reused every step)."""
+        return self.key(kv), self.value(kv)
+
+
+class FeedForward(nn.Module):
+    """BertIntermediate + BertOutput: dense-gelu-dense, residual post-LN."""
+
+    cfg: Seq2SeqConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.intermediate = nn.Dense(cfg.intermediate_size,
+                                     kernel_init=dense_init(cfg),
+                                     dtype=cfg.compute_dtype)
+        self.output = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg),
+                               dtype=cfg.compute_dtype)
+        self.ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32)
+        self.drop = nn.Dropout(cfg.dropout)
+
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.gelu(self.intermediate(x), approximate=False)
+        out = self.drop(self.output(h), deterministic=deterministic)
+        return self.ln(out + x).astype(self.cfg.compute_dtype)
+
+
+class EncoderLayer(nn.Module):
+    cfg: Seq2SeqConfig
+
+    def setup(self):
+        self.self_attn = Attention(self.cfg)
+        self.ffn = FeedForward(self.cfg)
+
+    def __call__(self, x, bias, deterministic: bool = True):
+        x = self.self_attn(x, x, bias, deterministic)
+        return self.ffn(x, deterministic)
+
+
+class DecoderLayer(nn.Module):
+    cfg: Seq2SeqConfig
+
+    def setup(self):
+        self.self_attn = Attention(self.cfg)
+        self.cross_attn = Attention(self.cfg)
+        self.ffn = FeedForward(self.cfg)
+
+    def __call__(self, x, enc, self_bias, cross_bias, deterministic: bool = True):
+        x = self.self_attn(x, x, self_bias, deterministic)
+        if enc is not None:
+            x = self.cross_attn(x, enc, cross_bias, deterministic)
+        return self.ffn(x, deterministic)
+
+    def step(self, x, cache: Cache, index, cross_bias, self_bias):
+        """Single-token decode with KV cache. Returns (x, new_cache)."""
+        x, (k, v) = self.self_attn(x, x, self_bias, True,
+                                   cache=(cache["k"], cache["v"], index))
+        x = self.cross_attn(x, (cache["ek"], cache["ev"]), cross_bias, True,
+                            precomputed_kv=True)
+        x = self.ffn(x, True)
+        return x, {**cache, "k": k, "v": v}
+
+    def init_cross_kv(self, enc):
+        return self.cross_attn.project_kv(enc)
+
+
+def causal_pad_bias(pad_mask: jnp.ndarray) -> jnp.ndarray:
+    """future_mask parity (seq2seq.py:14-17): causal AND target-pad keep-mask,
+    as an additive [B, 1, T, T] bias."""
+    T = pad_mask.shape[-1]
+    causal = jnp.tril(jnp.ones((T, T), jnp.bool_))
+    keep = causal[None, :, :] & pad_mask[:, None, :]
+    return make_attention_bias(keep[:, None, :, :])
+
+
+def pad_bias(pad_mask: jnp.ndarray) -> jnp.ndarray:
+    """[B, S] keep-mask -> additive [B, 1, 1, S] bias (encoder self / cross)."""
+    return make_attention_bias(pad_mask[:, None, None, :])
+
+
+class Encoder(nn.Module):
+    """Embedded input -> contextual states. reference: BertEncoderModel
+    (bert_seq2seq.py:94-144). Takes pre-embedded activations so the embedding
+    table can be owned (and shared) by the parent model."""
+
+    cfg: Seq2SeqConfig
+
+    def setup(self):
+        # nn.remat(EncoderLayer) checkpoints each layer so backward recomputes
+        # activations instead of holding them in HBM (self counts as argnum 0;
+        # `deterministic` at 3 is a static python bool).
+        cls = nn.remat(EncoderLayer, static_argnums=(3,)) if self.cfg.remat else EncoderLayer
+        self.layers = [cls(self.cfg) for _ in range(self.cfg.enc_layers)]
+
+    def __call__(self, x, bias, deterministic: bool = True):
+        for layer in self.layers:
+            x = layer(x, bias, deterministic)
+        return x
+
+
+class Decoder(nn.Module):
+    """Causal decoder with cross-attention over encoder states (reference:
+    BertDecoderModel, bert_seq2seq.py:15-91). `enc=None` turns layers into a
+    pure self-attention stack (used nowhere today but kept cheap)."""
+
+    cfg: Seq2SeqConfig
+
+    def setup(self):
+        self.layers = [DecoderLayer(self.cfg) for _ in range(self.cfg.dec_layers)]
+
+    def __call__(self, x, enc, self_bias, cross_bias, deterministic: bool = True):
+        for layer in self.layers:
+            x = layer(x, enc, self_bias, cross_bias, deterministic)
+        return x
+
+    def init_cache(self, enc_states, batch: int, max_len: int) -> Cache:
+        """Zeroed self-attn K/V buffers + once-projected encoder K/V."""
+        cfg = self.cfg
+        kv_shape = (batch, max_len, cfg.num_heads, cfg.head_dim)
+        cache = {}
+        for i, layer in enumerate(self.layers):
+            ek, ev = layer.init_cross_kv(enc_states)
+            cache[f"layer_{i}"] = {
+                "k": jnp.zeros(kv_shape, cfg.compute_dtype),
+                "v": jnp.zeros(kv_shape, cfg.compute_dtype),
+                "ek": ek,
+                "ev": ev,
+            }
+        return cache
+
+    def step(self, x, cache: Cache, index, cross_bias) -> Tuple[jnp.ndarray, Cache]:
+        """One decode step on embedded token x: [B, 1, E]."""
+        S = cache["layer_0"]["k"].shape[1]
+        keep = (jnp.arange(S)[None, :] <= index)[None, None, :, :]
+        self_bias = make_attention_bias(keep)
+        new_cache = {}
+        for i, layer in enumerate(self.layers):
+            x, nc = layer.step(x, cache[f"layer_{i}"], index, cross_bias, self_bias)
+            new_cache[f"layer_{i}"] = nc
+        return x, new_cache
+
+
+class OutputLayer(nn.Module):
+    """hidden -> vocab logits (reference BertOutputLayer, bert_seq2seq.py:6-12:
+    a plain Linear with bias)."""
+
+    cfg: Seq2SeqConfig
+
+    def setup(self):
+        self.proj = nn.Dense(self.cfg.vocab_size, kernel_init=dense_init(self.cfg),
+                             dtype=self.cfg.compute_dtype)
+
+    def __call__(self, x):
+        return self.proj(x).astype(jnp.float32)

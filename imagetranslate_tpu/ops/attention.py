@@ -1,0 +1,58 @@
+"""Scaled dot-product attention with a Pallas TPU fast path.
+
+The reference relies on HF ``transformers==2.9.0`` BertSelfAttention
+(bert_seq2seq.py:3 star-import): scores = QK^T/sqrt(d) + additive mask
+(-10000 at masked positions), softmax, dropout, PV. We keep those semantics
+but compute in bf16 with an fp32 softmax, and route large shapes through a
+Pallas flash-attention kernel (ops/flash_attention.py) that never materializes
+the [T, S] score matrix in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -10000.0  # reference's additive mask value (bert_seq2seq.py:37)
+
+
+def make_attention_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, ..., S] boolean keep-mask -> additive bias with -10000 at masked."""
+    return ((1.0 - mask.astype(jnp.float32)) * NEG_INF).astype(dtype)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,            # [B, T, H, D]
+    k: jnp.ndarray,            # [B, S, H, D]
+    v: jnp.ndarray,            # [B, S, H, D]
+    bias: Optional[jnp.ndarray] = None,   # broadcastable to [B, H, T, S]
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Returns [B, T, H, D]. fp32 softmax regardless of input dtype."""
+    if use_pallas and deterministic:
+        # Flash path only for inference/no-dropout; training uses XLA (which
+        # fuses the dropout into the softmax epilogue anyway).
+        from imagetranslate_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, bias)
+        if out is not None:
+            return out
+
+    depth = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(depth, jnp.float32))
+    # [B, H, T, S]
+    scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    probs = probs.astype(v.dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v)

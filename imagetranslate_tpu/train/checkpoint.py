@@ -1,0 +1,71 @@
+"""Two-slot checkpointing (reference: seq2seq.py:183-213 + train_image_mt.py:312-323,
+409-424).
+
+Reference layout: a directory per slot — pickled arch tuple `mt_config` +
+`mt_model.state_dict`, best-metric slot at `saving_path`, rolling slot at
+`saving_path + ".latest"`, optimizer pickled whole to `optim` when
+`--save-opt`. The reference loses the LR-schedule step on weight-only resume
+(SURVEY §5); here the full TrainState (params + optimizer state + step) and
+the typed config are saved, so resume is exact.
+
+Layout per slot directory:
+    config.json        — Seq2SeqConfig (JSON, human-readable)
+    params.msgpack     — flax-serialized model params
+    opt_state.msgpack  — optimizer state (optional)
+    meta.json          — {"step": int, "best_metric": float}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import serialization
+
+from imagetranslate_tpu.models.config import Seq2SeqConfig
+
+
+def save_checkpoint(out_dir: str, cfg: Seq2SeqConfig, params,
+                    opt_state=None, step: int = 0,
+                    best_metric: Optional[float] = None):
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    params = jax.device_get(params)
+    with open(os.path.join(out_dir, "params.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(params))
+    if opt_state is not None:
+        with open(os.path.join(out_dir, "opt_state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(opt_state)))
+    meta = {"step": int(step)}
+    if best_metric is not None:
+        meta["best_metric"] = float(best_metric)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_config(out_dir: str) -> Seq2SeqConfig:
+    with open(os.path.join(out_dir, "config.json")) as f:
+        return Seq2SeqConfig.from_json(f.read())
+
+
+def load_checkpoint(out_dir: str, params_template,
+                    opt_state_template=None) -> Tuple[Any, Any, dict]:
+    """Restore into templates (e.g. from model.init / optimizer.init with
+    jax.eval_shape). Returns (params, opt_state_or_None, meta)."""
+    with open(os.path.join(out_dir, "params.msgpack"), "rb") as f:
+        params = serialization.from_bytes(params_template, f.read())
+    opt_state = None
+    opt_path = os.path.join(out_dir, "opt_state.msgpack")
+    if opt_state_template is not None and os.path.exists(opt_path):
+        with open(opt_path, "rb") as f:
+            opt_state = serialization.from_bytes(opt_state_template, f.read())
+    meta = {"step": 0}
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return params, opt_state, meta

@@ -1,0 +1,278 @@
+"""MT / MASS / back-translation trainer (reference: ImageMTTrainer,
+train_image_mt.py:39-655).
+
+Orchestrates the jitted steps from train/step.py over the bucketed batchers:
+
+- round-robin over the available streams per iteration (get_batch_zip parity,
+  train_image_mt.py:357-364): each "tick" takes one batch from every stream,
+  epoch ends at the shortest stream.
+- telemetry every 50 steps, dev BLEU every `eval_every` (5000), rolling
+  `.latest` checkpoint every `save_every` (10000) and at epoch end
+  (train_image_mt.py:302-323, 340-351).
+- dev BLEU via beam decode + sacrebleu(lowercase, tokenize="intl"), with
+  bleu.output / bleu.best.output transcripts and best-slot checkpointing
+  (train_image_mt.py:366-426).
+- two-phase `train()`: MASS/MT step phase, then optimizer-schedule reset and
+  the back-translation fine-tune phase with language-direction flipping
+  (train_image_mt.py:500-548).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagetranslate_tpu.data.loader import MassBatcher, MTBatcher
+from imagetranslate_tpu.decoding.beam import beam_search, max_len_for, trim_outputs
+from imagetranslate_tpu.models.config import Seq2SeqConfig
+from imagetranslate_tpu.models.seq2seq import Seq2Seq
+from imagetranslate_tpu.models.transformer import pad_bias
+from imagetranslate_tpu.train.checkpoint import save_checkpoint
+from imagetranslate_tpu.train.optimizer import build_optimizer, reset_schedule
+from imagetranslate_tpu.train.step import (
+    TrainState,
+    create_train_state,
+    make_mass_train_step,
+    make_mt_train_step,
+    mass_batch_to_device,
+    mt_batch_to_device,
+    wrap_accum,
+)
+from imagetranslate_tpu.text.processor import TextProcessor
+
+
+class MTTrainer:
+    def __init__(self, cfg: Seq2SeqConfig, tp: TextProcessor,
+                 params=None, lr: float = 1e-4, warmup: int = 4000,
+                 clip: float = 1.0, accum: int = 1, mask_prob: float = 0.5,
+                 beam_width: int = 4, bt_beam_width: int = 1,
+                 max_len_a: float = 1.1, max_len_b: int = 5,
+                 len_penalty_ratio: float = 0.8, label_smoothing: float = 0.1,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.tp = tp
+        self.model = Seq2Seq(cfg)
+        self.rng = jax.random.PRNGKey(seed)
+        self.beam_width = beam_width
+        self.bt_beam_width = bt_beam_width
+        self.max_len_a = max_len_a
+        self.max_len_b = max_len_b
+        self.len_penalty_ratio = len_penalty_ratio
+        self.best_bleu = -1.0
+        self.reference: List[str] = []
+
+        if params is None:
+            self.rng, init_rng = jax.random.split(self.rng)
+            B, S = 2, 8
+            dummy = jnp.zeros((B, S), jnp.int32)
+            mask = jnp.ones((B, S), bool)
+            langs = jnp.zeros((B,), jnp.int32)
+            params = self.model.init(init_rng, dummy, mask, dummy, mask,
+                                     langs, langs)
+        self.optimizer = wrap_accum(
+            build_optimizer(lr=lr, warmup_updates=warmup, clip_norm=clip),
+            accum)
+        self.state = create_train_state(params, self.optimizer)
+        self.mt_step = make_mt_train_step(self.model, self.optimizer,
+                                          label_smoothing=label_smoothing)
+        self.mass_step = make_mass_train_step(
+            self.model, self.optimizer, cfg, mask_prob=mask_prob,
+            n_specials=len(tp.special_tokens),
+            mask_id=tp.mask_token_id(), label_smoothing=label_smoothing)
+
+    # ---------------- decoding helpers ----------------
+
+    def _decode_batch(self, src, src_mask, src_langs, first_tokens, tgt_langs,
+                      src_sizes, beam_width: int, max_len: Optional[int] = None):
+        enc = self.model.apply(self.state.params, jnp.asarray(src),
+                               jnp.asarray(src_mask), jnp.asarray(src_langs),
+                               method=Seq2Seq.encode)
+        L = max_len or max_len_for(src.shape[1], self.max_len_a,
+                                   self.max_len_b,
+                                   self.cfg.max_position_embeddings)
+        best, lengths = beam_search(
+            self.model, self.state.params, enc, jnp.asarray(src_mask),
+            jnp.asarray(first_tokens), jnp.asarray(tgt_langs),
+            jnp.asarray(src_sizes), beam_width=beam_width, max_len=L,
+            max_len_a=self.max_len_a, max_len_b=self.max_len_b,
+            len_penalty_ratio=self.len_penalty_ratio,
+            pad_id=self.tp.pad_token_id(), eos_id=self.tp.sep_token_id())
+        return best, lengths
+
+    # ---------------- train loops ----------------
+
+    def train_epoch(self, step: int, saving_path: str,
+                    mt_batcher: Optional[MTBatcher] = None,
+                    mass_batcher: Optional[MassBatcher] = None,
+                    dev_batcher: Optional[MTBatcher] = None,
+                    max_step: int = 300_000, fine_tune: bool = False,
+                    lang_directions: Optional[Dict[int, int]] = None,
+                    eval_every: int = 5000, save_every: int = 10_000,
+                    log_every: int = 50, epoch_seed: int = 0) -> int:
+        from imagetranslate_tpu.utils.metrics import StepMeter
+
+        meter = StepMeter(log_every=log_every)
+        streams = []
+        if mass_batcher is not None:
+            streams.append(("mass", mass_batcher.shuffled(epoch_seed)))
+        if mt_batcher is not None:
+            streams.append(("mt", mt_batcher.shuffled(epoch_seed)))
+        if not streams:
+            return step
+
+        while True:
+            batches = []
+            try:
+                for kind, it in streams:
+                    batches.append((kind, next(it)))
+            except StopIteration:
+                break
+            for kind, b in batches:
+                self.rng, step_rng = jax.random.split(self.rng)
+                if kind == "mt":
+                    batch = mt_batch_to_device(b)
+                    self.state, m = self.mt_step(self.state, batch, step_rng)
+                elif kind == "mass" and not fine_tune:
+                    batch = mass_batch_to_device(b)
+                    self.state, m = self.mass_step(self.state, batch, step_rng)
+                elif kind == "mass" and fine_tune:
+                    m = self._bt_step(b, lang_directions, step_rng)
+                    if m is None:
+                        continue
+                step += 1
+                meter.update(step, float(m["sum_loss"]), float(m["ntokens"]))
+                if dev_batcher is not None and step % eval_every == 0:
+                    bleu = self.eval_bleu(dev_batcher, saving_path)
+                    print(f"BLEU: {bleu:.2f}", flush=True)
+                if step % save_every == 0:
+                    self._save(saving_path + ".latest", step)
+                if step >= max_step:
+                    break
+            if step >= max_step:
+                break
+
+        print(f"Total loss in this epoch: {meter.epoch_loss():.4f}", flush=True)
+        self._save(saving_path + ".latest", step)
+        if dev_batcher is not None:
+            bleu = self.eval_bleu(dev_batcher, saving_path)
+            print(f"BLEU: {bleu:.2f}", flush=True)
+        return step
+
+    def _bt_step(self, b, lang_directions: Dict[int, int], rng):
+        """Back-translation: greedy/beam generate in the *reverse* direction
+        with frozen params, then train on translating back
+        (train_image_mt.py:108-201)."""
+        tp = self.tp
+        lang_tok_of_row = b.src[:, 0]
+        # Flip each row's language through lang_directions (token id -> token id).
+        flip = np.vectorize(lambda t: lang_directions.get(int(t), int(t)))
+        first_tokens = flip(lang_tok_of_row).astype(np.int32)
+        dst_lang_types = np.array(
+            [tp.languages.get(tp.id2token(int(t)), 0) for t in first_tokens],
+            np.int32)
+
+        best, lengths = self._decode_batch(
+            b.src, b.src_mask, b.langs, first_tokens, dst_lang_types,
+            b.lengths, beam_width=self.bt_beam_width)
+
+        # Build the synthetic parallel batch: translations -> original.
+        best = np.asarray(best)
+        lengths = np.asarray(lengths)
+        T = best.shape[1]
+        trans = np.full((best.shape[0], T + 1), tp.pad_token_id(), np.int32)
+        for i in range(best.shape[0]):
+            ln = int(lengths[i])
+            trans[i, :ln] = best[i, :ln]
+            if ln < T + 1:
+                trans[i, ln] = tp.sep_token_id()
+        trans_mask = trans != tp.pad_token_id()
+
+        batch = {
+            "src": jnp.asarray(trans), "src_mask": jnp.asarray(trans_mask),
+            "dst": jnp.asarray(b.src), "dst_mask": jnp.asarray(b.src_mask),
+            "src_langs": jnp.asarray(dst_lang_types),
+            "dst_langs": jnp.asarray(b.langs),
+            "row_mask": jnp.asarray(b.row_mask),
+        }
+        self.state, m = self.mt_step(self.state, batch, rng)
+        return m
+
+    # ---------------- evaluation ----------------
+
+    def eval_bleu(self, dev_batcher: MTBatcher, saving_path: str,
+                  save_opt: bool = False) -> float:
+        import sacrebleu
+
+        if not self.reference:
+            self._build_reference(dev_batcher)
+        mt_output: List[str] = []
+        src_text: List[str] = []
+        for b in dev_batcher:
+            n_real = int(b.row_mask.sum())
+            first_tokens = b.dst[:, 0]
+            best, lengths = self._decode_batch(
+                b.src, b.src_mask, b.src_langs, first_tokens, b.dst_langs,
+                b.src_sizes, beam_width=self.beam_width)
+            outs = trim_outputs(best, lengths, remove_first_token=True)
+            for i in range(n_real):
+                mt_output.append(self.tp.decode(outs[i]))
+                src_ids = [t for t in b.src[i].tolist()
+                           if t != self.tp.pad_token_id()][1:]
+                if src_ids and src_ids[-1] == self.tp.sep_token_id():
+                    src_ids = src_ids[:-1]
+                src_text.append(self.tp.decode(src_ids))
+
+        bleu = sacrebleu.corpus_bleu(mt_output,
+                                     [self.reference[:len(mt_output)]],
+                                     lowercase=True, tokenize="intl")
+        os.makedirs(saving_path, exist_ok=True)
+        transcript = "\n".join(
+            s + "\n" + o + "\n" + r + "\n\n***************\n"
+            for s, o, r in zip(src_text, mt_output,
+                               self.reference[:len(mt_output)]))
+        with open(os.path.join(saving_path, "bleu.output"), "w") as w:
+            w.write(transcript)
+        if bleu.score > self.best_bleu:
+            self.best_bleu = bleu.score
+            print(f"Saving best BLEU {self.best_bleu:.2f}", flush=True)
+            with open(os.path.join(saving_path, "bleu.best.output"), "w") as w:
+                w.write(transcript)
+            self._save(saving_path, step=int(self.state.step))
+        return bleu.score
+
+    def _build_reference(self, dev_batcher: MTBatcher):
+        self.reference = []
+        for b in dev_batcher:
+            n_real = int(b.row_mask.sum())
+            for i in range(n_real):
+                ids = [t for t in b.dst[i].tolist()
+                       if t != self.tp.pad_token_id()][1:]
+                if ids and ids[-1] == self.tp.sep_token_id():
+                    ids = ids[:-1]
+                self.reference.append(self.tp.decode(ids))
+
+    # ---------------- persistence / phases ----------------
+
+    def _save(self, path: str, step: int):
+        save_checkpoint(path, self.cfg, self.state.params,
+                        opt_state=self.state.opt_state, step=step,
+                        best_metric=self.best_bleu)
+
+    def reset_for_finetune(self):
+        """Phase 2 entry: restart the LR schedule (train_image_mt.py:511)."""
+        self.state = TrainState(params=self.state.params,
+                                opt_state=reset_schedule(self.state.opt_state),
+                                step=self.state.step)
+
+    @staticmethod
+    def lang_directions(bt_langs: List[str], tp: TextProcessor) -> Dict[int, int]:
+        """{lang_token_id: other_lang_token_id} for exactly two languages
+        (train_image_mt.py:535-548)."""
+        toks = [f"<{l}>" for l in bt_langs]
+        ids = sorted({tp.token_id(t) for t in toks})
+        assert len(ids) == 2, "back-translation needs exactly two languages"
+        return {ids[0]: ids[1], ids[1]: ids[0]}

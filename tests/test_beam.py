@@ -1,0 +1,97 @@
+"""Beam-search invariants (reference: seq_gen.py:27-242)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagetranslate_tpu.decoding.beam import beam_search, max_len_for, trim_outputs
+from imagetranslate_tpu.models.config import tiny_config
+from imagetranslate_tpu.models.seq2seq import Seq2Seq
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config(vocab_size=32)
+    model = Seq2Seq(cfg)
+    rng = jax.random.PRNGKey(0)
+    B, S, T = 2, 6, 5
+    src = jax.random.randint(rng, (B, S), 5, cfg.vocab_size)
+    src_mask = src != cfg.pad_id
+    langs = jnp.zeros((B,), jnp.int32)
+    tgt = jax.random.randint(rng, (B, T), 5, cfg.vocab_size)
+    params = model.init(rng, src, src_mask, tgt, jnp.ones_like(tgt, bool),
+                        langs, langs)
+    return cfg, model, params, src, src_mask, langs
+
+
+def run_beam(cfg, model, params, src, src_mask, langs, **kw):
+    enc = model.apply(params, src, src_mask, langs, method=Seq2Seq.encode)
+    first = jnp.full((src.shape[0],), 6, jnp.int32)
+    src_sizes = src_mask.sum(axis=1)
+    L = max_len_for(src.shape[1], 1.3, 5, cfg.max_position_embeddings)
+    return beam_search(model, params, enc, src_mask, first, langs,
+                       src_sizes, max_len=L, pad_id=cfg.pad_id,
+                       eos_id=cfg.eos_id, **kw)
+
+
+def test_beam_shapes_and_limits(setup):
+    cfg, model, params, src, src_mask, langs = setup
+    best, lengths = run_beam(cfg, model, params, src, src_mask, langs,
+                             beam_width=3)
+    B, L = best.shape
+    assert B == 2 and L == max_len_for(6, 1.3, 5, cfg.max_position_embeddings)
+    best = np.asarray(best)
+    lengths = np.asarray(lengths)
+    # First token is the language/first token.
+    assert (best[:, 0] == 6).all()
+    # Per-row limit: row lengths <= floor(1.3*src_size+5).
+    sizes = np.asarray(src_mask.sum(axis=1))
+    assert (lengths <= np.floor(1.3 * sizes + 5)).all()
+    # After the first EOS everything is pad.
+    for b in range(B):
+        row = best[b]
+        eos_pos = np.where(row == cfg.eos_id)[0]
+        if len(eos_pos):
+            assert (row[eos_pos[0] + 1:] == cfg.pad_id).all() or \
+                (row[eos_pos[0] + 1:] == cfg.eos_id).sum() == 0
+
+
+def test_greedy_matches_stepwise_argmax(setup):
+    """beam_width=1 must equal plain argmax decoding with the forward pass."""
+    cfg, model, params, src, src_mask, langs = setup
+    best, lengths = run_beam(cfg, model, params, src, src_mask, langs,
+                             beam_width=1)
+    best = np.asarray(best)
+    L = best.shape[1]
+
+    # Reference greedy: teacher-force the prefix through the full forward.
+    cur = np.full((2, L), cfg.pad_id, np.int64)
+    cur[:, 0] = 6
+    sizes = np.asarray(src_mask.sum(axis=1))
+    max_lens = np.minimum(np.floor(1.3 * sizes + 5).astype(int), L)
+    done = np.zeros(2, bool)
+    for i in range(1, L):
+        tgt = jnp.asarray(cur[:, :i + 1])
+        mask = jnp.ones_like(tgt, bool)
+        logits = model.apply(params, jnp.asarray(src), src_mask, tgt, mask,
+                             langs, langs)
+        nxt = np.asarray(jnp.argmax(logits[:, i - 1], axis=-1))
+        for b in range(2):
+            if done[b] or i + 1 > max_lens[b]:
+                cur[b, i] = cfg.pad_id
+            else:
+                cur[b, i] = nxt[b]
+                if nxt[b] == cfg.eos_id:
+                    done[b] = True
+    np.testing.assert_array_equal(best, cur)
+
+
+def test_trim_outputs():
+    best = jnp.array([[6, 9, 4, 0, 0], [6, 9, 9, 9, 9]])
+    lengths = jnp.array([2, 5])
+    out = trim_outputs(best, lengths)
+    assert out[0] == [6, 9]
+    assert out[1] == [6, 9, 9, 9, 9]
+    out2 = trim_outputs(best, lengths, remove_first_token=True)
+    assert out2[0] == [9]

@@ -1,0 +1,135 @@
+"""Tokenizer tests: round-trip, artifact IO, and bit-parity of the encode
+path against HF `tokenizers` (the library the reference uses,
+textprocessor.py:7) on artifacts trained by either side."""
+
+import os
+import tempfile
+
+import pytest
+
+from imagetranslate_tpu.text.bpe import BPE, metaspace_split, train_bpe
+from imagetranslate_tpu.text.processor import TextProcessor
+
+SAMPLE = os.path.join(os.path.dirname(__file__), "fixtures", "sample.txt")
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    p = d / "text.txt"
+    lines = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "how vexingly quick daft zebras jump",
+        "the five boxing wizards jump quickly",
+    ] * 50
+    p.write_text("\n".join(lines))
+    return str(p)
+
+
+def test_metaspace_split():
+    assert metaspace_split("hello world") == ["▁hello", "▁world"]
+    assert metaspace_split("a") == ["▁a"]
+
+
+def test_train_encode_decode_roundtrip(corpus):
+    bpe = train_bpe([corpus], vocab_size=200,
+                    special_tokens=["<pad>", "<s>", "<unk>", "<mask>", "</s>",
+                                    "<en>", "<fa>"])
+    assert bpe.token_to_id("<pad>") == 0
+    assert bpe.token_to_id("<en>") == 5
+    ids = bpe.encode("the quick brown fox")
+    assert len(ids) > 0
+    assert bpe.decode(ids) == "the quick brown fox"
+
+
+def test_save_load_identical(corpus, tmp_path):
+    bpe = train_bpe([corpus], vocab_size=200,
+                    special_tokens=["<pad>", "<s>", "<unk>", "<mask>", "</s>"])
+    bpe.save(str(tmp_path))
+    bpe2 = BPE.load(str(tmp_path))
+    text = "the quick brown fox jumps"
+    assert bpe.encode(text) == bpe2.encode(text)
+
+
+def test_unknown_chars_fuse_to_unk(corpus):
+    bpe = train_bpe([corpus], vocab_size=200,
+                    special_tokens=["<pad>", "<s>", "<unk>", "<mask>", "</s>"])
+    ids = bpe.encode("fox 世界 fox")  # CJK chars unseen in training
+    unk = bpe.token_to_id("<unk>")
+    assert ids.count(unk) == 1  # consecutive unknowns fuse
+
+
+def test_hf_parity_on_our_artifacts(corpus, tmp_path):
+    """Our encode must agree with HF tokenizers' SentencePiece-BPE when both
+    load the same vocab.json/merges.txt — this is the artifact-compatibility
+    contract that makes released reference models loadable."""
+    hf_tok = pytest.importorskip("tokenizers")
+    from tokenizers import SentencePieceBPETokenizer
+
+    bpe = train_bpe([corpus], vocab_size=220,
+                    special_tokens=["<pad>", "<s>", "<unk>", "<mask>", "</s>"])
+    bpe.save(str(tmp_path))
+    hf = SentencePieceBPETokenizer(str(tmp_path / "vocab.json"),
+                                   str(tmp_path / "merges.txt"))
+    for text in [
+        "the quick brown fox jumps over the lazy dog",
+        "zebras jump quickly over jugs",
+        "vexingly daft wizards",
+        "a b c d unseen tokens xyzzy",
+    ]:
+        assert bpe.encode(text) == hf.encode(text).ids, text
+
+
+def test_hf_parity_on_hf_artifacts(corpus, tmp_path):
+    """And the reverse: artifacts *trained by HF* (like the released models')
+    must encode identically through our engine."""
+    hf_tok = pytest.importorskip("tokenizers")
+    from tokenizers import SentencePieceBPETokenizer
+
+    hf = SentencePieceBPETokenizer()
+    hf.train(files=[corpus], vocab_size=220, min_frequency=5,
+             special_tokens=["<pad>", "<s>", "<unk>", "<mask>", "</s>"])
+    hf.save_model(str(tmp_path))
+    ours = BPE.load(str(tmp_path))
+    for text in [
+        "the quick brown fox jumps over the lazy dog",
+        "boxing wizards jump quickly",
+        "completely unseen wordage",
+    ]:
+        assert ours.encode(text) == hf.encode(text).ids, text
+
+
+def test_text_processor_sentence_layout(corpus, tmp_path):
+    tp = TextProcessor()
+    tp.train_tokenizer([corpus], vocab_size=220, to_save_dir=str(tmp_path),
+                       languages={"<en>": 0, "<fa>": 1})
+    tp2 = TextProcessor(str(tmp_path))
+    assert tp2.languages == {"<en>": 0, "<fa>": 1}
+    assert tp2.pad_token_id() == 0
+    ids = tp2.tokenize_one_sentence("<en> the quick fox </s>")
+    assert ids[0] == tp2.token_id("<en>")
+    assert ids[-1] == tp2.sep_token_id()
+    # decode round-trip of the middle
+    middle = ids[1:-1]
+    assert tp2.decode(middle) == "the quick fox"
+
+
+def test_split_tokenized_repeats_lang(corpus, tmp_path):
+    tp = TextProcessor()
+    tp.train_tokenizer([corpus], vocab_size=220, to_save_dir=str(tmp_path),
+                       languages={"<en>": 0})
+    lang = tp.token_id("<en>")
+    sep = tp.sep_token_id()
+    # Build a long "document": lang + 30x(3 tokens + sep)
+    body = []
+    for _ in range(30):
+        body += [10, 11, 12, sep]
+    doc = [lang] + body
+    chunks = tp.split_tokenized(doc, max_length=20)
+    assert all(len(c) <= 20 for c in chunks)
+    # Every chunk (except possibly ones from truncation) starts with the lang.
+    assert chunks[0][0] == lang
+    assert chunks[1][0] == lang
+    # Last chunk is padded to max_length.
+    assert len(chunks[-1]) == 20
