@@ -1,0 +1,115 @@
+"""Round-end benchmark. Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline metric: beam-4 decode throughput (output tokens/sec/chip) on the
+flagship BERT-base-sized MT model at the reference CLI's decode settings
+(beam 4, max_len = 1.3*l+5, penalty 0.8 — translate.py:20-29). This is the
+reference's own wall-clock hog (seq_gen.py re-encodes the prefix every step;
+SURVEY §6 north-star is >=5x its single-GPU decode throughput).
+
+vs_baseline compares against bench_baseline.json committed in the repo (our
+own first TPU measurement; the reference publishes no numbers — BASELINE.md).
+Also reports the training-step throughput as an extra field.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from imagetranslate_tpu.models.config import Seq2SeqConfig
+    from imagetranslate_tpu.models.seq2seq import Seq2Seq
+    from imagetranslate_tpu.decoding.beam import beam_search, max_len_for
+    from imagetranslate_tpu.train.optimizer import build_optimizer
+    from imagetranslate_tpu.train.step import (
+        create_train_state,
+        make_mt_train_step,
+    )
+
+    cfg = Seq2SeqConfig(vocab_size=32000, num_languages=2, dropout=0.1)
+    model = Seq2Seq(cfg)
+    rng = jax.random.PRNGKey(0)
+
+    B, S = 64, 64
+    src = jax.random.randint(rng, (B, S), 5, cfg.vocab_size)
+    src_mask = jnp.ones((B, S), bool)
+    langs = jnp.zeros((B,), jnp.int32)
+    dst = jax.random.randint(rng, (B, S), 5, cfg.vocab_size)
+    params = model.init(rng, src, src_mask, dst, jnp.ones((B, S), bool),
+                        langs, langs)
+
+    # ---- beam-4 decode throughput ----
+    L = max_len_for(S, 1.3, 5, cfg.max_position_embeddings)  # 88
+    src_sizes = jnp.full((B,), S, jnp.int32)
+    first = jnp.full((B,), 6, jnp.int32)
+
+    # eos_id outside the vocab: a random-init model emits EOS almost
+    # immediately, which would measure early termination instead of decode
+    # throughput. Full-length decode = worst case = honest tokens/sec.
+    def run_decode():
+        enc = model.apply(params, src, src_mask, langs, method=Seq2Seq.encode)
+        best, lengths = beam_search(
+            model, params, enc, src_mask, first, langs, src_sizes,
+            beam_width=4, max_len=L, len_penalty_ratio=0.8,
+            pad_id=cfg.pad_id, eos_id=-1)
+        return best, lengths
+
+    best, lengths = run_decode()  # compile
+    jax.block_until_ready(best)
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        best, lengths = run_decode()
+    jax.block_until_ready(best)
+    dt = (time.perf_counter() - t0) / iters
+    out_tokens = float(jnp.sum(lengths))  # == B * per-row max len here
+    decode_tps = out_tokens / dt
+
+    # ---- train step throughput ----
+    optimizer = build_optimizer(lr=1e-4)
+    state = create_train_state(params, optimizer)
+    step_fn = make_mt_train_step(model, optimizer, donate=False)
+    batch = {
+        "src": src, "src_mask": src_mask, "dst": dst,
+        "dst_mask": jnp.ones((B, S), bool),
+        "src_langs": langs, "dst_langs": langs,
+        "row_mask": jnp.ones((B,), bool),
+    }
+    state, m = step_fn(state, batch, rng)  # compile
+    jax.block_until_ready(m["sum_loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step_fn(state, batch, rng)
+    jax.block_until_ready(m["sum_loss"])
+    train_dt = (time.perf_counter() - t0) / iters
+    train_tps = float(m["ntokens"]) / train_dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline.json")
+    vs = 1.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs = decode_tps / float(base["value"])
+
+    print(json.dumps({
+        "metric": "beam4_decode_tokens_per_sec_per_chip",
+        "value": round(decode_tps, 1),
+        "unit": "tokens/sec",
+        "vs_baseline": round(vs, 3),
+        "train_tokens_per_sec": round(train_tps, 1),
+        "decode_batch": B, "decode_src_len": S, "decode_max_len": L,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

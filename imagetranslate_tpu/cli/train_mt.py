@@ -1,0 +1,189 @@
+"""MT / MASS / back-translation training CLI (reference: train_image_mt.py
+__main__ + option_parser.py:37-88, text-only paths; the image streams hang
+off cli/train_captioning.py).
+
+Recipes (README.md:127-227 parity):
+- MASS pretrain:   --tok T --model M --mass_train pfx1,pfx2 --step N --langs a,b
+- UMT fine-tune:   ... --fstep N (back-translation phase after --step)
+- supervised MT:   --tok T --model M --train_mt f.mt --dev_mt d.mt --step N
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("train_mt")
+    p.add_argument("--tok", dest="tokenizer_path", required=True)
+    p.add_argument("--model", dest="model_path", required=True)
+    p.add_argument("--pretrained", dest="pretrained_path", default=None)
+    p.add_argument("--epoch", dest="num_epochs", type=int, default=100)
+    p.add_argument("--clip", type=float, default=1.0)
+    p.add_argument("--batch", type=int, default=20000)
+    p.add_argument("--mask", dest="mask_prob", type=float, default=0.5)
+    p.add_argument("--lr", dest="learning_rate", type=float, default=0.0001)
+    p.add_argument("--warmup", type=int, default=12500)
+    p.add_argument("--step", type=int, default=125000)
+    p.add_argument("--fstep", dest="finetune_step", type=int, default=0)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--enc", dest="encoder_layer", type=int, default=6)
+    p.add_argument("--dec", dest="decoder_layer", type=int, default=6)
+    p.add_argument("--embed", dest="embed_dim", type=int, default=768)
+    p.add_argument("--intermediate", dest="intermediate_layer_dim", type=int,
+                   default=3072)
+    p.add_argument("--capacity", dest="total_capacity", type=int, default=600)
+    p.add_argument("--beam", dest="beam_width", type=int, default=5)
+    p.add_argument("--bt-beam", dest="bt_beam_width", type=int, default=1)
+    p.add_argument("--max_len_a", type=float, default=1.3)
+    p.add_argument("--max_len_b", type=int, default=5)
+    p.add_argument("--len-penalty", dest="len_penalty_ratio", type=float,
+                   default=0.8)
+    p.add_argument("--max_seq_len", type=int, default=175)
+    p.add_argument("--ldec", dest="lang_decoder", action="store_true")
+    p.add_argument("--nll", dest="nll_loss", action="store_true")
+    p.add_argument("--tie", dest="tie_embed", action="store_true")
+    p.add_argument("--dev_mt", dest="mt_dev_path", default=None)
+    p.add_argument("--train_mt", dest="mt_train_path", default=None)
+    p.add_argument("--mass_train", dest="mass_train_path", default=None)
+    p.add_argument("--langs", dest="bt_langs", default="")
+    p.add_argument("--acc", dest="accum", type=int, default=1)
+    p.add_argument("--save-opt", dest="save_opt", action="store_true")
+    p.add_argument("--cont", dest="continue_train", action="store_true")
+    p.add_argument("--eval-every", type=int, default=5000)
+    p.add_argument("--save-every", type=int, default=10000)
+    p.add_argument("--dtype", default="bfloat16")
+    return p
+
+
+def main(argv=None):
+    options = get_parser().parse_args(argv)
+
+    from imagetranslate_tpu.data.binarize import load_mass, load_mt
+    from imagetranslate_tpu.data.loader import MassBatcher, MTBatcher
+    from imagetranslate_tpu.models.config import Seq2SeqConfig
+    from imagetranslate_tpu.text.processor import TextProcessor
+    from imagetranslate_tpu.train.trainer_mt import MTTrainer
+
+    tp = TextProcessor(options.tokenizer_path)
+    assert tp.pad_token_id() == 0
+
+    if options.pretrained_path is not None:
+        from imagetranslate_tpu.train.checkpoint import load_config
+
+        cfg = load_config(options.pretrained_path)
+    else:
+        cfg = Seq2SeqConfig(
+            vocab_size=tp.vocab_size(),
+            num_languages=max(1, len(tp.languages)),
+            hidden_size=options.embed_dim,
+            intermediate_size=options.intermediate_layer_dim,
+            enc_layers=options.encoder_layer,
+            dec_layers=options.decoder_layer,
+            dropout=options.dropout,
+            attention_dropout=options.dropout,
+            lang_dec=options.lang_decoder,
+            tie_embed=options.tie_embed,
+            dtype=options.dtype,
+        )
+
+    trainer = MTTrainer(
+        cfg, tp, lr=options.learning_rate, warmup=options.warmup,
+        clip=options.clip, accum=options.accum, mask_prob=options.mask_prob,
+        beam_width=options.beam_width, bt_beam_width=options.bt_beam_width,
+        max_len_a=options.max_len_a, max_len_b=options.max_len_b,
+        len_penalty_ratio=options.len_penalty_ratio,
+        label_smoothing=0.0 if options.nll_loss else 0.1)
+
+    if options.pretrained_path is not None:
+        from imagetranslate_tpu.train.checkpoint import load_checkpoint
+        from imagetranslate_tpu.train.step import create_train_state
+
+        params, opt_state, meta = load_checkpoint(
+            options.pretrained_path, trainer.state.params,
+            trainer.state.opt_state if options.continue_train else None)
+        state = create_train_state(params, trainer.optimizer)
+        if opt_state is not None:
+            state = state.replace(opt_state=opt_state)
+        trainer.state = state
+        print(f"Restored pretrained model (step {meta.get('step', 0)})")
+
+    pad = tp.pad_token_id()
+    mt_batcher = None
+    if options.mt_train_path is not None:
+        examples = []
+        for path in options.mt_train_path.split(","):
+            examples.extend(load_mt(path))
+        mt_batcher = MTBatcher(examples, pad_id=pad, max_batch=options.batch // 2,
+                               capacity_mb=options.total_capacity // 2,
+                               max_seq_len=options.max_seq_len)
+        print(f"MT train batches: {len(mt_batcher)}")
+
+    mass_batcher = None
+    if options.mass_train_path is not None:
+        examples = []
+        for pfx in options.mass_train_path.split(","):
+            examples.extend(load_mass(pfx))
+        mass_batcher = MassBatcher(examples, pad_id=pad,
+                                   max_batch=options.batch,
+                                   capacity_mb=options.total_capacity,
+                                   max_seq_len=options.max_seq_len)
+        print(f"MASS train batches: {len(mass_batcher)}")
+
+    dev_batcher = None
+    if options.mt_dev_path is not None:
+        examples = []
+        for path in options.mt_dev_path.split(","):
+            examples.extend(load_mt(path))
+        dev_batcher = MTBatcher(
+            examples, pad_id=pad,
+            max_batch=int(options.batch / (options.beam_width * 2)),
+            capacity_mb=options.total_capacity,
+            max_seq_len=options.max_seq_len)
+        print(f"MT dev batches: {len(dev_batcher)}")
+
+    os.makedirs(options.model_path, exist_ok=True)
+    step, epoch = 0, 0
+    while options.step > 0 and step < options.step:
+        print(f"train epoch {epoch}")
+        step = trainer.train_epoch(
+            step, options.model_path, mt_batcher=mt_batcher,
+            mass_batcher=mass_batcher, dev_batcher=dev_batcher,
+            max_step=options.step, eval_every=options.eval_every,
+            save_every=options.save_every, epoch_seed=epoch)
+        epoch += 1
+
+    if options.finetune_step > 0:
+        trainer.reset_for_finetune()
+        lang_directions = MTTrainer.lang_directions(
+            options.bt_langs.strip().split(","), tp)
+        print("lang dirs", lang_directions)
+        fepoch = 0
+        # Reference halves batch budgets for the BT phase
+        # (train_image_mt.py:594-605: capacity / max(2, bt_beam)).
+        if mass_batcher is not None:
+            denom = max(2, options.bt_beam_width)
+            examples = []
+            for pfx in options.mass_train_path.split(","):
+                examples.extend(load_mass(pfx))
+            mass_batcher = MassBatcher(examples, pad_id=pad,
+                                       max_batch=options.batch // denom,
+                                       capacity_mb=options.total_capacity // denom,
+                                       max_seq_len=options.max_seq_len)
+        while step < options.finetune_step + options.step:
+            print(f"finetune epoch {fepoch}")
+            step = trainer.train_epoch(
+                step, options.model_path, mt_batcher=mt_batcher,
+                mass_batcher=mass_batcher, dev_batcher=dev_batcher,
+                max_step=options.finetune_step + options.step,
+                fine_tune=True, lang_directions=lang_directions,
+                eval_every=options.eval_every, save_every=options.save_every,
+                epoch_seed=1000 + fepoch)
+            fepoch += 1
+
+    print("Finished Training!")
+
+
+if __name__ == "__main__":
+    main()

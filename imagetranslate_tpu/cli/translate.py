@@ -1,0 +1,134 @@
+"""Batch translation CLI — flag and output parity with the reference's
+translate.py (translate.py:14-123): same flags/defaults (--beam 4,
+--max_len_a 1.3, --max_len_b 5, --len-penalty 0.8, --batch 4000,
+--capacity 600), same output contract (one translation per input line, in
+input order; `--verbose` writes "output ||| input").
+
+Usage:
+    python -m imagetranslate_tpu.cli.translate --tok TOKDIR --model CKPTDIR \
+        --input in.txt --output out.txt --src en --target fa [--verbose]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("translate")
+    p.add_argument("--input", dest="input_path", default=None)
+    p.add_argument("--src", dest="src_lang", default=None)
+    p.add_argument("--target", dest="target_lang", default=None)
+    p.add_argument("--output", dest="output_path", default=None)
+    p.add_argument("--batch", dest="batch", type=int, default=4000)
+    p.add_argument("--tok", dest="tokenizer_path", default=None)
+    p.add_argument("--model", dest="model_path", default=None)
+    p.add_argument("--verbose", action="store_true", default=False)
+    p.add_argument("--beam", dest="beam_width", type=int, default=4)
+    p.add_argument("--max_len_a", type=float, default=1.3)
+    p.add_argument("--max_len_b", type=int, default=5)
+    p.add_argument("--len-penalty", dest="len_penalty_ratio", type=float,
+                   default=0.8)
+    p.add_argument("--capacity", dest="total_capacity", type=int, default=600)
+    return p
+
+
+def build_model(options):
+    from imagetranslate_tpu.models.seq2seq import Seq2Seq
+    from imagetranslate_tpu.text.processor import TextProcessor
+    from imagetranslate_tpu.train.checkpoint import load_checkpoint, load_config
+
+    tp = TextProcessor(options.tokenizer_path)
+    cfg = load_config(options.model_path)
+    model = Seq2Seq(cfg)
+    B, S = 2, 8
+    dummy = jnp.zeros((B, S), jnp.int32)
+    mask = jnp.ones((B, S), bool)
+    langs = jnp.zeros((B,), jnp.int32)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), dummy, mask, dummy, mask,
+                           langs, langs))
+    template = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), template)
+    params, _, _ = load_checkpoint(options.model_path, template)
+    return model, cfg, params, tp
+
+
+def build_batches(options, tp):
+    from imagetranslate_tpu.data.loader import MTBatcher
+
+    src_lang_tok = f"<{options.src_lang}>"
+    dst_lang_tok = f"<{options.target_lang}>"
+    src_lang_type = tp.languages[src_lang_tok]
+    dst_lang_type = tp.languages[dst_lang_tok]
+    fixed_output = [tp.token_id(dst_lang_tok)]
+    examples = []
+    with open(options.input_path) as s_fp:
+        for src_line in s_fp:
+            if not src_line.strip():
+                continue
+            line = " ".join([src_lang_tok, src_line.strip(), "</s>"])
+            ids = tp.tokenize_one_sentence(line)
+            examples.append((ids, fixed_output, src_lang_type, dst_lang_type))
+    return MTBatcher(examples, pad_id=tp.pad_token_id(),
+                     max_batch=options.batch,
+                     capacity_mb=options.total_capacity, max_seq_len=10000)
+
+
+def translate_batches(model, cfg, params, tp, batcher, options,
+                      writer=sys.stdout):
+    from imagetranslate_tpu.decoding.beam import (
+        beam_search,
+        max_len_for,
+        trim_outputs,
+    )
+    from imagetranslate_tpu.models.seq2seq import Seq2Seq
+
+    sen_count = 0
+    for b in batcher:
+        n_real = int(b.row_mask.sum())
+        enc = model.apply(params, jnp.asarray(b.src), jnp.asarray(b.src_mask),
+                          jnp.asarray(b.src_langs), method=Seq2Seq.encode)
+        L = max_len_for(b.src.shape[1], options.max_len_a, options.max_len_b,
+                        cfg.max_position_embeddings)
+        best, lengths = beam_search(
+            model, params, enc, jnp.asarray(b.src_mask),
+            jnp.asarray(b.dst[:, 0]), jnp.asarray(b.dst_langs),
+            jnp.asarray(b.src_sizes), beam_width=options.beam_width,
+            max_len=L, max_len_a=options.max_len_a,
+            max_len_b=options.max_len_b,
+            len_penalty_ratio=options.len_penalty_ratio,
+            pad_id=tp.pad_token_id(), eos_id=tp.sep_token_id())
+        outs = trim_outputs(best, lengths, remove_first_token=True)
+        lines = []
+        for i in range(n_real):
+            hyp = tp.decode(outs[i])
+            if options.verbose:
+                src_ids = [t for t in b.src[i].tolist()
+                           if t != tp.pad_token_id()][1:]
+                if src_ids and src_ids[-1] == tp.sep_token_id():
+                    src_ids = src_ids[:-1]
+                lines.append(hyp + " ||| " + tp.decode(src_ids))
+            else:
+                lines.append(hyp)
+        writer.write("\n".join(lines) + "\n")
+        sen_count += n_real
+        print(f"Translated {sen_count} sentences", end="\r", file=sys.stderr)
+    print(f"\nTranslated {sen_count} sentences", file=sys.stderr)
+
+
+def main(argv=None):
+    options = get_parser().parse_args(argv)
+    model, cfg, params, tp = build_model(options)
+    batcher = build_batches(options, tp)
+    with open(options.output_path, "w") as writer:
+        translate_batches(model, cfg, params, tp, batcher, options, writer)
+    print("Done!", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""Host-side image pipeline + caption batching (reference: dataset.py:278-476).
+
+Transforms match the reference exactly (dataset.py:283-289): Resize(256) ->
+CenterCrop(224) -> ToTensor -> ImageNet-Normalize; corrupted files become a
+black 224x224 RGB (dataset.py:371-374); `.png` entries are skipped
+(dataset.py:309). Output is NHWC float32 (TPU conv layout) instead of NCHW.
+
+Caption batches keep the reference's budgets — `max_img_per_batch` and the
+cubic capacity 2*maxlen^3*n (dataset.py:320-322) — but pad to bucketed fixed
+shapes like the text loaders. Images decode lazily per batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import marshal
+import random
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from imagetranslate_tpu.data.loader import bucket_len
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def load_image(path: str, size: int = 224) -> np.ndarray:
+    """Decode/resize/crop/normalize one image -> [size, size, 3] float32."""
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            img = im.convert("RGB")
+            w, h = img.size
+            scale = 256 / min(w, h)
+            img = img.resize((max(1, round(w * scale)),
+                              max(1, round(h * scale))), Image.BILINEAR)
+            w, h = img.size
+            left, top = (w - size) // 2, (h - size) // 2
+            img = img.crop((left, top, left + size, top + size))
+            arr = np.asarray(img, np.float32) / 255.0
+    except Exception:
+        print(f"Corrupted image {path}")
+        arr = np.zeros((size, size, 3), np.float32)
+    return (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+
+@dataclasses.dataclass
+class CaptionBatch:
+    image_paths: List[str]       # per real row
+    captions: np.ndarray         # [N, T]
+    caption_mask: np.ndarray     # [N, T]
+    langs: np.ndarray            # [N] language type id
+    lengths: np.ndarray          # [N] first-pad index
+    row_mask: np.ndarray         # [N]
+
+    def images(self, root_dir: str = "") -> np.ndarray:
+        import os
+
+        paths = list(self.image_paths)
+        # Dummy rows reuse image 0 (their loss weight is zero).
+        while len(paths) < self.captions.shape[0]:
+            paths.append(paths[0])
+        return np.stack([load_image(os.path.join(root_dir, p))
+                         for p in paths])
+
+
+class CaptionBatcher:
+    """Reads the reference caption binary format — marshal of
+    (unique_images {id: path}, [(image_id, caption_ids), ...]) — and forms
+    bucketed fixed-shape batches (reference ImageCaptionDataset,
+    dataset.py:278-359)."""
+
+    def __init__(self, data_bin_file: str, tp, max_capacity_mb: int = 50,
+                 max_img_per_batch: int = 32, bucket_step: int = 16):
+        self.pad_id = tp.pad_token_id()
+        with open(data_bin_file, "rb") as fp:
+            self.unique_images, captions = marshal.load(fp)
+        lang_token = tp.id2token(captions[0][1][0])
+        self.lang = tp.languages.get(lang_token, 0)
+        self.all_captions = []
+        self.batches: List[CaptionBatch] = []
+
+        cur: List[Tuple[int, list]] = []
+        cur_t = 0
+        cap = max_capacity_mb * 1_000_000
+
+        def flush():
+            nonlocal cur, cur_t
+            if not cur:
+                return
+            self.batches.append(self._pack(cur, cur_t))
+            cur, cur_t = [], 0
+
+        for image_id, caption in captions:
+            if self.unique_images[image_id].lower().endswith(".png"):
+                continue
+            self.all_captions.append(list(caption))
+            t = bucket_len(len(caption), bucket_step)
+            nt = max(cur_t, t)
+            too_big = (len(cur) + 1 > max_img_per_batch or
+                       2 * (nt ** 3) * (len(cur) + 1) > cap)
+            if cur and (nt != cur_t or too_big):
+                flush()
+                nt = t
+            cur.append((image_id, list(caption)))
+            cur_t = nt
+        flush()
+
+    def _pack(self, rows, t) -> CaptionBatch:
+        n = len(rows)
+        caps = np.full((n, t), self.pad_id, np.int32)
+        lengths = np.ones((n,), np.int32)
+        paths = []
+        for i, (img_id, ids) in enumerate(rows):
+            ids = ids[:t]
+            caps[i, :len(ids)] = ids
+            lengths[i] = len(ids)
+            paths.append(self.unique_images[img_id])
+        return CaptionBatch(paths, caps, caps != self.pad_id,
+                            np.full((n,), self.lang, np.int32), lengths,
+                            np.ones((n,), bool))
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self) -> Iterator[CaptionBatch]:
+        return iter(self.batches)
+
+    def shuffled(self, seed: int) -> Iterator[CaptionBatch]:
+        order = list(range(len(self.batches)))
+        random.Random(seed).shuffle(order)
+        for i in order:
+            yield self.batches[i]
+
+    def sample_negatives(self, batch_size: int, seed: int) -> np.ndarray:
+        """>=30 random negative captions, padded (dataset.py:385-398)."""
+        k = min(len(self.all_captions), max(30, batch_size))
+        rng = random.Random(seed)
+        samples = rng.sample(self.all_captions, k)
+        t = max(len(s) for s in samples)
+        out = np.full((k, t), self.pad_id, np.int32)
+        for i, s in enumerate(samples):
+            out[i, :len(s)] = s
+        return out
+
+
+@dataclasses.dataclass
+class CaptionEvalGroup:
+    image_path: str
+    image_id: int
+    first_token: int
+    references: List[List[int]]   # tokenized refs incl. lang token + eos
+
+
+class CaptionEvalSet:
+    """Dedup images, collect multi-reference captions, expose max_len =
+    longest ref + 10 (reference ImageCaptionTestDataset, dataset.py:401-423)."""
+
+    def __init__(self, data_bin_file: str, tp):
+        with open(data_bin_file, "rb") as fp:
+            unique_images, captions = marshal.load(fp)
+        lang_token = tp.id2token(captions[0][1][0])
+        self.lang = tp.languages.get(lang_token, 0)
+        groups: Dict[int, CaptionEvalGroup] = {}
+        self.max_len = 0
+        for image_id, caption in captions:
+            if unique_images[image_id].lower().endswith(".png"):
+                continue
+            if image_id not in groups:
+                groups[image_id] = CaptionEvalGroup(
+                    unique_images[image_id], image_id, int(caption[0]), [])
+            groups[image_id].references.append(list(caption))
+            self.max_len = max(self.max_len, len(caption))
+        self.max_len += 10
+        self.groups = list(groups.values())
+
+    def batches(self, max_img_per_batch: int = 16):
+        for i in range(0, len(self.groups), max_img_per_batch):
+            yield self.groups[i:i + max_img_per_batch]
+
+
+class ImageFolderBatcher:
+    """Folder of jpgs -> fixed-size image batches for the caption CLI
+    (reference ImageDataset, dataset.py:426-476; skips .png)."""
+
+    def __init__(self, root_img_dir: str, max_img_per_batch: int,
+                 target_lang: int, first_token: int):
+        import os
+
+        self.target_lang = target_lang
+        self.first_token = first_token
+        paths = [os.path.join(root_img_dir, p)
+                 for p in sorted(os.listdir(root_img_dir))
+                 if not p.lower().endswith(".png")]
+        self.batches = [paths[i:i + max_img_per_batch]
+                        for i in range(0, len(paths), max_img_per_batch)]
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        for paths in self.batches:
+            images = np.stack([load_image(p) for p in paths])
+            yield {
+                "paths": paths,
+                "images": images,
+                "first_tokens": np.full((len(paths),), self.first_token,
+                                        np.int32),
+                "tgt_langs": np.full((len(paths),), self.target_lang,
+                                     np.int32),
+            }

@@ -138,6 +138,66 @@ class MTBatcher:
             yield self.batches[i]
 
 
+class DocBlockDataset:
+    """Block-cached random access over create_batches output (reference
+    TextDataset, dataset.py:30-70): `N.pkl` marshal blocks + info.txt header
+    "block_size\\tline_num\\tfile_count". Rows are fixed seq_len vectors, so
+    batches are trivially fixed-shape."""
+
+    def __init__(self, cache_dir: str, max_cache_size: int = 100,
+                 load_all: bool = False):
+        import marshal
+        import os
+
+        self.cache_dir = cache_dir
+        self.max_cache_size = max_cache_size
+        self._marshal = marshal
+        self._os = os
+        with open(os.path.join(cache_dir, "info.txt")) as fr:
+            spl = fr.read().strip().split("\t")
+            self.sentence_block_size = int(spl[0])
+            self.line_num = int(spl[1])
+            self.file_count = int(spl[2])
+        self.cache: Dict[int, list] = {}
+        if load_all:
+            self._fill(0, self.file_count)
+
+    def _fill(self, start: int, end: int):
+        self.cache = {}
+        for n in range(start, min(end, self.file_count)):
+            with open(self._os.path.join(self.cache_dir, f"{n}.pkl"),
+                      "rb") as fp:
+                self.cache[n] = self._marshal.load(fp)
+
+    def __len__(self):
+        return self.line_num
+
+    def __getitem__(self, item: int):
+        file_num = item // self.sentence_block_size
+        if file_num not in self.cache:
+            self._fill(file_num, file_num + self.max_cache_size)
+        return self.cache[file_num][item % self.sentence_block_size]
+
+    def batches(self, batch_rows: int, pad_id: int = 0, lang_of=None):
+        """Fixed-shape [batch_rows, seq_len] batches; the trailing partial
+        batch pads with replicated rows masked out via row_mask. lang_of:
+        fn(row_ids) -> language type id (default 0)."""
+        n = len(self)
+        for start in range(0, n, batch_rows):
+            rows = [self[i] for i in range(start, min(n, start + batch_rows))]
+            real = len(rows)
+            while len(rows) < batch_rows:
+                rows.append(rows[0])
+            texts = np.asarray(rows, np.int32)
+            langs = np.zeros((batch_rows,), np.int32)
+            if lang_of is not None:
+                langs = np.array([lang_of(r) for r in rows], np.int32)
+            row_mask = np.zeros((batch_rows,), bool)
+            row_mask[:real] = True
+            yield {"texts": texts, "pad_mask": texts != pad_id,
+                   "langs": langs, "row_mask": row_mask}
+
+
 @dataclasses.dataclass
 class MassBatch:
     src: np.ndarray        # [N, S]

@@ -51,6 +51,22 @@ class BeamState(NamedTuple):
     cache: Any                # decoder cache, leaves lead with B*K
 
 
+def _split_cache(cache):
+    """Split the decode cache into (dynamic, static) parts. The per-layer
+    encoder K/V ("ek"/"ev") never change during decoding and are identical
+    across the beams of a row, so they must not be re-gathered every step —
+    that alone moves ~hundreds of MB/step at production sizes."""
+    dyn = {layer: {k: v for k, v in entries.items() if k in ("k", "v")}
+           for layer, entries in cache.items()}
+    static = {layer: {k: v for k, v in entries.items() if k not in ("k", "v")}
+              for layer, entries in cache.items()}
+    return dyn, static
+
+
+def _merge_cache(dyn, static):
+    return {layer: {**static[layer], **dyn[layer]} for layer in dyn}
+
+
 def _gather_beams(tree, beam_idx, batch: int, k: int):
     """Reorder cache leaves [B*K, ...] by beam_idx [B, K]."""
     flat_idx = (jnp.arange(batch)[:, None] * k + beam_idx).reshape(-1)
@@ -109,7 +125,10 @@ def beam_search(
     langs_k = jnp.repeat(tgt_langs, K, axis=0)
 
     cache = model.apply(params, enc_k, B * K, L, lang_idx,
-                        method=Seq2Seq.init_cache)
+                        method=type(model).init_cache)
+    # Loop state carries only the self-attn K/V buffers; the projected
+    # encoder K/V never change and stay out of the per-step beam gather.
+    dyn_cache, static_cache = _split_cache(cache)
 
     tokens = jnp.full((B, K, L), pad_id, jnp.int32)
     tokens = tokens.at[:, :, 0].set(first_tokens[:, None])
@@ -130,26 +149,39 @@ def beam_search(
         prev = jax.lax.dynamic_slice_in_dim(st.tokens, i - 1, 1, axis=2)
         prev = prev.reshape(B * K, 1)
         logits, new_cache = model.apply(
-            params, prev, st.cache, i - 1, cross_bias, langs_k, lang_idx,
-            method=Seq2Seq.decode_step)
+            params, prev, _merge_cache(st.cache, static_cache), i - 1,
+            cross_bias, langs_k, lang_idx, method=type(model).decode_step)
+        new_cache, _ = _split_cache(new_cache)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        logp = logp.reshape(B, K, V)
+
+        # Two-stage selection: per-beam top-K over the vocab first (cheap),
+        # then top-K over the K*K surviving candidates. Only the K best
+        # continuations of a beam can enter the next beam set, so this is
+        # exactly equivalent to the reference's topk over beam*vocab
+        # (seq_gen.py:203) at a fraction of the TopK cost.
+        top_logp, top_word = jax.lax.top_k(logp, K)       # [B*K, K]
+        top_logp = top_logp.reshape(B, K, K)
+        top_word = top_word.reshape(B, K, K).astype(jnp.int32)
 
         row_done = (max_lens < i + 1)[:, None]            # [B, 1]
         frozen = st.finished | row_done                    # [B, K]
 
-        # Live beams: add logp. Frozen beams: single pad continuation at
-        # unchanged (then re-penalized) score.
-        cand = st.scores[:, :, None] + jnp.where(frozen[:, :, None], 0.0, logp)
-        frozen_mask = frozen[:, :, None] & (jnp.arange(V)[None, None, :] != pad_id)
-        cand = jnp.where(frozen_mask, NEG, cand)
+        # Frozen beams contribute one pad continuation at unchanged (then
+        # re-penalized) score; their other slots are dead.
+        slot0 = jnp.arange(K)[None, None, :] == 0
+        cand_logp = jnp.where(frozen[:, :, None],
+                              jnp.where(slot0, 0.0, NEG), top_logp)
+        cand_word = jnp.where(frozen[:, :, None], pad_id, top_word)
+
+        cand = st.scores[:, :, None] + cand_logp
         if K > 1:
             cand = cand / penalty(st.sizes)[:, :, None]
 
-        flat = cand.reshape(B, K * V)
+        flat = cand.reshape(B, K * K)
         top_scores, top_idx = jax.lax.top_k(flat, K)
-        beam_idx = top_idx // V
-        word = (top_idx % V).astype(jnp.int32)
+        beam_idx = top_idx // K
+        word = jnp.take_along_axis(cand_word.reshape(B, K * K), top_idx,
+                                   axis=1)
 
         # Gather parent beams, then append the word.
         parent_tokens = jnp.take_along_axis(st.tokens, beam_idx[:, :, None], axis=1)
@@ -170,7 +202,7 @@ def beam_search(
         scores=scores,
         sizes=jnp.zeros((B, K), jnp.float32),
         finished=jnp.zeros((B, K), jnp.bool_),
-        cache=cache,
+        cache=dyn_cache,
     )
     final = jax.lax.while_loop(cond, body, init)
 

@@ -1,0 +1,190 @@
+"""Image captioning / multimodal MASS models (reference: image_model.py).
+
+Composition instead of the reference's 3-level inheritance chain
+(Seq2Seq -> MassSeq2Seq -> ImageMassSeq2Seq -> ImageCaptioning): one module
+holds the text `core` (Seq2Seq) plus the ResNet grid encoder and the learned
+sigmoid blend gates. The text param subtree lives under params['core'], so
+grafting a pretrained MT model into a captioner is a pytree assignment
+(the reference swaps module objects, train_captioning.py:214-220).
+
+Covered reference behaviors:
+- caption decoding over the 49-slot image grid, no encoder pad mask
+  (ImageCaptioning.forward, image_model.py:311-377; object stream is gated
+  off by default like the released `--no-obj` recipes, README.md:259)
+- multimodal MASS: decode the masked span twice — against the text encoder
+  and against the image grid — blended with sigmoid(multimodal_attention_gate)
+  (ImageMassSeq2Seq.forward, image_model.py:206-219)
+- image-text contrastive: attention-pooled, L2-normalized sentence and image
+  vectors, InfoNCE against in-batch + sampled negatives
+  (image_model.py:231-264)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from imagetranslate_tpu.models.config import Seq2SeqConfig
+from imagetranslate_tpu.models.resnet import ResNetGrid
+from imagetranslate_tpu.models.seq2seq import AttentionPool, Seq2Seq, expand_langs
+from imagetranslate_tpu.models.transformer import causal_pad_bias, pad_bias
+
+
+class ImageSeq2Seq(nn.Module):
+    cfg: Seq2SeqConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.core = Seq2Seq(cfg)
+        self.image_model = ResNetGrid(embed_dim=cfg.hidden_size,
+                                      depth=cfg.resnet_depth,
+                                      dropout=cfg.dropout,
+                                      dtype=cfg.compute_dtype)
+        self.multimodal_attention_gate = self.param(
+            "multimodal_attention_gate", nn.initializers.constant(0.1),
+            (1, cfg.hidden_size))
+        # Contrastive pooling heads (image_model.py:142-143).
+        self.image_attention = AttentionPool(cfg)
+        self.encoder_attention = AttentionPool(cfg)
+
+    def init_everything(self, images, captions, caption_mask, langs):
+        """Initialization entry point that touches EVERY submodule (text
+        encoder, image CNN, decoders, gates, pooling heads) so the full param
+        tree exists regardless of which forward gets used first."""
+        B, T = captions.shape
+        W = T // 2 + 1
+        pos = jnp.broadcast_to(jnp.arange(W)[None, :], (B, W))
+        logits = self.multimodal_mass_forward(
+            images, captions, caption_mask, langs, captions[:, :W],
+            caption_mask[:, :W], pos)
+        _ = self.contrastive_loss(images, captions, caption_mask, langs,
+                                  captions, caption_mask, langs)
+        return logits
+
+    # ---------------- encoders ----------------
+
+    def encode_text(self, src_ids, src_mask, src_langs,
+                    deterministic: bool = True):
+        return self.core.encode(src_ids, src_mask, src_langs, deterministic)
+
+    def encode_images(self, images, train: bool = False,
+                      deterministic: bool = True):
+        """images: [B, 224, 224, 3] -> [B, 49, E]. Freezing (--freeze)
+        applies stop_gradient so the CNN stays fixed during training."""
+        grid = self.image_model(images, train=train, deterministic=deterministic)
+        if self.cfg.freeze_image:
+            grid = jax.lax.stop_gradient(grid)
+        return grid
+
+    # ---------------- forwards ----------------
+
+    def caption_forward(self, images, captions, caption_mask, langs,
+                        tgt_positions=None, train: bool = False,
+                        deterministic: bool = True):
+        """Pure captioning: decode captions against the image grid
+        (image_model.py:352-356). Returns fp32 logits [B, T-1, V]."""
+        grid = self.encode_images(images, train, deterministic)
+        logits, _ = self._decode_over(grid, None, captions, caption_mask,
+                                      langs, tgt_positions, deterministic)
+        return logits
+
+    def _decode_over(self, enc_states, enc_mask, captions, caption_mask,
+                     langs, tgt_positions, deterministic):
+        core = self.core
+        B, T = captions.shape
+        lang_idx = langs.reshape(-1)[0].astype(jnp.int32)
+        dec_in = captions[:, :-1]
+        dec_mask = caption_mask[:, :-1]
+        lang_ids = expand_langs(langs, T)[:, :-1]
+        if tgt_positions is None:
+            pos = jnp.broadcast_to(jnp.arange(T - 1)[None, :], (B, T - 1))
+        else:
+            pos = tgt_positions[:, :-1]
+        x = core.embeddings(dec_in, pos, lang_ids, deterministic)
+        if enc_mask is None:
+            enc_mask = jnp.ones(enc_states.shape[:2], bool)
+        hidden = core._run_decoder(lang_idx, x, enc_states,
+                                   causal_pad_bias(dec_mask),
+                                   pad_bias(enc_mask), deterministic)
+        return core.project(hidden, lang_idx), hidden
+
+    def multimodal_mass_forward(self, images, src_ids, src_mask, src_langs,
+                                dec_inputs, dec_mask, tgt_positions,
+                                train: bool = False,
+                                deterministic: bool = True):
+        """MASS over captions with the image stream blended in
+        (image_model.py:206-219): decode the span against the (corrupted)
+        caption encoding AND against the image grid; sigmoid-gate the two
+        decoder outputs before the vocab projection."""
+        core = self.core
+        enc_states = core.encode(src_ids, src_mask, src_langs, deterministic)
+        grid = self.encode_images(images, train, deterministic)
+
+        B, T = dec_inputs.shape
+        lang_idx = src_langs.reshape(-1)[0].astype(jnp.int32)
+        dec_in = dec_inputs[:, :-1]
+        dm = dec_mask[:, :-1]
+        lang_ids = expand_langs(src_langs, T)[:, :-1]
+        pos = tgt_positions[:, :-1]
+        x = core.embeddings(dec_in, pos, lang_ids, deterministic)
+        self_bias = causal_pad_bias(dm)
+        text_out = core._run_decoder(lang_idx, x, enc_states, self_bias,
+                                     pad_bias(src_mask), deterministic)
+        img_mask = jnp.ones(grid.shape[:2], bool)
+        img_out = core._run_decoder(lang_idx, x, grid, self_bias,
+                                    pad_bias(img_mask), deterministic)
+        gate = jax.nn.sigmoid(self.multimodal_attention_gate + 1e-7)
+        gate = gate.astype(text_out.dtype)
+        blended = gate * text_out + (1.0 - gate) * img_out
+        return core.project(blended, lang_idx)
+
+    def contrastive_loss(self, images, captions, caption_mask, langs,
+                         neg_samples, neg_mask, neg_langs,
+                         train: bool = False, deterministic: bool = True):
+        """InfoNCE between attention-pooled image vectors and caption vectors
+        with extra text negatives (image_model.py:231-264)."""
+        core = self.core
+        enc = core.encode(captions, caption_mask, langs, deterministic)
+        pos_vec = self.encoder_attention(enc, caption_mask)
+        neg_enc = core.encode(neg_samples, neg_mask, neg_langs, deterministic)
+        neg_vec = self.encoder_attention(neg_enc, neg_mask)
+        text_vecs = jnp.concatenate([pos_vec, neg_vec], axis=0)
+
+        grid = self.encode_images(images, train, deterministic)
+        img_vec = self.image_attention(grid, None)
+
+        def l2norm(x):
+            n = jnp.linalg.norm(x.astype(jnp.float32), axis=-1,
+                                keepdims=True) + 1e-4
+            return x.astype(jnp.float32) / n
+
+        text_vecs = l2norm(text_vecs)
+        img_vec = l2norm(img_vec)
+        cross = img_vec @ text_vecs.T                       # [B, B+N]
+        denom = jnp.log(jnp.sum(jnp.exp(cross), axis=-1) + 1e-4)
+        nom = jnp.diagonal(cross[:, :pos_vec.shape[0]]) + 1e-4
+        return jnp.sum(denom - nom) / pos_vec.shape[0]
+
+    # ---------------- MT passthrough (multi-task training) ----------------
+
+    def __call__(self, src_ids, src_mask, tgt_ids, tgt_mask, src_langs,
+                 tgt_langs, tgt_positions=None, deterministic: bool = True):
+        return self.core(src_ids, src_mask, tgt_ids, tgt_mask, src_langs,
+                         tgt_langs, tgt_positions=tgt_positions,
+                         deterministic=deterministic)
+
+    # ---------------- decoding (same surface as Seq2Seq so beam_search is
+    # model-agnostic; enc_states may be text states or the image grid) -----
+
+    def init_cache(self, enc_states, batch: int, max_len: int, lang_idx=0):
+        return self.core.init_cache(enc_states, batch, max_len, lang_idx)
+
+    def decode_step(self, prev_token, cache, index, cross_bias, tgt_langs,
+                    lang_idx=None, positions=None, proposals=None,
+                    proposal_mask=None):
+        return self.core.decode_step(prev_token, cache, index, cross_bias,
+                                     tgt_langs, lang_idx=lang_idx,
+                                     positions=positions)

@@ -1,0 +1,112 @@
+"""ctypes binding for the C++ BPE encoder (text/_native/bpe.cpp).
+
+Builds the shared library on first use (g++ is in the image; no pybind11, so
+the binding is a plain C ABI). NativeBPE wraps a Python BPE instance: the
+merge tables are pushed into the C++ engine once, encode() runs native, and
+everything else (decode, vocab queries, save) delegates to the Python object.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+from imagetranslate_tpu.text.bpe import BPE, normalize
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_native")
+_SRC = os.path.join(_NATIVE_DIR, "bpe.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libbpe.so")
+
+_lib = None
+
+
+def build_lib(force: bool = False) -> Optional[str]:
+    if os.path.exists(_LIB) and not force and \
+            os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return _LIB
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC],
+            check=True, capture_output=True, timeout=120)
+        return _LIB
+    except Exception:
+        return None
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = build_lib()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.bpe_new.restype = ctypes.c_void_p
+    lib.bpe_free.argtypes = [ctypes.c_void_p]
+    lib.bpe_add_token.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+    lib.bpe_add_merge.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                  ctypes.c_char_p, ctypes.c_int]
+    lib.bpe_set_unk.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.bpe_encode.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                               ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+    lib.bpe_encode.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+class NativeBPE:
+    """Drop-in replacement for text.bpe.BPE's encode path."""
+
+    MAX_OUT = 65536
+
+    def __init__(self, pybpe: BPE):
+        self.py = pybpe
+        self.ok = False
+        lib = get_lib()
+        if lib is None:
+            return
+        self._lib = lib
+        self._h = lib.bpe_new()
+        for tok, tid in pybpe.vocab.items():
+            lib.bpe_add_token(self._h, tok.encode("utf-8"), tid)
+        for pair, rank in pybpe.ranks.items():
+            lib.bpe_add_merge(self._h, pair[0].encode("utf-8"),
+                              pair[1].encode("utf-8"), rank)
+        if pybpe.unk_id is not None:
+            lib.bpe_set_unk(self._h, pybpe.unk_id)
+        self._buf = (ctypes.c_int32 * self.MAX_OUT)()
+        self.ok = True
+
+    def __del__(self):
+        if getattr(self, "ok", False):
+            try:
+                self._lib.bpe_free(self._h)
+            except Exception:
+                pass
+
+    def encode(self, text: str) -> List[int]:
+        n = self._lib.bpe_encode(self._h, normalize(text).encode("utf-8"),
+                                 self._buf, self.MAX_OUT)
+        return list(self._buf[:n])
+
+    # Delegation for the rest of the BPE interface.
+    def decode(self, ids, skip_special=None):
+        return self.py.decode(ids, skip_special)
+
+    def token_to_id(self, token: str):
+        return self.py.token_to_id(token)
+
+    def id_to_token(self, i: int):
+        return self.py.id_to_token(i)
+
+    def get_vocab_size(self) -> int:
+        return self.py.get_vocab_size()
+
+    def save(self, directory: str):
+        self.py.save(directory)
+
+    @property
+    def vocab(self):
+        return self.py.vocab

@@ -121,6 +121,190 @@ def make_mass_train_step(model, optimizer, cfg: Seq2SeqConfig,
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_mlm_train_step(model, optimizer, cfg: Seq2SeqConfig,
+                        mask_prob: float = 0.15, n_specials: int = 5,
+                        mask_id: int = 3, donate: bool = True) -> Callable:
+    """MLM step (reference LMTrainer.train_epoch, train_lm.py:53-79):
+    80/10/10 corruption fused into the jitted step, plain NLL on masked
+    positions (train_lm.py:33 uses NLLLoss, not the smoothed one)."""
+    from imagetranslate_tpu.ops.masking import mask_text
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        r_mask, r_drop = jax.random.split(rng)
+        masked = mask_text(r_mask, batch["texts"], batch["pad_mask"],
+                           mask_prob, mask_id=mask_id, eos_id=cfg.eos_id,
+                           n_specials=n_specials, vocab_size=cfg.vocab_size)
+
+        def loss_fn(params):
+            logits = model.apply(params, masked.texts, batch["pad_mask"],
+                                 batch["langs"], deterministic=False,
+                                 rngs={"dropout": r_drop})
+            mask = masked.target_mask & batch["row_mask"][:, None]
+            sum_l, n = nll_loss(logits, batch["texts"], mask)
+            n = jnp.maximum(n, 1.0)
+            return sum_l / n, (sum_l, n)
+
+        (_, (sum_l, n)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_state = _apply_update(state, grads, optimizer)
+        return new_state, {"sum_loss": sum_l, "ntokens": n}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_mlm_eval_step(model, cfg: Seq2SeqConfig, mask_prob: float = 0.15,
+                       n_specials: int = 5, mask_id: int = 3) -> Callable:
+    """Dev-loss evaluation for the MLM (train_lm.py:110-127)."""
+    from imagetranslate_tpu.ops.masking import mask_text
+
+    def eval_fn(params, batch: Dict[str, jnp.ndarray], rng):
+        masked = mask_text(rng, batch["texts"], batch["pad_mask"], mask_prob,
+                           mask_id=mask_id, eos_id=cfg.eos_id,
+                           n_specials=n_specials, vocab_size=cfg.vocab_size)
+        logits = model.apply(params, masked.texts, batch["pad_mask"],
+                             batch["langs"])
+        mask = masked.target_mask & batch["row_mask"][:, None]
+        return nll_loss(logits, batch["texts"], mask)
+
+    return jax.jit(eval_fn)
+
+
+def make_sensim_train_step(model, optimizer, donate: bool = True) -> Callable:
+    """SenSim InfoNCE step (train_txt_sim.py:40-80); batch carries the
+    parallel pair plus negative pools."""
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        def loss_fn(params):
+            loss = model.apply(
+                params, batch["src"], batch["src_mask"], batch["src_langs"],
+                batch["dst"], batch["dst_mask"], batch["dst_langs"],
+                batch.get("src_neg"), batch.get("src_neg_mask"),
+                batch.get("src_neg_langs"), batch.get("tgt_neg"),
+                batch.get("tgt_neg_mask"), batch.get("tgt_neg_langs"),
+                deterministic=False, rngs={"dropout": rng})
+            return loss, loss
+
+        (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_state = _apply_update(state, grads, optimizer)
+        n = jnp.asarray(batch["src"].shape[0], jnp.float32)
+        return new_state, {"sum_loss": loss * n, "ntokens": n}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_caption2image_train_step(c2i_model, optimizer,
+                                  donate: bool = True) -> Callable:
+    """L2 regression of the pseudo grid onto frozen captioner image
+    embeddings (train_txt2image.py:62-68). batch["target_grid"] is
+    precomputed by the frozen captioner outside this step."""
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        def loss_fn(params):
+            grid = c2i_model.apply(params, batch["src"], batch["src_mask"],
+                                   batch["src_langs"], deterministic=False,
+                                   rngs={"dropout": rng})
+            target = jax.lax.stop_gradient(
+                batch["target_grid"].astype(jnp.float32))
+            err = (grid - target) ** 2
+            per_row = jnp.sum(err, axis=(1, 2))
+            loss = jnp.sum(per_row * batch["row_mask"]) / jnp.maximum(
+                jnp.sum(batch["row_mask"]), 1.0)
+            return loss, loss
+
+        (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_state = _apply_update(state, grads, optimizer)
+        n = jnp.sum(batch["row_mask"].astype(jnp.float32))
+        return new_state, {"sum_loss": loss * n, "ntokens": n}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+@flax.struct.dataclass
+class CaptionTrainState:
+    params: Any
+    batch_stats: Any     # CNN BatchNorm running stats (flax collection)
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_caption_train_state(variables, optimizer) -> CaptionTrainState:
+    return CaptionTrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32))
+
+
+def make_caption_train_step(model, optimizer, label_smoothing: float = 0.1,
+                            loss_weight: float = 1.0,
+                            donate: bool = True) -> Callable:
+    """Captioning step (reference ImageCaptionTrainer.train_epoch image
+    branch, train_captioning.py:43-58): decode captions against the image
+    grid, label-smoothed loss on caption[:, 1:]. Threads BatchNorm
+    batch_stats through the step. loss_weight implements the reference's
+    `--mtlw` weighting for the *MT* stream (weight 1 for images,
+    train_captioning.py:83-84) — pass it to the MT variant instead."""
+
+    def step_fn(state: CaptionTrainState, batch: Dict[str, jnp.ndarray], rng):
+        def loss_fn(params):
+            logits, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"], batch["captions"], batch["caption_mask"],
+                batch["langs"], train=True, deterministic=False,
+                rngs={"dropout": rng},
+                method=type(model).caption_forward,
+                mutable=["batch_stats"])
+            mask = batch["caption_mask"][:, 1:] & batch["row_mask"][:, None]
+            sum_l, n = smoothed_nll_loss(logits, batch["captions"][:, 1:],
+                                         mask, epsilon=label_smoothing)
+            n = jnp.maximum(n, 1.0)
+            return loss_weight * sum_l / n, (sum_l, n, updates)
+
+        (_, (sum_l, n, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        upd, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, upd)
+        new_state = CaptionTrainState(
+            params=params, batch_stats=updates["batch_stats"],
+            opt_state=opt_state, step=state.step + 1)
+        return new_state, {"sum_loss": sum_l, "ntokens": n}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_caption_mt_train_step(model, optimizer, mtl_weight: float = 0.1,
+                               label_smoothing: float = 0.1,
+                               donate: bool = True) -> Callable:
+    """MT multi-task step for the captioner (train_captioning.py:59-84):
+    same MT loss through the captioner's text core, scaled by --mtlw."""
+
+    def step_fn(state: CaptionTrainState, batch: Dict[str, jnp.ndarray], rng):
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["src"], batch["src_mask"], batch["dst"],
+                batch["dst_mask"], batch["src_langs"], batch["dst_langs"],
+                deterministic=False, rngs={"dropout": rng})
+            mask = batch["dst_mask"][:, 1:] & batch["row_mask"][:, None]
+            sum_l, n = smoothed_nll_loss(logits, batch["dst"][:, 1:], mask,
+                                         epsilon=label_smoothing)
+            n = jnp.maximum(n, 1.0)
+            return mtl_weight * sum_l / n, (sum_l, n)
+
+        (_, (sum_l, n)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        upd, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, upd)
+        new_state = CaptionTrainState(
+            params=params, batch_stats=state.batch_stats,
+            opt_state=opt_state, step=state.step + 1)
+        return new_state, {"sum_loss": sum_l, "ntokens": n}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
 def mt_batch_to_device(b, tgt_positions=None) -> Dict[str, jnp.ndarray]:
     """MTBatch (data/loader.py) -> jnp dict for make_mt_train_step."""
     out = {

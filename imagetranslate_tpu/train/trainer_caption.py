@@ -1,0 +1,215 @@
+"""Image-captioning trainer (reference: ImageCaptionTrainer,
+train_captioning.py:25-286): captioning stream + optional `--mtlw`-weighted
+MT stream, multi-reference caption BLEU every eval interval with
+bleu.caption.output transcripts, best-BLEU checkpoint slot, and MT-model
+grafting into the captioner's text core (`--lm`)."""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagetranslate_tpu.data.images import CaptionBatcher, CaptionEvalSet
+from imagetranslate_tpu.data.loader import MTBatcher
+from imagetranslate_tpu.decoding.beam import beam_search, trim_outputs
+from imagetranslate_tpu.models.captioning import ImageSeq2Seq
+from imagetranslate_tpu.models.config import Seq2SeqConfig
+from imagetranslate_tpu.train.checkpoint import save_checkpoint
+from imagetranslate_tpu.train.optimizer import build_optimizer
+from imagetranslate_tpu.train.step import (
+    CaptionTrainState,
+    create_caption_train_state,
+    make_caption_mt_train_step,
+    make_caption_train_step,
+    mt_batch_to_device,
+    wrap_accum,
+)
+from imagetranslate_tpu.text.processor import TextProcessor
+
+
+class CaptionTrainer:
+    def __init__(self, cfg: Seq2SeqConfig, tp: TextProcessor,
+                 lr: float = 1e-4, warmup: int = 4000, clip: float = 1.0,
+                 accum: int = 1, beam_width: int = 4,
+                 len_penalty_ratio: float = 0.8, mtl_weight: float = 0.1,
+                 label_smoothing: float = 0.1, seed: int = 0):
+        self.cfg = cfg
+        self.tp = tp
+        self.model = ImageSeq2Seq(cfg)
+        self.rng = jax.random.PRNGKey(seed)
+        self.beam_width = beam_width
+        self.len_penalty_ratio = len_penalty_ratio
+        self.best_bleu = -1.0
+        self.caption_reference: Dict[int, List[str]] = defaultdict(list)
+
+        self.rng, init_rng = jax.random.split(self.rng)
+        B, T = 2, 8
+        images = jnp.zeros((B, 224, 224, 3), jnp.float32)
+        caps = jnp.zeros((B, T), jnp.int32)
+        mask = jnp.ones((B, T), bool)
+        langs = jnp.zeros((B,), jnp.int32)
+        variables = self.model.init(init_rng, images, caps, mask, langs,
+                                    method=ImageSeq2Seq.init_everything)
+        self.optimizer = wrap_accum(
+            build_optimizer(lr=lr, warmup_updates=warmup, clip_norm=clip),
+            accum)
+        self.state = create_caption_train_state(variables, self.optimizer)
+        self.cap_step = make_caption_train_step(
+            self.model, self.optimizer, label_smoothing=label_smoothing)
+        self.mt_step = make_caption_mt_train_step(
+            self.model, self.optimizer, mtl_weight=mtl_weight,
+            label_smoothing=label_smoothing)
+
+    # ---------------- param grafting ----------------
+
+    def graft_mt_model(self, mt_params):
+        """Copy a pretrained Seq2Seq param tree into the captioner's text
+        core (reference --lm, train_captioning.py:214-220)."""
+        params = dict(self.state.params)
+        params["core"] = mt_params["params"] if "params" in mt_params else mt_params
+        self.state = self.state.replace(params=params)
+
+    # ---------------- training ----------------
+
+    def _variables(self):
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats}
+
+    def train_epoch(self, step: int, saving_path: str,
+                    cap_batcher: CaptionBatcher, image_root: str = "",
+                    mt_batcher: Optional[MTBatcher] = None,
+                    eval_set: Optional[CaptionEvalSet] = None,
+                    max_step: int = 300_000, eval_every: int = 5000,
+                    save_every: int = 10_000, epoch_seed: int = 0,
+                    log_every: int = 50) -> int:
+        from imagetranslate_tpu.utils.metrics import StepMeter
+
+        meter = StepMeter(log_every=log_every)
+        streams = [("cap", cap_batcher.shuffled(epoch_seed))]
+        if mt_batcher is not None:
+            streams.append(("mt", mt_batcher.shuffled(epoch_seed)))
+
+        while True:
+            batches = []
+            try:
+                for kind, it in streams:
+                    batches.append((kind, next(it)))
+            except StopIteration:
+                break
+            for kind, b in batches:
+                self.rng, srng = jax.random.split(self.rng)
+                if kind == "cap":
+                    batch = {
+                        "images": jnp.asarray(b.images(image_root)),
+                        "captions": jnp.asarray(b.captions),
+                        "caption_mask": jnp.asarray(b.caption_mask),
+                        "langs": jnp.asarray(b.langs),
+                        "row_mask": jnp.asarray(b.row_mask),
+                    }
+                    self.state, m = self.cap_step(self.state, batch, srng)
+                else:
+                    self.state, m = self.mt_step(self.state,
+                                                 mt_batch_to_device(b), srng)
+                step += 1
+                meter.update(step, float(m["sum_loss"]), float(m["ntokens"]))
+                if eval_set is not None and step % eval_every == 0:
+                    bleu = self.eval_caption_bleu(eval_set, image_root,
+                                                  saving_path)
+                    print(f"Captioning BLEU: {bleu:.2f}", flush=True)
+                if step % save_every == 0:
+                    self._save(saving_path + ".latest", step)
+                if step >= max_step:
+                    break
+            if step >= max_step:
+                break
+
+        print(f"Total loss in this epoch: {meter.epoch_loss():.4f}", flush=True)
+        self._save(saving_path + ".latest", step)
+        if eval_set is not None:
+            bleu = self.eval_caption_bleu(eval_set, image_root, saving_path)
+            print(f"Captioning BLEU: {bleu:.2f}", flush=True)
+        return step
+
+    # ---------------- evaluation ----------------
+
+    def caption_images(self, images: np.ndarray, first_tokens: np.ndarray,
+                       tgt_langs: np.ndarray, max_len: int,
+                       beam_width: Optional[int] = None):
+        """Beam decode captions for a batch of images -> (tokens, lengths)."""
+        grid = self.model.apply(self._variables(), jnp.asarray(images),
+                                method=ImageSeq2Seq.encode_images)
+        img_mask = jnp.ones(grid.shape[:2], bool)
+        return beam_search(
+            self.model, self._variables(), grid, img_mask,
+            jnp.asarray(first_tokens), jnp.asarray(tgt_langs), None,
+            beam_width=beam_width or self.beam_width, max_len=max_len,
+            len_penalty_ratio=self.len_penalty_ratio,
+            pad_id=self.tp.pad_token_id(), eos_id=self.tp.sep_token_id())
+
+    def _build_reference(self, eval_set: CaptionEvalSet):
+        self.caption_reference = defaultdict(list)
+        for g in eval_set.groups:
+            for ref in g.references:
+                ids = [t for t in ref if t != self.tp.pad_token_id()][1:]
+                if ids and ids[-1] == self.tp.sep_token_id():
+                    ids = ids[:-1]
+                self.caption_reference[g.image_id].append(self.tp.decode(ids))
+
+    def eval_caption_bleu(self, eval_set: CaptionEvalSet, image_root: str,
+                          saving_path: str) -> float:
+        """Multi-reference caption BLEU (train_captioning.py:143-192)."""
+        import sacrebleu
+
+        from imagetranslate_tpu.data.images import load_image
+
+        if not self.caption_reference:
+            self._build_reference(eval_set)
+        outputs, ids = [], []
+        # Pad the decode length to a bucket so eval reuses few compilations.
+        L = max(16, ((eval_set.max_len + 15) // 16) * 16)
+        for group in eval_set.batches():
+            images = np.stack([load_image(os.path.join(image_root,
+                                                       g.image_path))
+                               for g in group])
+            first = np.array([g.first_token for g in group], np.int32)
+            langs = np.full((len(group),), eval_set.lang, np.int32)
+            best, lengths = self.caption_images(images, first, langs, L)
+            outs = trim_outputs(best, lengths, remove_first_token=True)
+            for g, o in zip(group, outs):
+                outputs.append(self.tp.decode(o))
+                ids.append(g.image_id)
+
+        references = [self.caption_reference[i] for i in ids]
+        max_reflen = max(len(r) for r in references)
+        all_refs = [[r[l] if l < len(r) else None for r in references]
+                    for l in range(max_reflen)]
+        bleu = sacrebleu.corpus_bleu(outputs, all_refs, lowercase=True,
+                                     tokenize="intl")
+        os.makedirs(saving_path, exist_ok=True)
+        transcript = "\n".join(
+            "\nOutput:\n" + o + "\n\nReferences:\n"
+            + "\n".join(self.caption_reference[ids[i]])
+            + "\n\n***************\n"
+            for i, o in enumerate(outputs))
+        with open(os.path.join(saving_path, "bleu.caption.output"), "w") as w:
+            w.write(transcript)
+        if bleu.score > self.best_bleu:
+            self.best_bleu = bleu.score
+            print(f"Saving best BLEU {self.best_bleu:.2f}", flush=True)
+            with open(os.path.join(saving_path, "bleu.caption.best.output"),
+                      "w") as w:
+                w.write(transcript)
+            self._save(saving_path, int(self.state.step))
+        return bleu.score
+
+    def _save(self, path: str, step: int):
+        save_checkpoint(path, self.cfg,
+                        {"params": self.state.params,
+                         "batch_stats": self.state.batch_stats},
+                        opt_state=self.state.opt_state, step=step,
+                        best_metric=self.best_bleu)

@@ -1,0 +1,53 @@
+"""Long-document LM trainer — the `--reformer` path of the LM CLI
+(reference: train_lm.py:152-163 + reformer.md recipe), using the
+local-block-attention LongDocLM instead of HF Reformer."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from imagetranslate_tpu.models.longdoc import LongDocLM, longdoc_config
+from imagetranslate_tpu.train.trainer_lm import LMTrainer
+
+
+class LongDocTrainer(LMTrainer):
+    @classmethod
+    def from_options(cls, options, tp):
+        cfg = longdoc_config(tp.vocab_size(),
+                             num_languages=max(1, len(tp.languages)),
+                             size=options.model_size)
+        cfg = cfg.replace(dropout=options.dropout,
+                          attention_dropout=options.dropout,
+                          dtype=options.dtype)
+        self = cls.__new__(cls)
+        # Same ctor body as LMTrainer but with the LongDocLM model.
+        from imagetranslate_tpu.train.optimizer import build_optimizer
+        from imagetranslate_tpu.train.step import (
+            create_train_state,
+            make_mlm_eval_step,
+            make_mlm_train_step,
+        )
+
+        self.cfg = cfg
+        self.tp = tp
+        self.model = LongDocLM(cfg)
+        self.rng = jax.random.PRNGKey(0)
+        self.best_dev_loss = float("inf")
+        self.best_train_loss = float("inf")
+        B, T = 2, self.model.block
+        texts = jnp.zeros((B, T), jnp.int32)
+        self.rng, init_rng = jax.random.split(self.rng)
+        params = self.model.init(init_rng, texts, jnp.ones((B, T), bool),
+                                 jnp.zeros((B,), jnp.int32))
+        self.optimizer = build_optimizer(lr=options.learning_rate,
+                                         warmup_updates=options.warmup,
+                                         clip_norm=options.clip)
+        self.state = create_train_state(params, self.optimizer)
+        kw = dict(mask_prob=options.mask_prob,
+                  n_specials=len(tp.special_tokens),
+                  mask_id=tp.mask_token_id())
+        self.step_fn = make_mlm_train_step(self.model, self.optimizer, cfg,
+                                           **kw)
+        self.eval_fn = make_mlm_eval_step(self.model, cfg, **kw)
+        return self

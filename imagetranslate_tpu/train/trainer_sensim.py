@@ -1,0 +1,124 @@
+"""Sentence-similarity trainer (reference: SenSimTrainer,
+train_txt_sim.py:23-205): InfoNCE over parallel batches with MassDataset
+negative pools, dev-loss best-model selection."""
+
+from __future__ import annotations
+
+import itertools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagetranslate_tpu.data.loader import MassBatcher, MTBatcher, bucket_len
+from imagetranslate_tpu.models.config import Seq2SeqConfig
+from imagetranslate_tpu.models.sensim import SenSim
+from imagetranslate_tpu.train.checkpoint import save_checkpoint
+from imagetranslate_tpu.train.optimizer import build_optimizer
+from imagetranslate_tpu.train.step import (
+    create_train_state,
+    make_sensim_train_step,
+)
+from imagetranslate_tpu.text.processor import TextProcessor
+
+
+class SenSimTrainer:
+    def __init__(self, cfg: Seq2SeqConfig, tp: TextProcessor,
+                 lr: float = 1e-4, warmup: int = 4000, clip: float = 1.0,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.tp = tp
+        self.model = SenSim(cfg)
+        self.rng = jax.random.PRNGKey(seed)
+        self.best_loss = float("inf")
+
+        self.rng, init_rng = jax.random.split(self.rng)
+        B, T = 2, 8
+        ids = jnp.zeros((B, T), jnp.int32)
+        mask = jnp.ones((B, T), bool)
+        langs = jnp.zeros((B,), jnp.int32)
+        params = self.model.init(init_rng, ids, mask, langs, ids, mask, langs)
+        self.optimizer = build_optimizer(lr=lr, warmup_updates=warmup,
+                                         clip_norm=clip)
+        self.state = create_train_state(params, self.optimizer)
+        self.step_fn = make_sensim_train_step(self.model, self.optimizer)
+
+    def train_epoch(self, step: int, saving_path: str, mt_batcher: MTBatcher,
+                    src_neg: Optional[MassBatcher] = None,
+                    dst_neg: Optional[MassBatcher] = None,
+                    dev_batcher: Optional[MTBatcher] = None,
+                    max_step: int = 300_000, eval_every: int = 5000,
+                    log_every: int = 50, epoch_seed: int = 0) -> int:
+        from imagetranslate_tpu.utils.metrics import StepMeter
+
+        meter = StepMeter(log_every=log_every)
+        src_neg_it = itertools.cycle(src_neg.batches) if src_neg else None
+        dst_neg_it = itertools.cycle(dst_neg.batches) if dst_neg else None
+        for b in mt_batcher.shuffled(epoch_seed):
+            self.rng, srng = jax.random.split(self.rng)
+            batch = {
+                "src": jnp.asarray(b.src), "src_mask": jnp.asarray(b.src_mask),
+                "dst": jnp.asarray(b.dst), "dst_mask": jnp.asarray(b.dst_mask),
+                "src_langs": jnp.asarray(b.src_langs),
+                "dst_langs": jnp.asarray(b.dst_langs),
+            }
+            if src_neg_it is not None:
+                sn = next(src_neg_it)
+                dn = next(dst_neg_it)
+                batch.update({
+                    "src_neg": jnp.asarray(sn.src),
+                    "src_neg_mask": jnp.asarray(sn.src_mask),
+                    "src_neg_langs": jnp.asarray(sn.langs),
+                    "tgt_neg": jnp.asarray(dn.src),
+                    "tgt_neg_mask": jnp.asarray(dn.src_mask),
+                    "tgt_neg_langs": jnp.asarray(dn.langs),
+                })
+            self.state, m = self.step_fn(self.state, batch, srng)
+            step += 1
+            meter.update(step, float(m["sum_loss"]), float(m["ntokens"]))
+            if dev_batcher is not None and step % eval_every == 0:
+                dev = self.eval(dev_batcher, saving_path)
+                print(f"Dev Loss: {dev:.4f}", flush=True)
+            if step >= max_step:
+                break
+
+        print(f"Total loss in this epoch: {meter.epoch_loss():.4f}", flush=True)
+        self._save(saving_path + ".latest", step)
+        if dev_batcher is not None:
+            dev = self.eval(dev_batcher, saving_path)
+            print(f"Dev Loss: {dev:.4f}", flush=True)
+        return step
+
+    def eval(self, dev_batcher: MTBatcher, saving_path: str) -> float:
+        total, items = 0.0, 0
+        for b in dev_batcher:
+            loss = self.model.apply(
+                self.state.params, jnp.asarray(b.src),
+                jnp.asarray(b.src_mask), jnp.asarray(b.src_langs),
+                jnp.asarray(b.dst), jnp.asarray(b.dst_mask),
+                jnp.asarray(b.dst_langs))
+            n = int(b.row_mask.sum())
+            total += float(loss) * n
+            items += n
+        dev_loss = total / max(items, 1)
+        if dev_loss <= self.best_loss:
+            self.best_loss = dev_loss
+            print(f"Saving best Loss {self.best_loss:.4f}", flush=True)
+            self._save(saving_path, int(self.state.step))
+        return dev_loss
+
+    def similarities(self, b) -> np.ndarray:
+        """Per-pair cosine for a dev MTBatch (get_sen_sim.py:34-36)."""
+        sims = self.model.apply(
+            self.state.params, jnp.asarray(b.src), jnp.asarray(b.src_mask),
+            jnp.asarray(b.src_langs), jnp.asarray(b.dst),
+            jnp.asarray(b.dst_mask), jnp.asarray(b.dst_langs),
+            method=SenSim.similarity)
+        return np.asarray(sims)
+
+    def _save(self, path: str, step: int):
+        save_checkpoint(path, self.cfg, self.state.params,
+                        opt_state=self.state.opt_state, step=step,
+                        best_metric=self.best_loss)

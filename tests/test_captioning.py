@@ -1,0 +1,104 @@
+"""Image stack tests: ResNet grid shapes, caption forward/training step,
+multimodal gate, contrastive loss (reference: image_model.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagetranslate_tpu.models.captioning import ImageSeq2Seq
+from imagetranslate_tpu.models.config import tiny_config
+from imagetranslate_tpu.train.optimizer import build_optimizer
+from imagetranslate_tpu.train.step import (
+    create_caption_train_state,
+    make_caption_train_step,
+)
+
+# 64x64 inputs -> 2x2 grid: the grid size is just H/32 * W/32, so tests can
+# stay small. Production uses 224 -> 49 slots (image_model.py:115).
+IMG = 64
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config(vocab_size=64)
+    model = ImageSeq2Seq(cfg)
+    rng = jax.random.PRNGKey(0)
+    B, T = 2, 6
+    images = jax.random.normal(rng, (B, IMG, IMG, 3), jnp.float32)
+    caps = jax.random.randint(rng, (B, T), 5, cfg.vocab_size)
+    mask = jnp.ones((B, T), bool)
+    langs = jnp.zeros((B,), jnp.int32)
+    variables = model.init(rng, images, caps, mask, langs,
+                           method=ImageSeq2Seq.init_everything)
+    return cfg, model, variables, images, caps, mask, langs
+
+
+def test_resnet_grid_shape(setup):
+    cfg, model, variables, images, *_ = setup
+    grid = model.apply(variables, images,
+                       method=ImageSeq2Seq.encode_images)
+    assert grid.shape == (2, (IMG // 32) ** 2, cfg.hidden_size)
+    assert np.isfinite(np.asarray(grid)).all()
+
+
+def test_caption_forward_shapes(setup):
+    cfg, model, variables, images, caps, mask, langs = setup
+    logits = model.apply(variables, images, caps, mask, langs,
+                         method=ImageSeq2Seq.caption_forward)
+    assert logits.shape == (2, caps.shape[1] - 1, cfg.vocab_size)
+
+
+def test_caption_train_step_decreases_loss(setup):
+    cfg, model, variables, images, caps, mask, langs = setup
+    opt = build_optimizer(lr=5e-3, warmup_updates=5)
+    state = create_caption_train_state(jax.device_get(variables), opt)
+    step = make_caption_train_step(model, opt, donate=False)
+    batch = {"images": images, "captions": caps, "caption_mask": mask,
+             "langs": langs, "row_mask": jnp.ones((2,), bool)}
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(8):
+        state, m = step(state, batch, rng)
+        losses.append(float(m["sum_loss"]) / float(m["ntokens"]))
+    assert losses[-1] < losses[0]
+    # BatchNorm stats actually update.
+    bs0 = jax.tree_util.tree_leaves(state.batch_stats)
+    assert any(float(jnp.abs(x).sum()) > 0 for x in bs0)
+
+
+def test_multimodal_mass_forward(setup):
+    cfg, model, variables, images, caps, mask, langs = setup
+    B, T = caps.shape
+    W = T // 2 + 1
+    dec = caps[:, :W]
+    dmask = jnp.ones((B, W), bool)
+    pos = jnp.broadcast_to(jnp.arange(W)[None, :], (B, W))
+    logits = model.apply(variables, images, caps, mask, langs, dec, dmask,
+                         pos, method=ImageSeq2Seq.multimodal_mass_forward)
+    assert logits.shape == (B, W - 1, cfg.vocab_size)
+
+
+def test_contrastive_loss_scalar(setup):
+    cfg, model, variables, images, caps, mask, langs = setup
+    negs = jnp.roll(caps, 1, axis=0)
+    loss = model.apply(variables, images, caps, mask, langs, negs,
+                       jnp.ones_like(negs, bool), langs,
+                       method=ImageSeq2Seq.contrastive_loss)
+    assert loss.shape == ()
+    assert np.isfinite(float(loss))
+
+
+def test_beam_decode_over_image_grid(setup):
+    """Captions decode through the SAME beam_search as text (caption.py path)."""
+    from imagetranslate_tpu.decoding.beam import beam_search
+
+    cfg, model, variables, images, caps, mask, langs = setup
+    grid = model.apply(variables, images, method=ImageSeq2Seq.encode_images)
+    img_mask = jnp.ones(grid.shape[:2], bool)
+    first = jnp.full((2,), 6, jnp.int32)
+    best, lengths = beam_search(model, variables, grid, img_mask, first,
+                                langs, None, beam_width=2, max_len=8,
+                                pad_id=cfg.pad_id, eos_id=cfg.eos_id)
+    assert best.shape == (2, 8)
+    assert (np.asarray(best)[:, 0] == 6).all()
