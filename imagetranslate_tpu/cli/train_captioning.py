@@ -50,6 +50,10 @@ def get_parser():
     p.add_argument("--eval-every", type=int, default=5000)
     p.add_argument("--save-every", type=int, default=10000)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--mmode", dest="mm_mode", default=None,
+                   choices=[None, "mixed", "masked", "contrastive"],
+                   help="multimodal image-stream mode (train_image_mt.py parity); default = plain captioning")
+    p.add_argument("--mask", dest="mask_prob", type=float, default=0.5)
     return p
 
 
@@ -85,7 +89,8 @@ def main(argv=None):
         cfg, tp, lr=options.learning_rate, warmup=options.warmup,
         clip=options.clip, accum=options.accum, beam_width=options.beam_width,
         len_penalty_ratio=options.len_penalty_ratio,
-        mtl_weight=options.mtl_weight)
+        mtl_weight=options.mtl_weight, mm_mode=options.mm_mode,
+        mask_prob=options.mask_prob)
 
     if options.lm_path is not None:
         import jax

@@ -54,6 +54,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-every", type=int, default=5000)
     p.add_argument("--save-every", type=int, default=10000)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--bucket_step", type=int, default=16,
+                   help="length bucket multiple (larger = fewer XLA shapes)")
     return p
 
 
@@ -117,7 +119,8 @@ def main(argv=None):
             examples.extend(load_mt(path))
         mt_batcher = MTBatcher(examples, pad_id=pad, max_batch=options.batch // 2,
                                capacity_mb=options.total_capacity // 2,
-                               max_seq_len=options.max_seq_len)
+                               max_seq_len=options.max_seq_len,
+                               bucket_step=options.bucket_step)
         print(f"MT train batches: {len(mt_batcher)}")
 
     mass_batcher = None
@@ -128,7 +131,8 @@ def main(argv=None):
         mass_batcher = MassBatcher(examples, pad_id=pad,
                                    max_batch=options.batch,
                                    capacity_mb=options.total_capacity,
-                                   max_seq_len=options.max_seq_len)
+                                   max_seq_len=options.max_seq_len,
+                                   bucket_step=options.bucket_step)
         print(f"MASS train batches: {len(mass_batcher)}")
 
     dev_batcher = None
@@ -140,7 +144,8 @@ def main(argv=None):
             examples, pad_id=pad,
             max_batch=int(options.batch / (options.beam_width * 2)),
             capacity_mb=options.total_capacity,
-            max_seq_len=options.max_seq_len)
+            max_seq_len=options.max_seq_len,
+            bucket_step=options.bucket_step)
         print(f"MT dev batches: {len(dev_batcher)}")
 
     os.makedirs(options.model_path, exist_ok=True)

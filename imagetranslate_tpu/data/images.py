@@ -139,10 +139,10 @@ class CaptionBatcher:
         k = min(len(self.all_captions), max(30, batch_size))
         rng = random.Random(seed)
         samples = rng.sample(self.all_captions, k)
-        t = max(len(s) for s in samples)
+        t = bucket_len(max(len(s) for s in samples))
         out = np.full((k, t), self.pad_id, np.int32)
         for i, s in enumerate(samples):
-            out[i, :len(s)] = s
+            out[i, :min(len(s), t)] = s[:t]
         return out
 
 

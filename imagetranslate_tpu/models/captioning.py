@@ -70,6 +70,10 @@ class ImageSeq2Seq(nn.Module):
                     deterministic: bool = True):
         return self.core.encode(src_ids, src_mask, src_langs, deterministic)
 
+    # Same name as Seq2Seq.encode so decode drivers are model-agnostic.
+    def encode(self, src_ids, src_mask, src_langs, deterministic: bool = True):
+        return self.core.encode(src_ids, src_mask, src_langs, deterministic)
+
     def encode_images(self, images, train: bool = False,
                       deterministic: bool = True):
         """images: [B, 224, 224, 3] -> [B, 49, E]. Freezing (--freeze)

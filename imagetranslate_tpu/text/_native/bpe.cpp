@@ -180,3 +180,131 @@ int bpe_encode(void* h, const char* text, int32_t* out, int max_out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BPE trainer: classic pair-merge loop with incremental pair-count updates
+// and per-pair postings, replacing HF tokenizers' Rust trainer for corpus-
+// scale tokenizer training. Words arrive pre-tokenized (Metaspace+NFKC on
+// the Python side) as '\n'-joined UTF-8 with per-word counts.
+
+#include <algorithm>
+#include <map>
+#include <set>
+
+namespace {
+
+struct Trainer {
+  std::vector<std::vector<std::string>> words;  // symbol sequences
+  std::vector<int64_t> counts;
+  std::map<std::pair<std::string, std::string>, int64_t> pair_counts;
+  std::map<std::pair<std::string, std::string>, std::set<int>> where;
+  std::vector<std::pair<std::string, std::string>> merges;
+  std::vector<std::string> new_tokens;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* bpe_trainer_new() { return new Trainer(); }
+void bpe_trainer_free(void* h) { delete static_cast<Trainer*>(h); }
+
+// words: '\n'-separated UTF-8 words; counts parallel array.
+void bpe_trainer_add_words(void* h, const char* words_blob,
+                           const int64_t* counts, int n_words) {
+  Trainer* t = static_cast<Trainer*>(h);
+  const char* p = words_blob;
+  for (int i = 0; i < n_words; ++i) {
+    const char* end = strchr(p, '\n');
+    std::string word = end ? std::string(p, end - p) : std::string(p);
+    std::vector<std::string> syms;
+    utf8_chars(word, &syms);
+    t->words.push_back(std::move(syms));
+    t->counts.push_back(counts[i]);
+    p = end ? end + 1 : p + word.size();
+  }
+}
+
+// Learn up to max_merges merges with count >= min_frequency. Returns the
+// number of merges learned.
+int bpe_trainer_train(void* h, int max_merges, int64_t min_frequency) {
+  Trainer* t = static_cast<Trainer*>(h);
+  t->pair_counts.clear();
+  t->where.clear();
+  for (size_t wi = 0; wi < t->words.size(); ++wi) {
+    const auto& syms = t->words[wi];
+    for (size_t i = 0; i + 1 < syms.size(); ++i) {
+      auto key = std::make_pair(syms[i], syms[i + 1]);
+      t->pair_counts[key] += t->counts[wi];
+      t->where[key].insert(static_cast<int>(wi));
+    }
+  }
+
+  for (int m = 0; m < max_merges; ++m) {
+    // Highest count; ties broken by lexicographic pair order for
+    // determinism (count dominates in practice).
+    const std::pair<std::string, std::string>* best = nullptr;
+    int64_t best_count = 0;
+    for (const auto& kv : t->pair_counts) {
+      if (kv.second > best_count ||
+          (kv.second == best_count && best && kv.first < *best)) {
+        best = &kv.first;
+        best_count = kv.second;
+      }
+    }
+    if (!best || best_count < min_frequency) break;
+    auto pair = *best;
+    std::string merged = pair.first + pair.second;
+    t->merges.push_back(pair);
+    t->new_tokens.push_back(merged);
+
+    auto postings = t->where[pair];  // copy: we mutate below
+    for (int wi : postings) {
+      auto& syms = t->words[wi];
+      int64_t c = t->counts[wi];
+      for (size_t i = 0; i + 1 < syms.size();) {
+        if (syms[i] == pair.first && syms[i + 1] == pair.second) {
+          if (i > 0) {
+            auto left = std::make_pair(syms[i - 1], syms[i]);
+            if ((t->pair_counts[left] -= c) <= 0) t->pair_counts.erase(left);
+          }
+          if (i + 2 < syms.size()) {
+            auto right = std::make_pair(syms[i + 1], syms[i + 2]);
+            if ((t->pair_counts[right] -= c) <= 0) t->pair_counts.erase(right);
+          }
+          syms[i] = merged;
+          syms.erase(syms.begin() + i + 1);
+          if (i > 0) {
+            auto left = std::make_pair(syms[i - 1], syms[i]);
+            t->pair_counts[left] += c;
+            t->where[left].insert(wi);
+          }
+          if (i + 1 < syms.size()) {
+            auto right = std::make_pair(syms[i], syms[i + 1]);
+            t->pair_counts[right] += c;
+            t->where[right].insert(wi);
+          }
+        } else {
+          ++i;
+        }
+      }
+    }
+    t->pair_counts.erase(pair);
+    t->where.erase(pair);
+  }
+  return static_cast<int>(t->merges.size());
+}
+
+// Read back merge i as "a\tb" into buf; returns length or -1.
+int bpe_trainer_get_merge(void* h, int i, char* buf, int buf_len) {
+  Trainer* t = static_cast<Trainer*>(h);
+  if (i < 0 || i >= static_cast<int>(t->merges.size())) return -1;
+  std::string s = t->merges[i].first + "\t" + t->merges[i].second;
+  int n = static_cast<int>(s.size());
+  if (n >= buf_len) return -1;
+  std::memcpy(buf, s.data(), n);
+  buf[n] = 0;
+  return n;
+}
+
+}  // extern "C"

@@ -179,6 +179,7 @@ def train_bpe(
     special_tokens: Sequence[str],
     min_frequency: int = 5,
     limit_alphabet: int = 1000,
+    use_native: bool = True,
 ) -> BPE:
     """BPE trainer with SentencePieceBPETokenizer.train's defaults
     (textprocessor.py:33-37 uses min_frequency=5). Vocabulary layout matches
@@ -210,10 +211,28 @@ def train_bpe(
     # Words as tuples of symbols; drop characters outside the alphabet.
     alpha_set = set(alphabet)
     words: List[Tuple[List[str], int]] = []
+    filtered_counts: Dict[str, int] = {}
     for word, c in word_counts.items():
         syms = [ch for ch in word if ch in alpha_set]
         if len(syms) > 0:
             words.append((syms, c))
+            filtered_counts["".join(syms)] = c
+
+    max_merges = max(0, vocab_size - len(vocab))
+    if use_native and max_merges > 0:
+        try:
+            from imagetranslate_tpu.text.native import train_merges_native
+
+            native_merges = train_merges_native(filtered_counts, max_merges,
+                                                min_frequency)
+        except Exception:
+            native_merges = None
+        if native_merges is not None:
+            for a, b in native_merges:
+                merged = a + b
+                if merged not in vocab:
+                    vocab[merged] = len(vocab)
+            return BPE(vocab, native_merges)
 
     merges: List[Tuple[str, str]] = []
 

@@ -52,8 +52,46 @@ def get_lib():
     lib.bpe_encode.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
     lib.bpe_encode.restype = ctypes.c_int
+    lib.bpe_trainer_new.restype = ctypes.c_void_p
+    lib.bpe_trainer_free.argtypes = [ctypes.c_void_p]
+    lib.bpe_trainer_add_words.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int]
+    lib.bpe_trainer_train.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.c_int64]
+    lib.bpe_trainer_train.restype = ctypes.c_int
+    lib.bpe_trainer_get_merge.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                          ctypes.c_char_p, ctypes.c_int]
+    lib.bpe_trainer_get_merge.restype = ctypes.c_int
     _lib = lib
     return lib
+
+
+def train_merges_native(word_counts, max_merges: int, min_frequency: int):
+    """C++ trainer: {word: count} -> list of (a, b) merges, or None if the
+    native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = lib.bpe_trainer_new()
+    try:
+        words = list(word_counts.keys())
+        blob = "\n".join(words).encode("utf-8")
+        counts = (ctypes.c_int64 * len(words))(
+            *[word_counts[w] for w in words])
+        lib.bpe_trainer_add_words(h, blob, counts, len(words))
+        n = lib.bpe_trainer_train(h, max_merges, min_frequency)
+        buf = ctypes.create_string_buffer(4096)
+        merges = []
+        for i in range(n):
+            ln = lib.bpe_trainer_get_merge(h, i, buf, 4096)
+            if ln < 0:
+                continue
+            a, b = buf.value.decode("utf-8").split("\t")
+            merges.append((a, b))
+        return merges
+    finally:
+        lib.bpe_trainer_free(h)
 
 
 class NativeBPE:

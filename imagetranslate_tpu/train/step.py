@@ -305,6 +305,80 @@ def make_caption_mt_train_step(model, optimizer, mtl_weight: float = 0.1,
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_multimodal_mass_step(model, optimizer, cfg: Seq2SeqConfig,
+                              n_specials: int = 5, mask_id: int = 3,
+                              label_smoothing: float = 0.1,
+                              donate: bool = True) -> Callable:
+    """Image-batch MASS step (train_image_mt.py:207-226): span-corrupt the
+    captions, decode the span against BOTH the corrupted-caption encoding and
+    the image grid, blended by the learned gate. mask_prob arrives in the
+    batch (traced) because the reference draws it per batch ~U(mask_prob, 1)."""
+
+    def step_fn(state: CaptionTrainState, batch: Dict[str, jnp.ndarray], rng):
+        r_mask, r_drop = jax.random.split(rng)
+        S = batch["captions"].shape[1]
+        masked = mass_mask(
+            r_mask, batch["captions"], batch["lengths"], batch["mask_prob"],
+            mask_id=mask_id, pad_id=cfg.pad_id, n_specials=n_specials,
+            vocab_size=cfg.vocab_size, span_width=S // 2 + 1)
+        dec_mask = masked.dec_inputs != cfg.pad_id
+
+        def loss_fn(params):
+            logits, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"], masked.src, batch["caption_mask"],
+                batch["langs"], masked.dec_inputs, dec_mask, masked.positions,
+                train=True, deterministic=False, rngs={"dropout": r_drop},
+                method=type(model).multimodal_mass_forward,
+                mutable=["batch_stats"])
+            mask = dec_mask[:, 1:] & batch["row_mask"][:, None]
+            sum_l, n = smoothed_nll_loss(logits, masked.dec_inputs[:, 1:],
+                                         mask, epsilon=label_smoothing)
+            n = jnp.maximum(n, 1.0)
+            return sum_l / n, (sum_l, n, updates)
+
+        (_, (sum_l, n, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        upd, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, upd)
+        new_state = CaptionTrainState(
+            params=params, batch_stats=updates["batch_stats"],
+            opt_state=opt_state, step=state.step + 1)
+        return new_state, {"sum_loss": sum_l, "ntokens": n}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_contrastive_step(model, optimizer, donate: bool = True) -> Callable:
+    """Image-text InfoNCE step (train_image_mt.py:227-237 contrastive
+    branch). The scalar loss is weighted by the number of rows so the meter's
+    per-token semantics match the reference's per-sentence accounting."""
+
+    def step_fn(state: CaptionTrainState, batch: Dict[str, jnp.ndarray], rng):
+        def loss_fn(params):
+            loss, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"], batch["captions"], batch["caption_mask"],
+                batch["langs"], batch["neg"], batch["neg_mask"],
+                batch["neg_langs"], train=True, deterministic=False,
+                rngs={"dropout": rng},
+                method=type(model).contrastive_loss,
+                mutable=["batch_stats"])
+            return loss, (loss, updates)
+
+        (_, (loss, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        upd, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, upd)
+        new_state = CaptionTrainState(
+            params=params, batch_stats=updates["batch_stats"],
+            opt_state=opt_state, step=state.step + 1)
+        n = jnp.asarray(batch["captions"].shape[0], jnp.float32)
+        return new_state, {"sum_loss": loss * n, "ntokens": n}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
 def mt_batch_to_device(b, tgt_positions=None) -> Dict[str, jnp.ndarray]:
     """MTBatch (data/loader.py) -> jnp dict for make_mt_train_step."""
     out = {

@@ -1,0 +1,172 @@
+"""Import reference PyTorch checkpoints into the JAX parameter tree.
+
+The released ar/ro/gu/kk MT models (README.md:92) are directories holding a
+pickled arch tuple `mt_config` + `mt_model.state_dict` (seq2seq.py:183-196)
+with HF transformers==2.9.0 BERT naming. This module maps that state_dict
+onto our flax Seq2Seq tree so released models evaluate without retraining.
+
+Key layout facts:
+- torch Linear weight is [out, in]; flax Dense kernel is [in, out] -> transpose.
+- our attention projections are DenseGeneral [E, H, D] / out [H, D, E]
+  -> transpose then reshape.
+- encoder/decoder share embeddings in both frameworks (tied in the reference
+  when lang_dec=False, structural here), so only encoder.embeddings is read.
+- BertOutputLayer is `output_layer.layer` (bert_seq2seq.py:6-12) or a
+  per-language ModuleList `output_layer.N.layer`.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict
+
+import numpy as np
+
+
+def load_reference_arch(ckpt_dir: str):
+    """Unpickle the reference's mt_config tuple (seq2seq.py:186-189):
+    (lang_dec, use_proposals, enc_layer, dec_layer, embed_dim,
+     intermediate_dim, tie_embed, resnet_depth, freeze_image)."""
+    with open(os.path.join(ckpt_dir, "mt_config"), "rb") as fp:
+        return pickle.load(fp)
+
+
+def load_state_dict(ckpt_dir: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(os.path.join(ckpt_dir, "mt_model.state_dict"),
+                    map_location="cpu")
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def _attn(sd, prefix: str, num_heads: int):
+    """HF BertSelfAttention+SelfOutput -> our Attention params."""
+    E = sd[f"{prefix}.self.query.weight"].shape[1]
+    D = E // num_heads
+
+    def qkv(name):
+        w = sd[f"{prefix}.self.{name}.weight"]          # [E, E]
+        b = sd[f"{prefix}.self.{name}.bias"]            # [E]
+        return {
+            "kernel": w.T.reshape(E, num_heads, D),
+            "bias": b.reshape(num_heads, D),
+        }
+
+    return {
+        "query": qkv("query"),
+        "key": qkv("key"),
+        "value": qkv("value"),
+        "out": {
+            "kernel": sd[f"{prefix}.output.dense.weight"].T.reshape(
+                num_heads, D, E),
+            "bias": sd[f"{prefix}.output.dense.bias"],
+        },
+        "ln": {
+            "scale": sd[f"{prefix}.output.LayerNorm.weight"],
+            "bias": sd[f"{prefix}.output.LayerNorm.bias"],
+        },
+    }
+
+
+def _ffn(sd, prefix: str):
+    return {
+        "intermediate": {
+            "kernel": sd[f"{prefix}.intermediate.dense.weight"].T,
+            "bias": sd[f"{prefix}.intermediate.dense.bias"],
+        },
+        "output": {
+            "kernel": sd[f"{prefix}.output.dense.weight"].T,
+            "bias": sd[f"{prefix}.output.dense.bias"],
+        },
+        "ln": {
+            "scale": sd[f"{prefix}.output.LayerNorm.weight"],
+            "bias": sd[f"{prefix}.output.LayerNorm.bias"],
+        },
+    }
+
+
+def import_seq2seq(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """state_dict -> flax params dict for models.seq2seq.Seq2Seq."""
+    H = cfg.num_heads
+    params = {}
+
+    emb = "encoder.embeddings"
+    params["embeddings"] = {
+        "word": {"embedding": sd[f"{emb}.word_embeddings.weight"]},
+        "position": {"embedding": sd[f"{emb}.position_embeddings.weight"]},
+        "lang": {"embedding": sd[f"{emb}.token_type_embeddings.weight"]},
+        "ln": {"scale": sd[f"{emb}.LayerNorm.weight"],
+               "bias": sd[f"{emb}.LayerNorm.bias"]},
+    }
+
+    enc_layers = {}
+    for i in range(cfg.enc_layers):
+        p = f"encoder.encoder.layer.{i}"
+        enc_layers[f"layers_{i}"] = {
+            "self_attn": _attn(sd, f"{p}.attention", H),
+            "ffn": _ffn(sd, p),
+        }
+    params["encoder"] = enc_layers
+
+    def import_decoder(torch_prefix: str):
+        layers = {}
+        for i in range(cfg.dec_layers):
+            p = f"{torch_prefix}.decoder.layer.{i}"
+            layers[f"layers_{i}"] = {
+                "self_attn": _attn(sd, f"{p}.attention", H),
+                "cross_attn": _attn(sd, f"{p}.crossattention", H),
+                "ffn": _ffn(sd, p),
+            }
+        return layers
+
+    n_dec = cfg.num_languages if cfg.lang_dec else 1
+    for d in range(n_dec):
+        torch_prefix = f"decoder.{d}" if cfg.lang_dec else "decoder"
+        params[f"decoders_{d}"] = import_decoder(torch_prefix)
+
+    if cfg.tie_embed:
+        # Reference "tied" output layers still carry a bias via the Linear;
+        # note seq2seq.py:56's tie sets an unused attr, so the Linear weight
+        # may in fact be untied in released checkpoints. We honor the bias
+        # and share the embedding matrix.
+        for d in range(n_dec):
+            key = f"output_layer.{d}.layer.bias" if cfg.lang_dec or True else None
+            bias = sd.get(f"output_layer.{d}.layer.bias",
+                          sd.get("output_layer.layer.bias"))
+            params[f"out_bias_{d}"] = bias
+    else:
+        for d in range(n_dec):
+            w = sd.get(f"output_layer.{d}.layer.weight",
+                       sd.get("output_layer.layer.weight"))
+            b = sd.get(f"output_layer.{d}.layer.bias",
+                       sd.get("output_layer.layer.bias"))
+            params[f"output_layers_{d}"] = {
+                "proj": {"kernel": w.T, "bias": b}}
+
+    return {"params": params}
+
+
+def import_reference_checkpoint(ckpt_dir: str, tp, dtype: str = "bfloat16"):
+    """Full pipeline: arch tuple + state_dict -> (cfg, params)."""
+    from imagetranslate_tpu.models.config import Seq2SeqConfig
+
+    (lang_dec, use_proposals, enc_layer, dec_layer, embed_dim,
+     intermediate_dim, tie_embed, resnet_depth, freeze_image) = \
+        load_reference_arch(ckpt_dir)
+    cfg = Seq2SeqConfig(
+        vocab_size=tp.vocab_size(),
+        num_languages=max(1, len(tp.languages)),
+        hidden_size=embed_dim,
+        intermediate_size=intermediate_dim,
+        enc_layers=enc_layer,
+        dec_layers=dec_layer,
+        lang_dec=lang_dec,
+        tie_embed=tie_embed,
+        use_proposals=use_proposals,
+        resnet_depth=resnet_depth,
+        freeze_image=freeze_image,
+        dtype=dtype,
+    )
+    sd = load_state_dict(ckpt_dir)
+    return cfg, import_seq2seq(sd, cfg)

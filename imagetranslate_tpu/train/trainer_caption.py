@@ -37,7 +37,8 @@ class CaptionTrainer:
                  lr: float = 1e-4, warmup: int = 4000, clip: float = 1.0,
                  accum: int = 1, beam_width: int = 4,
                  len_penalty_ratio: float = 0.8, mtl_weight: float = 0.1,
-                 label_smoothing: float = 0.1, seed: int = 0):
+                 label_smoothing: float = 0.1, mm_mode: Optional[str] = None,
+                 mask_prob: float = 0.5, seed: int = 0):
         self.cfg = cfg
         self.tp = tp
         self.model = ImageSeq2Seq(cfg)
@@ -64,6 +65,24 @@ class CaptionTrainer:
         self.mt_step = make_caption_mt_train_step(
             self.model, self.optimizer, mtl_weight=mtl_weight,
             label_smoothing=label_smoothing)
+        # Multimodal streams (reference ImageMTTrainer's image branches,
+        # train_image_mt.py:202-237): mm_mode None -> plain captioning
+        # (ImageCaptionTrainer behavior); "masked"/"contrastive"/"mixed" ->
+        # multimodal MASS / InfoNCE / a 50-50 coin per batch.
+        self.mm_mode = mm_mode
+        self.mask_prob = mask_prob
+        if mm_mode is not None:
+            from imagetranslate_tpu.train.step import (
+                make_contrastive_step,
+                make_multimodal_mass_step,
+            )
+
+            self.mm_mass_step = make_multimodal_mass_step(
+                self.model, self.optimizer, cfg,
+                n_specials=len(tp.special_tokens),
+                mask_id=tp.mask_token_id(), label_smoothing=label_smoothing)
+            self.contrastive_step = make_contrastive_step(self.model,
+                                                          self.optimizer)
 
     # ---------------- param grafting ----------------
 
@@ -111,7 +130,35 @@ class CaptionTrainer:
                         "langs": jnp.asarray(b.langs),
                         "row_mask": jnp.asarray(b.row_mask),
                     }
-                    self.state, m = self.cap_step(self.state, batch, srng)
+                    mode = self.mm_mode
+                    if mode == "mixed":
+                        import random as _random
+
+                        mode = ("masked" if _random.random() <= 0.5
+                                else "contrastive")
+                    if mode == "masked":
+                        import random as _random
+
+                        # reference: mask more than mask_prob is allowed for
+                        # image batches (train_image_mt.py:213)
+                        batch["lengths"] = jnp.asarray(b.lengths)
+                        batch["mask_prob"] = jnp.float32(
+                            _random.uniform(self.mask_prob, 1.0))
+                        self.state, m = self.mm_mass_step(self.state, batch,
+                                                          srng)
+                    elif mode == "contrastive":
+                        negs = cap_batcher.sample_negatives(
+                            b.captions.shape[0], int(self.state.step))
+                        batch["neg"] = jnp.asarray(negs)
+                        batch["neg_mask"] = jnp.asarray(
+                            negs != self.tp.pad_token_id())
+                        batch["neg_langs"] = jnp.full((negs.shape[0],),
+                                                      int(b.langs[0]),
+                                                      jnp.int32)
+                        self.state, m = self.contrastive_step(self.state,
+                                                              batch, srng)
+                    else:
+                        self.state, m = self.cap_step(self.state, batch, srng)
                 else:
                     self.state, m = self.mt_step(self.state,
                                                  mt_batch_to_device(b), srng)

@@ -52,10 +52,11 @@ class MTTrainer:
                  beam_width: int = 4, bt_beam_width: int = 1,
                  max_len_a: float = 1.1, max_len_b: int = 5,
                  len_penalty_ratio: float = 0.8, label_smoothing: float = 0.1,
-                 seed: int = 0):
+                 mesh=None, seed: int = 0):
         self.cfg = cfg
         self.tp = tp
         self.model = Seq2Seq(cfg)
+        self.mesh = mesh  # jax.sharding.Mesh for dp/tp; None = single chip
         self.rng = jax.random.PRNGKey(seed)
         self.beam_width = beam_width
         self.bt_beam_width = bt_beam_width
@@ -73,6 +74,10 @@ class MTTrainer:
             langs = jnp.zeros((B,), jnp.int32)
             params = self.model.init(init_rng, dummy, mask, dummy, mask,
                                      langs, langs)
+        if mesh is not None:
+            from imagetranslate_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
         self.optimizer = wrap_accum(
             build_optimizer(lr=lr, warmup_updates=warmup, clip_norm=clip),
             accum)
@@ -83,6 +88,18 @@ class MTTrainer:
             self.model, self.optimizer, cfg, mask_prob=mask_prob,
             n_specials=len(tp.special_tokens),
             mask_id=tp.mask_token_id(), label_smoothing=label_smoothing)
+
+    def _shard(self, batch):
+        """Batch-dim data sharding when a mesh is attached; row counts are
+        multiples of 8 by construction (loader row quantum), covering data
+        axes up to 8."""
+        if self.mesh is None:
+            return batch
+        from imagetranslate_tpu.parallel.mesh import batch_sharding
+
+        sh = batch_sharding(self.mesh)
+        return {k: (jax.device_put(v, sh) if getattr(v, "ndim", 0) >= 1 else v)
+                for k, v in batch.items()}
 
     # ---------------- decoding helpers ----------------
 
@@ -134,10 +151,10 @@ class MTTrainer:
             for kind, b in batches:
                 self.rng, step_rng = jax.random.split(self.rng)
                 if kind == "mt":
-                    batch = mt_batch_to_device(b)
+                    batch = self._shard(mt_batch_to_device(b))
                     self.state, m = self.mt_step(self.state, batch, step_rng)
                 elif kind == "mass" and not fine_tune:
-                    batch = mass_batch_to_device(b)
+                    batch = self._shard(mass_batch_to_device(b))
                     self.state, m = self.mass_step(self.state, batch, step_rng)
                 elif kind == "mass" and fine_tune:
                     m = self._bt_step(b, lang_directions, step_rng)

@@ -102,3 +102,34 @@ def test_beam_decode_over_image_grid(setup):
                                 pad_id=cfg.pad_id, eos_id=cfg.eos_id)
     assert best.shape == (2, 8)
     assert (np.asarray(best)[:, 0] == 6).all()
+
+
+def test_multimodal_and_contrastive_steps(setup):
+    """The train_image_mt.py image-branch steps execute and update params."""
+    import jax
+    from imagetranslate_tpu.train.step import (
+        create_caption_train_state,
+        make_contrastive_step,
+        make_multimodal_mass_step,
+    )
+
+    cfg, model, variables, images, caps, mask, langs = setup
+    opt = build_optimizer(lr=1e-3, warmup_updates=5)
+    state = create_caption_train_state(jax.device_get(variables), opt)
+    mm = make_multimodal_mass_step(model, opt, cfg, n_specials=5, mask_id=3,
+                                   donate=False)
+    batch = {"images": images, "captions": caps, "caption_mask": mask,
+             "langs": langs, "row_mask": jnp.ones((2,), bool),
+             "lengths": jnp.full((2,), caps.shape[1], jnp.int32),
+             "mask_prob": jnp.float32(0.5)}
+    state, m = mm(state, batch, jax.random.PRNGKey(0))
+    assert float(m["ntokens"]) > 0
+
+    con = make_contrastive_step(model, opt, donate=False)
+    batch2 = {"images": images, "captions": caps, "caption_mask": mask,
+              "langs": langs,
+              "neg": jnp.roll(caps, 1, axis=0),
+              "neg_mask": jnp.ones_like(mask),
+              "neg_langs": langs}
+    state, m2 = con(state, batch2, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m2["sum_loss"]))

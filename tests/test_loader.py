@@ -1,0 +1,128 @@
+"""Batching / binarizer tests (reference semantics: dataset.py capacity
+rules, create_mt_batches artifact format)."""
+
+import marshal
+import os
+
+import numpy as np
+import pytest
+
+from imagetranslate_tpu.data.binarize import load_mt, write_doc_blocks, write_mt
+from imagetranslate_tpu.data.loader import (
+    DocBlockDataset,
+    MassBatcher,
+    MTBatcher,
+    bucket_len,
+)
+
+
+def test_bucket_len():
+    assert bucket_len(1) == 32
+    assert bucket_len(33) == 48
+    assert bucket_len(48) == 48
+    assert bucket_len(175) == 176
+
+
+def make_examples(n=200, seed=0):
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        ls = rng.randint(3, 60)
+        ld = rng.randint(3, 60)
+        out.append(([int(x) for x in rng.randint(5, 100, ls)],
+                    [int(x) for x in rng.randint(5, 100, ld)], 0, 1))
+    out.sort(key=lambda e: len(e[1]))
+    return out
+
+
+def test_mt_batcher_shapes_and_content():
+    examples = make_examples()
+    b = MTBatcher(examples, pad_id=0, max_batch=2000, capacity_mb=600)
+    total_real = sum(int(x.row_mask.sum()) for x in b)
+    assert total_real == len(examples)
+    # Row order within batches preserves the input order (translate CLI
+    # depends on this for line-aligned output).
+    flat = []
+    for batch in b:
+        n = int(batch.row_mask.sum())
+        for i in range(n):
+            src = [t for t in batch.src[i].tolist() if t != 0]
+            flat.append(src)
+    assert flat == [e[0] for e in examples]
+    # src_sizes are true lengths; masks consistent.
+    for batch in b:
+        n = int(batch.row_mask.sum())
+        for i in range(n):
+            assert batch.src_sizes[i] == (batch.src[i] != 0).sum()
+
+
+def test_mt_batcher_capacity_budget():
+    examples = make_examples()
+    b = MTBatcher(examples, pad_id=0, max_batch=500, capacity_mb=1)
+    for batch in b:
+        rows, sb = batch.src.shape
+        db = batch.dst.shape[1]
+        # capacity rule (dataset.py:118-123): either within token budget or
+        # within cubic capacity (allow the one-extra-row slack the
+        # reference also has).
+        assert (sb + db) * rows <= 500 + (sb + db) or \
+            (sb * sb + db * db) * db * rows <= 1_000_000 * 2
+
+
+def test_mass_batcher_drops_long():
+    ex = [([5] * 40, 0), ([6] * 600, 1), ([7] * 10, 0)]
+    b = MassBatcher(ex, pad_id=0, max_seq_len=512)
+    kept = sum(int(x.row_mask.sum()) for x in b)
+    assert kept == 2
+    for batch in b:
+        assert (batch.lang_tokens == batch.src[:, 0]).all()
+
+
+def test_mt_binarize_roundtrip(tmp_path):
+    """write_mt artifacts load via marshal with the reference tuple layout."""
+    pytest.importorskip("jax")  # TextProcessor import chain is jax-free, but
+    from imagetranslate_tpu.text.processor import TextProcessor
+
+    src = tmp_path / "s.txt"
+    dst = tmp_path / "d.txt"
+    src.write_text("hello world\nfoo bar baz\n")
+    dst.write_text("bonjour monde\nfou barre\n")
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("hello world foo bar baz bonjour monde fou barre\n" * 30)
+    tp = TextProcessor()
+    tp.train_tokenizer([str(corpus)], 120, str(tmp_path / "tok"),
+                       {"<en>": 0, "<fr>": 1})
+    tp = TextProcessor(str(tmp_path / "tok"))
+    n = write_mt(tp, str(tmp_path / "out.mt"), str(src),
+                 tp.token_id("<en>"), str(dst), tp.token_id("<fr>"))
+    assert n == 2
+    examples = load_mt(str(tmp_path / "out.mt"))
+    assert len(examples) == 2
+    src_ids, dst_ids, sl, dl = examples[0]
+    assert src_ids[0] == tp.token_id("<en>")
+    assert dst_ids[0] == tp.token_id("<fr>")
+    assert src_ids[-1] == tp.sep_token_id()
+    assert (sl, dl) == (0, 1)
+    # sorted by target length
+    assert len(examples[0][1]) <= len(examples[1][1])
+
+
+def test_doc_blocks_roundtrip(tmp_path):
+    from imagetranslate_tpu.text.processor import TextProcessor
+
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("the quick brown fox jumps over the lazy dog\n" * 40)
+    tp = TextProcessor()
+    tp.train_tokenizer([str(corpus)], 120, str(tmp_path / "tok"), {"<en>": 0})
+    tp = TextProcessor(str(tmp_path / "tok"))
+    doc = tmp_path / "docs.txt"
+    doc.write_text("<en> the quick fox </s> the lazy dog </s>\n" * 25)
+    n = write_doc_blocks(tp, str(doc), str(tmp_path / "cache"), seq_len=16,
+                         sen_block_size=10)
+    ds = DocBlockDataset(str(tmp_path / "cache"))
+    assert len(ds) == n
+    assert len(ds[0]) == 16
+    batches = list(ds.batches(8, pad_id=0))
+    assert all(b["texts"].shape == (8, 16) for b in batches)
+    total_real = sum(int(b["row_mask"].sum()) for b in batches)
+    assert total_real == n
