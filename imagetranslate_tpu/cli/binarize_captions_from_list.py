@@ -1,0 +1,25 @@
+"""TSV "path\tcaption" -> caption binary (reference:
+binarize_captions_from_list.py CLI contract)."""
+import argparse
+
+def main(argv=None):
+    p = argparse.ArgumentParser("binarize_captions_from_list")
+    p.add_argument("--file", required=True)
+    p.add_argument("--output", dest="output_file", required=True)
+    p.add_argument("--lang", default=None)
+    p.add_argument("--tok", dest="tokenizer_path", required=True)
+    p.add_argument("--max-len", dest="max_len", type=int, default=256)
+    p.add_argument("--sample", dest="sample_size", type=int, default=-1)
+    options = p.parse_args(argv)
+
+    from imagetranslate_tpu.data.binarize_captions import write_from_list
+    from imagetranslate_tpu.text.processor import TextProcessor
+
+    tp = TextProcessor(options.tokenizer_path)
+    write_from_list(tp, options.output_file, options.file,
+                    max_len=options.max_len, sample_size=options.sample_size,
+                    lang=options.lang)
+    print("Finished")
+
+if __name__ == "__main__":
+    main()

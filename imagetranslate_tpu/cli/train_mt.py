@@ -54,6 +54,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-every", type=int, default=5000)
     p.add_argument("--save-every", type=int, default=10000)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--profile", dest="profile_dir", default=None,
+                   help="capture a JAX profiler trace of steps 10-15 here")
+    p.add_argument("--dict", dest="dict_path", default=None,
+                   help="lexical proposal dictionary (build_alignment_dict output)")
     p.add_argument("--bucket_step", type=int, default=16,
                    help="length bucket multiple (larger = fewer XLA shapes)")
     return p
@@ -71,6 +75,12 @@ def main(argv=None):
     tp = TextProcessor(options.tokenizer_path)
     assert tp.pad_token_id() == 0
 
+    lex_dict = None
+    if options.dict_path is not None:
+        from imagetranslate_tpu.data.loader import get_lex_dict
+
+        lex_dict = get_lex_dict(options.dict_path)
+
     if options.pretrained_path is not None:
         from imagetranslate_tpu.train.checkpoint import load_config
 
@@ -87,6 +97,7 @@ def main(argv=None):
             attention_dropout=options.dropout,
             lang_dec=options.lang_decoder,
             tie_embed=options.tie_embed,
+            use_proposals=lex_dict is not None,
             dtype=options.dtype,
         )
 
@@ -120,7 +131,8 @@ def main(argv=None):
         mt_batcher = MTBatcher(examples, pad_id=pad, max_batch=options.batch // 2,
                                capacity_mb=options.total_capacity // 2,
                                max_seq_len=options.max_seq_len,
-                               bucket_step=options.bucket_step)
+                               bucket_step=options.bucket_step,
+                               lex_dict=lex_dict)
         print(f"MT train batches: {len(mt_batcher)}")
 
     mass_batcher = None
@@ -145,7 +157,7 @@ def main(argv=None):
             max_batch=int(options.batch / (options.beam_width * 2)),
             capacity_mb=options.total_capacity,
             max_seq_len=options.max_seq_len,
-            bucket_step=options.bucket_step)
+            bucket_step=options.bucket_step, lex_dict=lex_dict)
         print(f"MT dev batches: {len(dev_batcher)}")
 
     os.makedirs(options.model_path, exist_ok=True)
@@ -156,7 +168,8 @@ def main(argv=None):
             step, options.model_path, mt_batcher=mt_batcher,
             mass_batcher=mass_batcher, dev_batcher=dev_batcher,
             max_step=options.step, eval_every=options.eval_every,
-            save_every=options.save_every, epoch_seed=epoch)
+            save_every=options.save_every, epoch_seed=epoch,
+            profile_dir=options.profile_dir if epoch == 0 else None)
         epoch += 1
 
     if options.finetune_step > 0:

@@ -30,6 +30,34 @@ def bucket_len(n: int, step: int = 16, minimum: int = 32) -> int:
     return max(minimum, ((n + step - 1) // step) * step)
 
 
+def get_lex_dict(dict_path: str) -> Dict[int, List[int]]:
+    """Parse the --dict lexical dictionary: lines of "src_id cand1 cand2 ..."
+    token ids (reference train_image_mt.py:29-36)."""
+    lex: Dict[int, List[int]] = {}
+    with open(dict_path) as dr:
+        for line in dr:
+            ids = [int(x) for x in line.strip().split(" ") if x]
+            if len(ids) >= 2:
+                lex.setdefault(ids[0], []).extend(ids[1:])
+    return lex
+
+
+def lex_proposals(ids: Sequence[int], lex_dict, pad_id: int) -> List[int]:
+    """Candidate-translation set for one source row (reference
+    get_lex_suggestions, dataset.py:23-27)."""
+    out = sorted({c for t in ids for c in lex_dict.get(int(t), ())})
+    return out if out else [pad_id]
+
+
+def pack_proposals(rows: List[List[int]], pad_id: int,
+                   step: int = 16) -> np.ndarray:
+    width = bucket_len(max(len(r) for r in rows), step)
+    arr = np.full((len(rows), width), pad_id, np.int32)
+    for i, r in enumerate(rows):
+        arr[i, :min(len(r), width)] = r[:width]
+    return arr
+
+
 def _rows_for(sb: int, db: int, max_batch: int, capacity_mb: int,
               min_rows: int = 1, row_quantum: int = 8) -> int:
     by_tokens = max_batch // (sb + db)
@@ -53,6 +81,8 @@ class MTBatch:
     src_sizes: np.ndarray  # [N] true source lengths
     row_mask: np.ndarray   # [N] bool, False for padding rows
     examples: Optional[list] = None  # original (src, dst) id lists, real rows
+    proposals: Optional[np.ndarray] = None       # [N, P] --dict candidates
+    proposal_mask: Optional[np.ndarray] = None   # [N, P]
 
 
 class MTBatcher:
@@ -62,8 +92,9 @@ class MTBatcher:
     def __init__(self, examples: Sequence[Tuple], pad_id: int = 0,
                  max_batch: int = 4000, capacity_mb: int = 600,
                  max_seq_len: int = 175, bucket_step: int = 16,
-                 keep_examples: bool = False):
+                 keep_examples: bool = False, lex_dict=None):
         self.pad_id = pad_id
+        self.lex_dict = lex_dict
         self.batches: List[MTBatch] = []
         self._build(examples, max_batch, capacity_mb, max_seq_len, bucket_step,
                     keep_examples)
@@ -121,9 +152,16 @@ class MTBatcher:
             src_langs[n:] = src_langs[0]
             dst_langs[n:] = dst_langs[0]
             src_sizes[n:] = src_sizes[0]
+        proposals = proposal_mask = None
+        if self.lex_dict is not None:
+            prop_rows = [lex_proposals(src[i], self.lex_dict, self.pad_id)
+                         for i in range(rows)]
+            proposals = pack_proposals(prop_rows, self.pad_id)
+            proposal_mask = proposals != self.pad_id
         return MTBatch(src, src != self.pad_id, dst, dst != self.pad_id,
                        src_langs, dst_langs, src_sizes, row_mask,
-                       examples=[r[:2] for r in rows_data] if keep_examples else None)
+                       examples=[r[:2] for r in rows_data] if keep_examples else None,
+                       proposals=proposals, proposal_mask=proposal_mask)
 
     def __len__(self):
         return len(self.batches)

@@ -96,6 +96,8 @@ def beam_search(
     first_tokens: jnp.ndarray,  # [B] initial (target-language) token
     tgt_langs: jnp.ndarray,     # [B] target language index
     src_sizes: Optional[jnp.ndarray] = None,  # [B] true source lengths
+    proposals: Optional[jnp.ndarray] = None,       # [B, P] --dict candidates
+    proposal_mask: Optional[jnp.ndarray] = None,   # [B, P]
     *,
     beam_width: int = 4,
     max_len: int = 128,
@@ -123,6 +125,9 @@ def beam_search(
     mask_k = jnp.repeat(src_mask, K, axis=0)
     cross_bias = pad_bias(mask_k)
     langs_k = jnp.repeat(tgt_langs, K, axis=0)
+    prop_k = jnp.repeat(proposals, K, axis=0) if proposals is not None else None
+    pmask_k = (jnp.repeat(proposal_mask, K, axis=0)
+               if proposal_mask is not None else None)
 
     cache = model.apply(params, enc_k, B * K, L, lang_idx,
                         method=type(model).init_cache)
@@ -150,7 +155,8 @@ def beam_search(
         prev = prev.reshape(B * K, 1)
         logits, new_cache = model.apply(
             params, prev, _merge_cache(st.cache, static_cache), i - 1,
-            cross_bias, langs_k, lang_idx, method=type(model).decode_step)
+            cross_bias, langs_k, lang_idx, proposals=prop_k,
+            proposal_mask=pmask_k, method=type(model).decode_step)
         new_cache, _ = _split_cache(new_cache)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 

@@ -49,6 +49,27 @@ class ImageSeq2Seq(nn.Module):
         # Contrastive pooling heads (image_model.py:142-143).
         self.image_attention = AttentionPool(cfg)
         self.encoder_attention = AttentionPool(cfg)
+        if cfg.use_obj:
+            # Object stream (image_model.py:279-296): a second decoder over
+            # per-detection features, blended by sigmoid(multistream gate).
+            # Detection features arrive precomputed ([B, O, Df] + labels):
+            # box feats + 7 geometry feats -> ReLU Linear; label embedding
+            # over the 91 COCO classes (image_model.py:44-75, 111-122).
+            from imagetranslate_tpu.models.transformer import (
+                Decoder,
+                dense_init,
+            )
+
+            self.obj_decoder = Decoder(cfg)
+            self.multistream_attention_gate = self.param(
+                "multistream_attention_gate", nn.initializers.constant(0.1),
+                (1, cfg.hidden_size))
+            self.object_embedding = nn.Embed(91, cfg.hidden_size,
+                                             embedding_init=dense_init(cfg),
+                                             dtype=cfg.compute_dtype)
+            self.object_feat_fc = nn.Dense(cfg.hidden_size, use_bias=False,
+                                           kernel_init=dense_init(cfg),
+                                           dtype=cfg.compute_dtype)
 
     def init_everything(self, images, captions, caption_mask, langs):
         """Initialization entry point that touches EVERY submodule (text
@@ -114,6 +135,46 @@ class ImageSeq2Seq(nn.Module):
                                    causal_pad_bias(dec_mask),
                                    pad_bias(enc_mask), deterministic)
         return core.project(hidden, lang_idx), hidden
+
+    def encode_objects(self, box_features, object_labels,
+                       deterministic: bool = True):
+        """Precomputed detections -> object-stream states [B, O, E]
+        (image_model.py:53-75): [box_feat | 7 geometry] -> ReLU Linear,
+        plus a label embedding; label 0 rows are padding."""
+        feats = self.object_feat_fc(box_features.astype(self.cfg.compute_dtype))
+        emb = self.object_embedding(object_labels)
+        out = nn.relu(feats + emb)
+        keep = object_labels != 0
+        return jnp.where(keep[..., None], out, 0.0), keep
+
+    def caption_forward_with_objects(self, images, box_features,
+                                     object_labels, captions, caption_mask,
+                                     langs, train: bool = False,
+                                     deterministic: bool = True):
+        """Dual-stream captioning (image_model.py:352-366): grid-decoder and
+        object-decoder outputs blended by sigmoid(multistream gate)."""
+        core = self.core
+        grid = self.encode_images(images, train, deterministic)
+        obj_states, obj_keep = self.encode_objects(box_features,
+                                                   object_labels,
+                                                   deterministic)
+        B, T = captions.shape
+        lang_idx = langs.reshape(-1)[0].astype(jnp.int32)
+        dec_in = captions[:, :-1]
+        dm = caption_mask[:, :-1]
+        lang_ids = expand_langs(langs, T)[:, :-1]
+        pos = jnp.broadcast_to(jnp.arange(T - 1)[None, :], (B, T - 1))
+        x = core.embeddings(dec_in, pos, lang_ids, deterministic)
+        self_bias = causal_pad_bias(dm)
+        grid_mask = jnp.ones(grid.shape[:2], bool)
+        main_out = core._run_decoder(lang_idx, x, grid, self_bias,
+                                     pad_bias(grid_mask), deterministic)
+        obj_out = self.obj_decoder(x, obj_states, self_bias,
+                                   pad_bias(obj_keep), deterministic)
+        gate = jax.nn.sigmoid(self.multistream_attention_gate + 1e-7)
+        gate = gate.astype(main_out.dtype)
+        blended = gate * main_out + (1.0 - gate) * obj_out
+        return core.project(blended, lang_idx)
 
     def multimodal_mass_forward(self, images, src_ids, src_mask, src_langs,
                                 dec_inputs, dec_mask, tgt_positions,

@@ -34,6 +34,17 @@ from imagetranslate_tpu.ops.losses import nll_loss, smoothed_nll_loss
 from imagetranslate_tpu.ops.masking import mass_mask
 
 
+def _loss_impl(model):
+    """Pick the fused Pallas softmax-xent when the model config asks for it
+    (cfg.use_pallas_xent); identical math either way (ops/xent_pallas.py)."""
+    cfg = getattr(model, "cfg", None)
+    if cfg is not None and getattr(cfg, "use_pallas_xent", False):
+        from imagetranslate_tpu.ops.xent_pallas import smoothed_nll_loss_pallas
+
+        return smoothed_nll_loss_pallas
+    return smoothed_nll_loss
+
+
 @flax.struct.dataclass
 class TrainState:
     params: Any
@@ -60,16 +71,20 @@ def _apply_update(state: TrainState, grads, optimizer) -> TrainState:
 
 def make_mt_train_step(model, optimizer, label_smoothing: float = 0.1,
                        donate: bool = True) -> Callable:
+    loss_fn_impl = _loss_impl(model)
+
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         def loss_fn(params):
             logits = model.apply(
                 params, batch["src"], batch["src_mask"], batch["dst"],
                 batch["dst_mask"], batch["src_langs"], batch["dst_langs"],
                 tgt_positions=batch.get("tgt_positions"),
+                proposals=batch.get("proposals"),
+                proposal_mask=batch.get("proposal_mask"),
                 deterministic=False, rngs={"dropout": rng})
             mask = batch["dst_mask"][:, 1:] & batch["row_mask"][:, None]
-            sum_l, n = smoothed_nll_loss(logits, batch["dst"][:, 1:], mask,
-                                         epsilon=label_smoothing)
+            sum_l, n = loss_fn_impl(logits, batch["dst"][:, 1:], mask,
+                                    epsilon=label_smoothing)
             n = jnp.maximum(n, 1.0)
             return sum_l / n, (sum_l, n)
 
@@ -108,7 +123,7 @@ def make_mass_train_step(model, optimizer, cfg: Seq2SeqConfig,
                 tgt_positions=masked.positions,
                 deterministic=False, rngs={"dropout": r_drop})
             mask = dec_mask[:, 1:] & batch["row_mask"][:, None]
-            sum_l, n = smoothed_nll_loss(logits, masked.dec_inputs[:, 1:],
+            sum_l, n = _loss_impl(model)(logits, masked.dec_inputs[:, 1:],
                                          mask, epsilon=label_smoothing)
             n = jnp.maximum(n, 1.0)
             return sum_l / n, (sum_l, n)
@@ -390,6 +405,9 @@ def mt_batch_to_device(b, tgt_positions=None) -> Dict[str, jnp.ndarray]:
     }
     if tgt_positions is not None:
         out["tgt_positions"] = jnp.asarray(tgt_positions)
+    if getattr(b, "proposals", None) is not None:
+        out["proposals"] = jnp.asarray(b.proposals)
+        out["proposal_mask"] = jnp.asarray(b.proposal_mask)
     return out
 
 

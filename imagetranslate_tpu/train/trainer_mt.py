@@ -129,10 +129,13 @@ class MTTrainer:
                     max_step: int = 300_000, fine_tune: bool = False,
                     lang_directions: Optional[Dict[int, int]] = None,
                     eval_every: int = 5000, save_every: int = 10_000,
-                    log_every: int = 50, epoch_seed: int = 0) -> int:
+                    log_every: int = 50, epoch_seed: int = 0,
+                    profile_dir: Optional[str] = None) -> int:
         from imagetranslate_tpu.utils.metrics import StepMeter
+        from imagetranslate_tpu.utils.profiling import StepProfiler
 
         meter = StepMeter(log_every=log_every)
+        profiler = StepProfiler(profile_dir, start=step + 10, stop=step + 15)
         streams = []
         if mass_batcher is not None:
             streams.append(("mass", mass_batcher.shuffled(epoch_seed)))
@@ -161,6 +164,7 @@ class MTTrainer:
                     if m is None:
                         continue
                 step += 1
+                profiler.tick(step)
                 meter.update(step, float(m["sum_loss"]), float(m["ntokens"]))
                 if dev_batcher is not None and step % eval_every == 0:
                     bleu = self.eval_bleu(dev_batcher, saving_path)
@@ -172,6 +176,7 @@ class MTTrainer:
             if step >= max_step:
                 break
 
+        profiler.close()
         print(f"Total loss in this epoch: {meter.epoch_loss():.4f}", flush=True)
         self._save(saving_path + ".latest", step)
         if dev_batcher is not None:

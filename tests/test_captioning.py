@@ -133,3 +133,30 @@ def test_multimodal_and_contrastive_steps(setup):
               "neg_langs": langs}
     state, m2 = con(state, batch2, jax.random.PRNGKey(1))
     assert np.isfinite(float(m2["sum_loss"]))
+
+
+def test_object_stream_forward():
+    """Dual-stream captioning with precomputed detections (use_obj)."""
+    cfg = tiny_config(vocab_size=64).replace(use_obj=True)
+    model = ImageSeq2Seq(cfg)
+    rng = jax.random.PRNGKey(0)
+    B, T, O, DF = 2, 6, 5, 16
+    images = jax.random.normal(rng, (B, IMG, IMG, 3), jnp.float32)
+    caps = jax.random.randint(rng, (B, T), 5, cfg.vocab_size)
+    mask = jnp.ones((B, T), bool)
+    langs = jnp.zeros((B,), jnp.int32)
+    box_feats = jax.random.normal(rng, (B, O, DF), jnp.float32)
+    labels = jnp.array([[3, 7, 0, 0, 0], [1, 2, 3, 4, 0]], jnp.int32)
+    variables = model.init(rng, images, box_feats, labels, caps, mask, langs,
+                           method=ImageSeq2Seq.caption_forward_with_objects)
+    logits = model.apply(variables, images, box_feats, labels, caps, mask,
+                         langs,
+                         method=ImageSeq2Seq.caption_forward_with_objects)
+    assert logits.shape == (B, T - 1, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+    # padded detections (label 0) must not influence output
+    bf2 = box_feats.at[0, 2:].set(99.0)
+    logits2 = model.apply(variables, images, bf2, labels, caps, mask, langs,
+                          method=ImageSeq2Seq.caption_forward_with_objects)
+    np.testing.assert_allclose(np.asarray(logits[0]), np.asarray(logits2[0]),
+                               atol=2e-3)
