@@ -25,3 +25,13 @@ TPU-first framework with the same capabilities:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache (respects a user-set value). TPU compiles
+# of the big jitted programs are expensive; caching them across processes
+# makes CLI reruns start in seconds instead of minutes.
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "imagetranslate_tpu_xla"),
+)

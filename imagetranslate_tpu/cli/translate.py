@@ -35,6 +35,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--len-penalty", dest="len_penalty_ratio", type=float,
                    default=0.8)
     p.add_argument("--capacity", dest="total_capacity", type=int, default=600)
+    p.add_argument("--dict", dest="dict_path", default=None,
+                   help="lexical proposal dictionary")
     return p
 
 
@@ -59,7 +61,11 @@ def build_model(options):
 
 
 def build_batches(options, tp):
-    from imagetranslate_tpu.data.loader import MTBatcher
+    from imagetranslate_tpu.data.loader import MTBatcher, get_lex_dict
+
+    lex_dict = None
+    if getattr(options, "dict_path", None):
+        lex_dict = get_lex_dict(options.dict_path)
 
     src_lang_tok = f"<{options.src_lang}>"
     dst_lang_tok = f"<{options.target_lang}>"
@@ -76,7 +82,8 @@ def build_batches(options, tp):
             examples.append((ids, fixed_output, src_lang_type, dst_lang_type))
     return MTBatcher(examples, pad_id=tp.pad_token_id(),
                      max_batch=options.batch,
-                     capacity_mb=options.total_capacity, max_seq_len=10000)
+                     capacity_mb=options.total_capacity, max_seq_len=10000,
+                     lex_dict=lex_dict)
 
 
 def translate_batches(model, cfg, params, tp, batcher, options,
@@ -95,10 +102,15 @@ def translate_batches(model, cfg, params, tp, batcher, options,
                           jnp.asarray(b.src_langs), method=Seq2Seq.encode)
         L = max_len_for(b.src.shape[1], options.max_len_a, options.max_len_b,
                         cfg.max_position_embeddings)
+        props = (jnp.asarray(b.proposals)
+                 if b.proposals is not None else None)
+        pmask = (jnp.asarray(b.proposal_mask)
+                 if b.proposal_mask is not None else None)
         best, lengths = beam_search(
             model, params, enc, jnp.asarray(b.src_mask),
             jnp.asarray(b.dst[:, 0]), jnp.asarray(b.dst_langs),
-            jnp.asarray(b.src_sizes), beam_width=options.beam_width,
+            jnp.asarray(b.src_sizes), props, pmask,
+            beam_width=options.beam_width,
             max_len=L, max_len_a=options.max_len_a,
             max_len_b=options.max_len_b,
             len_penalty_ratio=options.len_penalty_ratio,

@@ -239,7 +239,11 @@ class Decoder(nn.Module):
     cfg: Seq2SeqConfig
 
     def setup(self):
-        self.layers = [DecoderLayer(self.cfg) for _ in range(self.cfg.dec_layers)]
+        # remat wraps __call__ only; .step/.init_cross_kv (inference paths,
+        # no grads) go through the plain class.
+        cls = (nn.remat(DecoderLayer, static_argnums=(5,))
+               if self.cfg.remat else DecoderLayer)
+        self.layers = [cls(self.cfg) for _ in range(self.cfg.dec_layers)]
 
     def __call__(self, x, enc, self_bias, cross_bias, deterministic: bool = True):
         for layer in self.layers:

@@ -30,6 +30,18 @@ def _pick_block(n: int, candidates=(256, 128, 64, 32, 16, 8)) -> int:
     return 0
 
 
+def _pick_kv_block(s: int) -> int:
+    """K/V tile along S. S is the LAST dim of the transposed K block, so it
+    must be a multiple of 128 or the full extent; full-S tiles are fine in
+    VMEM up to a few thousand (64 x S x 4B per tile)."""
+    if s <= 2048:
+        return s
+    for c in (2048, 1024, 512, 256, 128):
+        if s % c == 0:
+            return c
+    return 0
+
+
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *,
             scale: float, has_bias: bool):
     s_idx = pl.program_id(3)
@@ -77,7 +89,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if D % 8 != 0:
         return None
     Tb = _pick_block(T)
-    Sb = _pick_block(S)
+    Sb = _pick_kv_block(S)
     if Tb < 8 or Sb < 8 or T < 8 or S < 8:
         return None
 

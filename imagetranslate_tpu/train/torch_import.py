@@ -147,6 +147,57 @@ def import_seq2seq(sd: Dict[str, np.ndarray], cfg) -> dict:
     return {"params": params}
 
 
+def _conv(w):
+    return w.transpose(2, 3, 1, 0)  # torch OIHW -> flax HWIO
+
+
+def _bn(sd, prefix):
+    return (
+        {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]},
+        {"mean": sd[f"{prefix}.running_mean"],
+         "var": sd[f"{prefix}.running_var"]},
+    )
+
+
+def import_torchvision_resnet(sd: Dict[str, np.ndarray], depth_key: str,
+                              stage_sizes) -> tuple:
+    """torchvision resnet state_dict -> (params, batch_stats) for
+    models.resnet trunk naming (conv1/bn1/layerS_J...). Used both for
+    warm-starting ResNetGrid (ModifiedResnet parity, image_model.py:85-99)
+    and the detector backbone."""
+    params: Dict = {}
+    stats: Dict = {}
+    params["conv1"] = {"kernel": _conv(sd["conv1.weight"])}
+    params["bn1"], stats["bn1"] = _bn(sd, "bn1")
+    for s, blocks in enumerate(stage_sizes):
+        for j in range(blocks):
+            t = f"layer{s + 1}.{j}"
+            name = f"layer{s + 1}_{j}"
+            p: Dict = {}
+            st: Dict = {}
+            convs = [k for k in ("conv1", "conv2", "conv3")
+                     if f"{t}.{k}.weight" in sd]
+            for c in convs:
+                p[c] = {"kernel": _conv(sd[f"{t}.{c}.weight"])}
+                p[f"bn{c[-1]}"], st[f"bn{c[-1]}"] = _bn(sd, f"{t}.bn{c[-1]}")
+            if f"{t}.downsample.0.weight" in sd:
+                p["downsample_conv"] = {
+                    "kernel": _conv(sd[f"{t}.downsample.0.weight"])}
+                p["downsample_bn"], st["downsample_bn"] = _bn(
+                    sd, f"{t}.downsample.1")
+            params[name] = p
+            stats[name] = st
+    return params, stats
+
+
+def import_torchvision_resnet_grid(sd: Dict[str, np.ndarray], stage_sizes):
+    """state_dict of a torchvision classifier resnet -> variables for
+    ResNetGrid (the fc/location_embedding stay randomly initialized, as the
+    reference replaces them too, image_model.py:107-115)."""
+    params, stats = import_torchvision_resnet(sd, "", stage_sizes)
+    return {"params": params, "batch_stats": stats}
+
+
 def import_reference_checkpoint(ckpt_dir: str, tp, dtype: str = "bfloat16"):
     """Full pipeline: arch tuple + state_dict -> (cfg, params)."""
     from imagetranslate_tpu.models.config import Seq2SeqConfig

@@ -167,8 +167,16 @@ class MTTrainer:
                 profiler.tick(step)
                 meter.update(step, float(m["sum_loss"]), float(m["ntokens"]))
                 if dev_batcher is not None and step % eval_every == 0:
-                    bleu = self.eval_bleu(dev_batcher, saving_path)
-                    print(f"BLEU: {bleu:.2f}", flush=True)
+                    try:
+                        bleu = self.eval_bleu(dev_batcher, saving_path)
+                        print(f"BLEU: {bleu:.2f}", flush=True)
+                    except Exception:
+                        # Keep training if an eval decode fails (reference
+                        # swallows per-batch RuntimeErrors the same way,
+                        # train_image_mt.py:327-333) — but print the cause.
+                        import traceback
+
+                        traceback.print_exc()
                 if step % save_every == 0:
                     self._save(saving_path + ".latest", step)
                 if step >= max_step:
@@ -180,8 +188,13 @@ class MTTrainer:
         print(f"Total loss in this epoch: {meter.epoch_loss():.4f}", flush=True)
         self._save(saving_path + ".latest", step)
         if dev_batcher is not None:
-            bleu = self.eval_bleu(dev_batcher, saving_path)
-            print(f"BLEU: {bleu:.2f}", flush=True)
+            try:
+                bleu = self.eval_bleu(dev_batcher, saving_path)
+                print(f"BLEU: {bleu:.2f}", flush=True)
+            except Exception:
+                import traceback
+
+                traceback.print_exc()
         return step
 
     def _bt_step(self, b, lang_directions: Dict[int, int], rng):

@@ -169,3 +169,28 @@ def test_mass_positions_affect_output(cfg, model_and_params):
     out2 = model.apply(params, src, src_mask, tgt, tgt_mask, langs, langs,
                        tgt_positions=pos2)
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_remat_variant(cfg):
+    """cfg.remat wraps encoder+decoder layers; forward, grads, and the
+    KV-cache decode path must all still work."""
+    cfg2 = cfg.replace(remat=True)
+    model = Seq2Seq(cfg2)
+    rng = jax.random.PRNGKey(11)
+    src, src_mask, tgt, tgt_mask, langs = make_batch(rng, cfg2)
+    params = model.init(rng, src, src_mask, tgt, tgt_mask, langs, langs)
+
+    def loss(p):
+        logits = model.apply(p, src, src_mask, tgt, tgt_mask, langs, langs)
+        return jnp.sum(logits ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+    # decode path unaffected
+    enc = model.apply(params, src, src_mask, langs, method=Seq2Seq.encode)
+    cache = model.apply(params, enc, src.shape[0], 4, method=Seq2Seq.init_cache)
+    from imagetranslate_tpu.models.transformer import pad_bias
+    logits, _ = model.apply(params, tgt[:, :1], cache, 0, pad_bias(src_mask),
+                            langs, method=Seq2Seq.decode_step)
+    assert logits.shape == (src.shape[0], cfg2.vocab_size)

@@ -53,9 +53,14 @@ def test_supervised_then_bt(tp, tmp_path):
                     capacity_mb=600)
     save = str(tmp_path / "model")
 
-    step = trainer.train_epoch(0, save, mt_batcher=mt, dev_batcher=dev,
-                               max_step=30, eval_every=1000, save_every=1000,
-                               log_every=10)
+    step, epoch = 0, 0
+    while step < 30:
+        step = trainer.train_epoch(step, save, mt_batcher=mt,
+                                   dev_batcher=dev if step >= 20 else None,
+                                   max_step=30, eval_every=1000,
+                                   save_every=1000, log_every=10,
+                                   epoch_seed=epoch)
+        epoch += 1
     assert step == 30
     # Epoch end wrote the rolling checkpoint and ran eval (best slot + transcript).
     assert os.path.exists(os.path.join(save + ".latest", "params.msgpack"))
