@@ -47,6 +47,19 @@ def save_checkpoint(out_dir: str, cfg: Seq2SeqConfig, params,
         json.dump(meta, f)
 
 
+def cast_params(params, dtype=jnp.bfloat16):
+    """Cast floating-point leaves for inference (halves HBM traffic per
+    decode step vs f32 masters). LayerNorm scales/biases are tiny; casting
+    them too is fine at bf16 for generation."""
+
+    def c(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(c, params)
+
+
 def load_config(out_dir: str) -> Seq2SeqConfig:
     with open(os.path.join(out_dir, "config.json")) as f:
         return Seq2SeqConfig.from_json(f.read())
