@@ -37,6 +37,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--capacity", dest="total_capacity", type=int, default=600)
     p.add_argument("--dict", dest="dict_path", default=None,
                    help="lexical proposal dictionary")
+    p.add_argument("--bucket_step", type=int, default=16,
+                   help="length bucket multiple (larger = fewer XLA shapes)")
     return p
 
 
@@ -83,6 +85,7 @@ def build_batches(options, tp):
     return MTBatcher(examples, pad_id=tp.pad_token_id(),
                      max_batch=options.batch,
                      capacity_mb=options.total_capacity, max_seq_len=10000,
+                     bucket_step=getattr(options, "bucket_step", 16),
                      lex_dict=lex_dict)
 
 

@@ -51,3 +51,48 @@ def test_odd_shapes_fall_back():
     rows = smoothed_xent_rows(logits, targets, 0.1)
     assert rows.shape == (7,)
     assert np.isfinite(np.asarray(rows)).all()
+
+
+def test_mt_step_with_pallas_xent():
+    """The fused loss slots into the jitted MT train step (tiny cfg,
+    interpret mode on CPU) and trains identically in expectation."""
+    from imagetranslate_tpu.models.config import tiny_config
+    from imagetranslate_tpu.models.seq2seq import Seq2Seq
+    from imagetranslate_tpu.train.optimizer import build_optimizer
+    from imagetranslate_tpu.train.step import (
+        create_train_state,
+        make_mt_train_step,
+    )
+
+    cfg = tiny_config(vocab_size=128).replace(use_pallas_xent=True)
+    model = Seq2Seq(cfg)
+    rng = jax.random.PRNGKey(0)
+    B, S = 8, 16
+    src = jax.random.randint(rng, (B, S), 5, cfg.vocab_size)
+    batch = {
+        "src": src, "src_mask": jnp.ones((B, S), bool),
+        "dst": jax.random.randint(jax.random.PRNGKey(1), (B, S), 5,
+                                  cfg.vocab_size),
+        "dst_mask": jnp.ones((B, S), bool),
+        "src_langs": jnp.zeros((B,), jnp.int32),
+        "dst_langs": jnp.zeros((B,), jnp.int32),
+        "row_mask": jnp.ones((B,), bool),
+    }
+    params = model.init(rng, batch["src"], batch["src_mask"], batch["dst"],
+                        batch["dst_mask"], batch["src_langs"],
+                        batch["dst_langs"])
+    opt = build_optimizer(lr=1e-3, warmup_updates=5)
+    state = create_train_state(params, opt)
+    step = make_mt_train_step(model, opt, donate=False)
+    state, m = step(state, batch, jax.random.PRNGKey(2))
+    loss = float(m["sum_loss"]) / float(m["ntokens"])
+    assert np.isfinite(loss)
+    # equals the XLA-loss step's value on the same inputs
+    cfg2 = cfg.replace(use_pallas_xent=False)
+    model2 = Seq2Seq(cfg2)
+    step2 = make_mt_train_step(model2, opt, donate=False)
+    state2 = create_train_state(params, opt)
+    state2, m2 = step2(state2, batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(loss,
+                               float(m2["sum_loss"]) / float(m2["ntokens"]),
+                               rtol=1e-4)
