@@ -45,32 +45,42 @@ def main():
     params = model.init(rng, src, src_mask, dst, jnp.ones((B, S), bool),
                         langs, langs)
 
-    # ---- beam-4 decode throughput ----
+    # ---- beam-4 decode throughput (bf16 inference params) ----
+    from imagetranslate_tpu.train.checkpoint import cast_params
+
+    infer_params = cast_params(params)
     L = max_len_for(S, 1.3, 5, cfg.max_position_embeddings)  # 88
-    src_sizes = jnp.full((B,), S, jnp.int32)
-    first = jnp.full((B,), 6, jnp.int32)
 
     # eos_id outside the vocab: a random-init model emits EOS almost
     # immediately, which would measure early termination instead of decode
     # throughput. Full-length decode = worst case = honest tokens/sec.
-    def run_decode():
-        enc = model.apply(params, src, src_mask, langs, method=Seq2Seq.encode)
-        best, lengths = beam_search(
-            model, params, enc, src_mask, first, langs, src_sizes,
-            beam_width=4, max_len=L, len_penalty_ratio=0.8,
-            pad_id=cfg.pad_id, eos_id=-1)
-        return best, lengths
+    def measure_decode(batch_size, iters=3):
+        b_src = jax.random.randint(rng, (batch_size, S), 5, cfg.vocab_size)
+        b_mask = jnp.ones((batch_size, S), bool)
+        b_langs = jnp.zeros((batch_size,), jnp.int32)
+        b_sizes = jnp.full((batch_size,), S, jnp.int32)
+        b_first = jnp.full((batch_size,), 6, jnp.int32)
 
-    best, lengths = run_decode()  # compile
-    jax.block_until_ready(best)
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        best, lengths = run_decode()
-    jax.block_until_ready(best)
-    dt = (time.perf_counter() - t0) / iters
-    out_tokens = float(jnp.sum(lengths))  # == B * per-row max len here
-    decode_tps = out_tokens / dt
+        def run():
+            enc = model.apply(infer_params, b_src, b_mask, b_langs,
+                              method=Seq2Seq.encode)
+            return beam_search(
+                model, infer_params, enc, b_mask, b_first, b_langs, b_sizes,
+                beam_width=4, max_len=L, len_penalty_ratio=0.8,
+                pad_id=cfg.pad_id, eos_id=-1)
+
+        best, lengths = run()  # compile
+        jax.block_until_ready(best)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            best, lengths = run()
+        jax.block_until_ready(best)
+        dt = (time.perf_counter() - t0) / iters
+        return float(jnp.sum(lengths)) / dt
+
+    per_batch = {b: measure_decode(b) for b in (B, 256)}
+    decode_B = max(per_batch, key=per_batch.get)
+    decode_tps = per_batch[decode_B]
 
     # ---- train step throughput ----
     optimizer = build_optimizer(lr=1e-4)
@@ -84,6 +94,7 @@ def main():
     }
     state, m = step_fn(state, batch, rng)  # compile
     jax.block_until_ready(m["sum_loss"])
+    iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step_fn(state, batch, rng)
@@ -106,7 +117,9 @@ def main():
         "unit": "tokens/sec",
         "vs_baseline": round(vs, 3),
         "train_tokens_per_sec": round(train_tps, 1),
-        "decode_batch": B, "decode_src_len": S, "decode_max_len": L,
+        "decode_batch": decode_B, "decode_src_len": S, "decode_max_len": L,
+        "decode_tps_per_batch": {str(k): round(v, 1)
+                                 for k, v in per_batch.items()},
         "device": str(jax.devices()[0]),
     }))
 

@@ -2,7 +2,7 @@
 (reference scripts/remove_punctuation.py). argv: input output"""
 import sys
 
-PUNCT = set("""!()-[]{};:'"\,<>./?@#$%^&*_~؛،؟!""")
+PUNCT = set("!()-[]{};:'\"\\,<>./?@#$%^&*_~؛،؟")
 
 def main():
     with open(sys.argv[1]) as r, open(sys.argv[2], "w") as w:
