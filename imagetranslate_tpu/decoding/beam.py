@@ -232,3 +232,135 @@ def trim_outputs(best, lengths, remove_first_token: bool = False):
         start = 1 if remove_first_token else 0
         out.append([int(t) for t in row[start:int(ln)]])
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "beam_width", "max_len", "len_penalty_ratio",
+                     "pad_id", "eos_id", "max_len_a", "max_len_b"),
+)
+def beam_search_dual(
+    model,
+    params,
+    enc_text: jnp.ndarray,      # [B, S, E] text-encoder states
+    text_mask: jnp.ndarray,     # [B, S]
+    grid: jnp.ndarray,          # [B, G, E] image grid
+    first_tokens: jnp.ndarray,
+    tgt_langs: jnp.ndarray,
+    src_sizes: Optional[jnp.ndarray] = None,
+    *,
+    beam_width: int = 4,
+    max_len: int = 128,
+    max_len_a: float = 1.3,
+    max_len_b: int = 5,
+    len_penalty_ratio: float = 0.8,
+    pad_id: int = 0,
+    eos_id: int = 4,
+):
+    """Gated dual-stream beam search (reference seq_gen.py:180-188): every
+    step decodes against the text encoding AND the image grid, blending the
+    two decoder outputs with the learned multimodal gate. Same selection
+    semantics as `beam_search`."""
+    B, S, E = enc_text.shape
+    K, L = beam_width, max_len
+    lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
+
+    if src_sizes is None:
+        max_lens = jnp.full((B,), L, jnp.int32)
+    else:
+        per_row = jnp.floor(max_len_a * src_sizes.astype(jnp.float32)
+                            + max_len_b).astype(jnp.int32)
+        max_lens = jnp.minimum(per_row, L)
+
+    text_k = jnp.repeat(enc_text, K, axis=0)
+    mask_k = jnp.repeat(text_mask, K, axis=0)
+    grid_k = jnp.repeat(grid, K, axis=0)
+    cb_text = pad_bias(mask_k)
+    cb_img = pad_bias(jnp.ones(grid_k.shape[:2], bool))
+    langs_k = jnp.repeat(tgt_langs, K, axis=0)
+
+    cache = model.apply(params, text_k, grid_k, B * K, L, lang_idx,
+                        method=type(model).init_dual_cache)
+    dyn_cache, static_cache = _split_cache_nested(cache)
+
+    tokens = jnp.full((B, K, L), pad_id, jnp.int32)
+    tokens = tokens.at[:, :, 0].set(first_tokens[:, None])
+    scores = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.float32), jnp.full((B, K - 1), NEG, jnp.float32)],
+        axis=1) if K > 1 else jnp.zeros((B, K), jnp.float32)
+
+    def penalty(sizes):
+        return jnp.power((sizes + 6.0) / 6.0, len_penalty_ratio)
+
+    def cond(st: BeamState):
+        return (st.i < L) & ~jnp.all(st.finished)
+
+    def body(st: BeamState):
+        i = st.i
+        prev = jax.lax.dynamic_slice_in_dim(st.tokens, i - 1, 1, axis=2)
+        prev = prev.reshape(B * K, 1)
+        logits, new_cache = model.apply(
+            params, prev, _merge_cache_nested(st.cache, static_cache), i - 1,
+            cb_text, cb_img, langs_k, lang_idx,
+            method=type(model).decode_step_dual)
+        new_cache, _ = _split_cache_nested(new_cache)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+        top_logp, top_word = jax.lax.top_k(logp, K)
+        top_logp = top_logp.reshape(B, K, K)
+        top_word = top_word.reshape(B, K, K).astype(jnp.int32)
+
+        row_done = (max_lens < i + 1)[:, None]
+        frozen = st.finished | row_done
+        slot0 = jnp.arange(K)[None, None, :] == 0
+        cand_logp = jnp.where(frozen[:, :, None],
+                              jnp.where(slot0, 0.0, NEG), top_logp)
+        cand_word = jnp.where(frozen[:, :, None], pad_id, top_word)
+        cand = st.scores[:, :, None] + cand_logp
+        if K > 1:
+            cand = cand / penalty(st.sizes)[:, :, None]
+        flat = cand.reshape(B, K * K)
+        top_scores, top_idx = jax.lax.top_k(flat, K)
+        beam_idx = top_idx // K
+        word = jnp.take_along_axis(cand_word.reshape(B, K * K), top_idx,
+                                   axis=1)
+        parent_tokens = jnp.take_along_axis(st.tokens, beam_idx[:, :, None],
+                                            axis=1)
+        new_tokens = jax.lax.dynamic_update_slice_in_dim(
+            parent_tokens, word[:, :, None], i, axis=2)
+        parent_sizes = jnp.take_along_axis(st.sizes, beam_idx, axis=1)
+        new_sizes = parent_sizes + (word != pad_id).astype(jnp.float32)
+        parent_finished = jnp.take_along_axis(frozen, beam_idx, axis=1)
+        new_finished = parent_finished | (word == eos_id)
+        new_cache = _gather_beams(new_cache, beam_idx, B, K)
+        return BeamState(i + 1, new_tokens, top_scores, new_sizes,
+                         new_finished, new_cache)
+
+    init = BeamState(
+        i=jnp.asarray(1, jnp.int32),
+        tokens=tokens,
+        scores=scores,
+        sizes=jnp.zeros((B, K), jnp.float32),
+        finished=jnp.zeros((B, K), jnp.bool_),
+        cache=dyn_cache,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    best = final.tokens[:, 0, :]
+    is_eos = best == eos_id
+    any_eos = jnp.any(is_eos, axis=1)
+    first_eos = jnp.argmax(is_eos, axis=1)
+    lengths = jnp.where(any_eos, first_eos, max_lens)
+    return best, lengths
+
+
+def _split_cache_nested(dual):
+    """_split_cache over a {"text": cache, "img": cache} pair."""
+    dyn, static = {}, {}
+    for stream, cache in dual.items():
+        dyn[stream], static[stream] = _split_cache(cache)
+    return dyn, static
+
+
+def _merge_cache_nested(dyn, static):
+    return {stream: _merge_cache(dyn[stream], static[stream])
+            for stream in dyn}

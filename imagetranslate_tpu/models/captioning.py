@@ -253,3 +253,39 @@ class ImageSeq2Seq(nn.Module):
         return self.core.decode_step(prev_token, cache, index, cross_bias,
                                      tgt_langs, lang_idx=lang_idx,
                                      positions=positions)
+
+    # ---------------- gated dual-stream decoding (seq_gen.py:180-188):
+    # run the decoder against the text encoding AND the image grid with
+    # separate KV caches, sigmoid-gate the two hidden states, project once.
+
+    def init_dual_cache(self, enc_text, grid, batch: int, max_len: int,
+                        lang_idx=0):
+        return {
+            "text": self.core.init_cache(enc_text, batch, max_len, lang_idx),
+            "img": self.core.init_cache(grid, batch, max_len, lang_idx),
+        }
+
+    def decode_step_dual(self, prev_token, cache, index, cross_bias_text,
+                         cross_bias_img, tgt_langs, lang_idx=None):
+        """The two streams share token embeddings but diverge from the first
+        cross-attention on, so each keeps its own self-attn cache (the
+        reference re-decodes both streams fully per step)."""
+        core = self.core
+        if lang_idx is None:
+            lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
+        B = prev_token.shape[0]
+        positions = jnp.full((B, 1), index, jnp.int32)
+        lang_ids = expand_langs(tgt_langs, 1)
+        x = core.embeddings(prev_token, positions, lang_ids, True)
+        if len(core.decoders) != 1:
+            raise NotImplementedError(
+                "dual-stream decode with per-language decoders")
+        h_text, c_text = core.decoders[0].step(x, cache["text"], index,
+                                               cross_bias_text)
+        h_img, c_img = core.decoders[0].step(x, cache["img"], index,
+                                             cross_bias_img)
+        gate = jax.nn.sigmoid(self.multimodal_attention_gate + 1e-7)
+        blended = gate.astype(h_text.dtype) * h_text \
+            + (1.0 - gate).astype(h_img.dtype) * h_img
+        logits = core.project(blended, lang_idx)
+        return logits[:, 0, :], {"text": c_text, "img": c_img}

@@ -160,3 +160,36 @@ def test_object_stream_forward():
                           method=ImageSeq2Seq.caption_forward_with_objects)
     np.testing.assert_allclose(np.asarray(logits[0]), np.asarray(logits2[0]),
                                atol=2e-3)
+
+
+def test_dual_stream_beam(setup):
+    """Gated text+image dual-stream beam decode (seq_gen.py:180-188)."""
+    from imagetranslate_tpu.decoding.beam import beam_search_dual
+
+    cfg, model, variables, images, caps, mask, langs = setup
+    enc_text = model.apply(variables, caps, mask, langs,
+                           method=ImageSeq2Seq.encode_text)
+    grid = model.apply(variables, images, method=ImageSeq2Seq.encode_images)
+    first = jnp.full((2,), 6, jnp.int32)
+    best, lengths = beam_search_dual(
+        model, variables, enc_text, mask, grid, first, langs, None,
+        beam_width=2, max_len=8, pad_id=cfg.pad_id, eos_id=cfg.eos_id)
+    assert best.shape == (2, 8)
+    assert (np.asarray(best)[:, 0] == 6).all()
+    # The image stream must influence the logits: step the dual decoder
+    # with two different grids and compare the raw outputs.
+    from imagetranslate_tpu.models.transformer import pad_bias
+
+    cache = model.apply(variables, enc_text, grid, 2, 4, 0,
+                        method=ImageSeq2Seq.init_dual_cache)
+    cb_t = pad_bias(mask)
+    cb_i = pad_bias(jnp.ones(grid.shape[:2], bool))
+    prev = jnp.full((2, 1), 6, jnp.int32)
+    logits1, _ = model.apply(variables, prev, cache, 0, cb_t, cb_i, langs,
+                             method=ImageSeq2Seq.decode_step_dual)
+    grid2 = grid + 0.5
+    cache2 = model.apply(variables, enc_text, grid2, 2, 4, 0,
+                         method=ImageSeq2Seq.init_dual_cache)
+    logits2, _ = model.apply(variables, prev, cache2, 0, cb_t, cb_i, langs,
+                             method=ImageSeq2Seq.decode_step_dual)
+    assert not np.allclose(np.asarray(logits1), np.asarray(logits2))
