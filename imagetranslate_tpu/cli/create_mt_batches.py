@@ -19,6 +19,9 @@ def main(argv=None):
     p.add_argument("--min_seq_len", type=int, default=1)
     p.add_argument("--src-lang", dest="src_lang", required=True)
     p.add_argument("--dst-lang", dest="dst_lang", default=None)
+    p.add_argument("--packed", action="store_true",
+                   help="write the first-party ITR1 mmap format instead of "
+                        "marshal (faster load, zero-copy reads)")
     options = p.parse_args(argv)
 
     tp = TextProcessor(options.tokenizer_path)
@@ -27,7 +30,8 @@ def main(argv=None):
                 if options.dst_lang is not None else None)
     n = write_mt(tp, options.output_path, options.src_data_path, src_lang,
                  options.dst_data_path, dst_lang,
-                 min_len=options.min_seq_len, max_len=options.max_seq_len)
+                 min_len=options.min_seq_len, max_len=options.max_seq_len,
+                 packed=options.packed)
     print(f"Wrote {n} examples")
 
 

@@ -47,6 +47,17 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--dev_mt", dest="mt_dev_path", default=None)
     p.add_argument("--train_mt", dest="mt_train_path", default=None)
     p.add_argument("--mass_train", dest="mass_train_path", default=None)
+    # Image stream (reference option_parser.py:6, 63-71): binarized caption
+    # data mixed into MASS/MT/BT training through ImageMTTrainer.
+    p.add_argument("--train", dest="train_path", default=None,
+                   help="binarized image-caption data (adds the image stream)")
+    p.add_argument("--image", dest="image_dir", default="",
+                   help="root directory of the image files")
+    p.add_argument("--img_capacity", type=int, default=50)
+    p.add_argument("--max-image", dest="max_image", type=int, default=32)
+    p.add_argument("--img-depth", dest="resnet_depth", type=int, default=1)
+    p.add_argument("--mmode", dest="mm_mode", default="mixed",
+                   choices=["mixed", "masked", "contrastive"])
     p.add_argument("--langs", dest="bt_langs", default="")
     p.add_argument("--acc", dest="accum", type=int, default=1)
     p.add_argument("--save-opt", dest="save_opt", action="store_true")
@@ -82,9 +93,13 @@ def main(argv=None):
         lex_dict = get_lex_dict(options.dict_path)
 
     if options.pretrained_path is not None:
+        import dataclasses
+
         from imagetranslate_tpu.train.checkpoint import load_config
 
         cfg = load_config(options.pretrained_path)
+        if options.train_path is not None:
+            cfg = dataclasses.replace(cfg, resnet_depth=options.resnet_depth)
     else:
         cfg = Seq2SeqConfig(
             vocab_size=tp.vocab_size(),
@@ -98,28 +113,59 @@ def main(argv=None):
             lang_dec=options.lang_decoder,
             tie_embed=options.tie_embed,
             use_proposals=lex_dict is not None,
+            resnet_depth=options.resnet_depth,
             dtype=options.dtype,
         )
 
-    trainer = MTTrainer(
-        cfg, tp, lr=options.learning_rate, warmup=options.warmup,
+    trainer_kwargs = dict(
+        lr=options.learning_rate, warmup=options.warmup,
         clip=options.clip, accum=options.accum, mask_prob=options.mask_prob,
         beam_width=options.beam_width, bt_beam_width=options.bt_beam_width,
         max_len_a=options.max_len_a, max_len_b=options.max_len_b,
         len_penalty_ratio=options.len_penalty_ratio,
         label_smoothing=0.0 if options.nll_loss else 0.1)
+    if options.train_path is not None:
+        from imagetranslate_tpu.train.trainer_image_mt import ImageMTTrainer
+
+        trainer = ImageMTTrainer(cfg, tp, mm_mode=options.mm_mode,
+                                 **trainer_kwargs)
+    else:
+        trainer = MTTrainer(cfg, tp, **trainer_kwargs)
 
     if options.pretrained_path is not None:
         from imagetranslate_tpu.train.checkpoint import load_checkpoint
-        from imagetranslate_tpu.train.step import create_train_state
 
-        params, opt_state, meta = load_checkpoint(
-            options.pretrained_path, trainer.state.params,
-            trainer.state.opt_state if options.continue_train else None)
-        state = create_train_state(params, trainer.optimizer)
-        if opt_state is not None:
-            state = state.replace(opt_state=opt_state)
-        trainer.state = state
+        if options.train_path is not None:
+            # Full multimodal checkpoint if it matches, else graft a
+            # pretrained text Seq2Seq into the captioner's core (the
+            # MASS-then-multimodal recipe).
+            tmpl = {"params": trainer.state.params,
+                    "batch_stats": trainer.state.batch_stats}
+            try:
+                variables, opt_state, meta = load_checkpoint(
+                    options.pretrained_path, tmpl,
+                    trainer.state.opt_state if options.continue_train
+                    else None)
+                trainer.state = trainer.state.replace(
+                    params=variables["params"],
+                    batch_stats=variables["batch_stats"])
+                if opt_state is not None:
+                    trainer.state = trainer.state.replace(opt_state=opt_state)
+            except Exception:
+                core_tmpl = {"params": trainer.state.params["core"]}
+                params, _, meta = load_checkpoint(options.pretrained_path,
+                                                  core_tmpl, None)
+                trainer.graft_mt_model(params)
+        else:
+            from imagetranslate_tpu.train.step import create_train_state
+
+            params, opt_state, meta = load_checkpoint(
+                options.pretrained_path, trainer.state.params,
+                trainer.state.opt_state if options.continue_train else None)
+            state = create_train_state(params, trainer.optimizer)
+            if opt_state is not None:
+                state = state.replace(opt_state=opt_state)
+            trainer.state = state
         print(f"Restored pretrained model (step {meta.get('step', 0)})")
 
     pad = tp.pad_token_id()
@@ -147,6 +193,16 @@ def main(argv=None):
                                    bucket_step=options.bucket_step)
         print(f"MASS train batches: {len(mass_batcher)}")
 
+    img_batcher = None
+    if options.train_path is not None:
+        from imagetranslate_tpu.data.images import CaptionBatcher
+
+        img_batcher = CaptionBatcher(options.train_path, tp,
+                                     max_capacity_mb=options.img_capacity,
+                                     max_img_per_batch=options.max_image,
+                                     bucket_step=options.bucket_step)
+        print(f"Image caption batches: {len(img_batcher)}")
+
     dev_batcher = None
     if options.mt_dev_path is not None:
         examples = []
@@ -167,6 +223,7 @@ def main(argv=None):
         step = trainer.train_epoch(
             step, options.model_path, mt_batcher=mt_batcher,
             mass_batcher=mass_batcher, dev_batcher=dev_batcher,
+            img_batcher=img_batcher, image_root=options.image_dir,
             max_step=options.step, eval_every=options.eval_every,
             save_every=options.save_every, epoch_seed=epoch,
             profile_dir=options.profile_dir if epoch == 0 else None)
@@ -194,6 +251,7 @@ def main(argv=None):
             step = trainer.train_epoch(
                 step, options.model_path, mt_batcher=mt_batcher,
                 mass_batcher=mass_batcher, dev_batcher=dev_batcher,
+                img_batcher=img_batcher, image_root=options.image_dir,
                 max_step=options.finetune_step + options.step,
                 fine_tune=True, lang_directions=lang_directions,
                 eval_every=options.eval_every, save_every=options.save_every,

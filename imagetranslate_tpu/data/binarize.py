@@ -23,11 +23,39 @@ from typing import List, Optional, Tuple
 from imagetranslate_tpu.text.processor import TextProcessor
 
 
+def _dump_mt(examples, path: str, packed: bool):
+    if not packed:
+        with open(path, "wb") as fw:
+            marshal.dump(examples, fw)
+        return
+    from imagetranslate_tpu.data.recordio import PackedWriter
+
+    with PackedWriter(path, 4) as w:
+        for src, dst, sl, dl in examples:
+            w.add(src, dst, sl, dl)
+
+
+def _dump_mass(examples, path: str, packed: bool):
+    if not packed:
+        with open(path, "wb") as fw:
+            marshal.dump(examples, fw)
+        return
+    from imagetranslate_tpu.data.recordio import PackedWriter
+
+    with PackedWriter(path, 2) as w:
+        for ids, lang in examples:
+            w.add(ids, lang)
+
+
 def write_mt(tp: TextProcessor, output_file: str, src_txt_file: str,
              src_lang_token_id: int, dst_txt_file: Optional[str] = None,
              dst_lang_token_id: Optional[int] = None, min_len: int = 1,
-             max_len: int = 175, shard_size: int = 6_000_000):
-    """Parallel mode -> one `.mt` file; monolingual mode -> `.N` MASS shards."""
+             max_len: int = 175, shard_size: int = 6_000_000,
+             packed: bool = False):
+    """Parallel mode -> one `.mt` file; monolingual mode -> `.N` MASS shards.
+
+    packed=True writes the first-party ITR1 mmap format (data/recordio.py)
+    instead of reference-compatible marshal; loaders sniff either."""
     src_lang_type = tp.languages[tp.id2token(src_lang_token_id)]
     if dst_txt_file is not None:
         dst_lang_type = tp.languages[tp.id2token(dst_lang_token_id)]
@@ -45,8 +73,7 @@ def write_mt(tp: TextProcessor, output_file: str, src_txt_file: str,
                     examples.append((src_ids, dst_ids, src_lang_type,
                                      dst_lang_type))
         examples.sort(key=lambda e: len(e[1]))
-        with open(output_file, "wb") as fw:
-            marshal.dump(examples, fw)
+        _dump_mt(examples, output_file, packed)
         return len(examples)
 
     part_num = 0
@@ -56,8 +83,7 @@ def write_mt(tp: TextProcessor, output_file: str, src_txt_file: str,
     def flush():
         nonlocal examples, part_num
         examples.sort(key=lambda e: len(e[0]))
-        with open(f"{output_file}.{part_num}", "wb") as fw:
-            marshal.dump(examples, fw)
+        _dump_mass(examples, f"{output_file}.{part_num}", packed)
         examples = []
         part_num += 1
 
@@ -77,19 +103,41 @@ def write_mt(tp: TextProcessor, output_file: str, src_txt_file: str,
     return total
 
 
-def load_mt(path: str) -> List[Tuple]:
+def load_mt(path: str):
+    """Marshal list or ITR1 packed file -> sequence of
+    (src_ids, dst_ids, src_lang_type, dst_lang_type)."""
+    from imagetranslate_tpu.data.recordio import is_packed
+
+    if is_packed(path):
+        from imagetranslate_tpu.data.recordio import (
+            PackedReader,
+            PackedTupleView,
+        )
+
+        return PackedTupleView(PackedReader(path), scalar_fields=(2, 3))
     with open(path, "rb") as fr:
         return marshal.load(fr)
 
 
-def load_mass(path_prefix: str) -> List[Tuple]:
-    """Glob-load `prefix*` shards (dataset.py:204-205)."""
+def load_mass(path_prefix: str):
+    """Glob-load `prefix*` shards (dataset.py:204-205); marshal or packed."""
     import glob
+
+    from imagetranslate_tpu.data.recordio import is_packed
 
     examples: List[Tuple] = []
     for path in sorted(glob.glob(path_prefix + "*")):
-        with open(path, "rb") as fr:
-            examples.extend(marshal.load(fr))
+        if is_packed(path):
+            from imagetranslate_tpu.data.recordio import (
+                PackedReader,
+                PackedTupleView,
+            )
+
+            examples.extend(PackedTupleView(PackedReader(path),
+                                            scalar_fields=(1,)))
+        else:
+            with open(path, "rb") as fr:
+                examples.extend(marshal.load(fr))
     return examples
 
 

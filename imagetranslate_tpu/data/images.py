@@ -55,14 +55,14 @@ class CaptionBatch:
     lengths: np.ndarray          # [N] first-pad index
     row_mask: np.ndarray         # [N]
 
-    def images(self, root_dir: str = "") -> np.ndarray:
+    def images(self, root_dir: str = "", size: int = 224) -> np.ndarray:
         import os
 
         paths = list(self.image_paths)
         # Dummy rows reuse image 0 (their loss weight is zero).
         while len(paths) < self.captions.shape[0]:
             paths.append(paths[0])
-        return np.stack([load_image(os.path.join(root_dir, p))
+        return np.stack([load_image(os.path.join(root_dir, p), size=size)
                          for p in paths])
 
 

@@ -364,6 +364,49 @@ def make_multimodal_mass_step(model, optimizer, cfg: Seq2SeqConfig,
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_text_mass_step_mm(model, optimizer, cfg: Seq2SeqConfig,
+                           mask_prob: float = 0.5, n_specials: int = 5,
+                           mask_id: int = 3, label_smoothing: float = 0.1,
+                           donate: bool = True) -> Callable:
+    """Text-only MASS batches inside the multimodal trainer
+    (ImageMTTrainer's MASS branch, train_image_mt.py:257-272): same math as
+    make_mass_train_step but over CaptionTrainState — the span never touches
+    the CNN, so batch_stats pass through unchanged."""
+
+    def step_fn(state: CaptionTrainState, batch: Dict[str, jnp.ndarray], rng):
+        r_mask, r_drop = jax.random.split(rng)
+        S = batch["src"].shape[1]
+        masked = mass_mask(
+            r_mask, batch["src"], batch["lengths"], mask_prob,
+            mask_id=mask_id, pad_id=cfg.pad_id, n_specials=n_specials,
+            vocab_size=cfg.vocab_size, span_width=S // 2 + 1)
+        dec_mask = masked.dec_inputs != cfg.pad_id
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                masked.src, batch["src_mask"], masked.dec_inputs, dec_mask,
+                batch["langs"], batch["langs"],
+                tgt_positions=masked.positions,
+                deterministic=False, rngs={"dropout": r_drop})
+            mask = dec_mask[:, 1:] & batch["row_mask"][:, None]
+            sum_l, n = _loss_impl(model)(logits, masked.dec_inputs[:, 1:],
+                                         mask, epsilon=label_smoothing)
+            n = jnp.maximum(n, 1.0)
+            return sum_l / n, (sum_l, n)
+
+        (_, (sum_l, n)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        upd, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, upd)
+        new_state = CaptionTrainState(
+            params=params, batch_stats=state.batch_stats,
+            opt_state=opt_state, step=state.step + 1)
+        return new_state, {"sum_loss": sum_l, "ntokens": n}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
 def make_contrastive_step(model, optimizer, donate: bool = True) -> Callable:
     """Image-text InfoNCE step (train_image_mt.py:227-237 contrastive
     branch). The scalar loss is weighted by the number of rows so the meter's

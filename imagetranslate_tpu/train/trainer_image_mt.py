@@ -1,0 +1,159 @@
+"""Multimodal MT trainer: MASS/MT/BT streams *plus* image-caption streams in
+one epoch (reference: ImageMTTrainer with --train image binaries,
+train_image_mt.py:96, 202-237, 357-364).
+
+Subclasses MTTrainer, swapping the text Seq2Seq for ImageSeq2Seq (shared
+text core + ResNet grid encoder) and the plain TrainState for
+CaptionTrainState (BatchNorm stats). Image batches dispatch on --mmode:
+
+- "masked":      multimodal MASS — span-corrupt captions, decode against the
+                 gated blend of text encoding and image grid
+                 (train_image_mt.py:207-226)
+- "contrastive": image-text InfoNCE with sampled text negatives
+                 (train_image_mt.py:227-237)
+- "mixed":       a 50/50 coin per batch (train_image_mt.py:205-206)
+
+During the fine-tune phase the MASS stream becomes back-translation while
+image batches keep flowing — the reference's BT-with-images recipe.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from imagetranslate_tpu.models.captioning import ImageSeq2Seq
+from imagetranslate_tpu.models.config import Seq2SeqConfig
+from imagetranslate_tpu.text.processor import TextProcessor
+from imagetranslate_tpu.train.checkpoint import save_checkpoint
+from imagetranslate_tpu.train.optimizer import build_optimizer, reset_schedule
+from imagetranslate_tpu.train.step import (
+    CaptionTrainState,
+    create_caption_train_state,
+    make_caption_mt_train_step,
+    make_contrastive_step,
+    make_multimodal_mass_step,
+    make_text_mass_step_mm,
+    wrap_accum,
+)
+from imagetranslate_tpu.train.trainer_mt import MTTrainer
+
+
+class ImageMTTrainer(MTTrainer):
+    def __init__(self, cfg: Seq2SeqConfig, tp: TextProcessor,
+                 lr: float = 1e-4, warmup: int = 4000, clip: float = 1.0,
+                 accum: int = 1, mask_prob: float = 0.5,
+                 mm_mode: str = "mixed", beam_width: int = 4,
+                 bt_beam_width: int = 1, max_len_a: float = 1.1,
+                 max_len_b: int = 5, len_penalty_ratio: float = 0.8,
+                 label_smoothing: float = 0.1, img_size: int = 224,
+                 seed: int = 0):
+        # Intentionally does not call MTTrainer.__init__: the model and
+        # train-state types differ; only the scalar knobs are shared.
+        self.cfg = cfg
+        self.tp = tp
+        self.model = ImageSeq2Seq(cfg)
+        self.mesh = None
+        self.rng = jax.random.PRNGKey(seed)
+        self.beam_width = beam_width
+        self.bt_beam_width = bt_beam_width
+        self.max_len_a = max_len_a
+        self.max_len_b = max_len_b
+        self.len_penalty_ratio = len_penalty_ratio
+        self.best_bleu = -1.0
+        self.reference = []
+        self.mm_mode = mm_mode
+        self.mask_prob = mask_prob
+        self.img_size = img_size
+        self._cur_img_batcher = None
+
+        self.rng, init_rng = jax.random.split(self.rng)
+        B, T = 2, 8
+        images = jnp.zeros((B, img_size, img_size, 3), jnp.float32)
+        caps = jnp.zeros((B, T), jnp.int32)
+        mask = jnp.ones((B, T), bool)
+        langs = jnp.zeros((B,), jnp.int32)
+        variables = self.model.init(init_rng, images, caps, mask, langs,
+                                    method=ImageSeq2Seq.init_everything)
+        self.optimizer = wrap_accum(
+            build_optimizer(lr=lr, warmup_updates=warmup, clip_norm=clip),
+            accum)
+        self.state = create_caption_train_state(variables, self.optimizer)
+        # MT batches train at full weight inside ImageMTTrainer (the --mtlw
+        # down-weighting belongs to the caption trainer only).
+        self.mt_step = make_caption_mt_train_step(
+            self.model, self.optimizer, mtl_weight=1.0,
+            label_smoothing=label_smoothing)
+        self.mass_step = make_text_mass_step_mm(
+            self.model, self.optimizer, cfg, mask_prob=mask_prob,
+            n_specials=len(tp.special_tokens), mask_id=tp.mask_token_id(),
+            label_smoothing=label_smoothing)
+        self.mm_mass_step = make_multimodal_mass_step(
+            self.model, self.optimizer, cfg,
+            n_specials=len(tp.special_tokens), mask_id=tp.mask_token_id(),
+            label_smoothing=label_smoothing)
+        self.contrastive_step = make_contrastive_step(self.model,
+                                                      self.optimizer)
+
+    # ---------------- state plumbing overrides ----------------
+
+    def _variables(self):
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats}
+
+    def _save(self, path: str, step: int):
+        save_checkpoint(path, self.cfg,
+                        {"params": self.state.params,
+                         "batch_stats": self.state.batch_stats},
+                        opt_state=self.state.opt_state, step=step,
+                        best_metric=self.best_bleu)
+
+    def reset_for_finetune(self):
+        self.state = CaptionTrainState(
+            params=self.state.params, batch_stats=self.state.batch_stats,
+            opt_state=reset_schedule(self.state.opt_state),
+            step=self.state.step)
+
+    def graft_mt_model(self, mt_params):
+        """Initialize the text core from a pretrained Seq2Seq checkpoint
+        (reference --pretrained into ImageMassSeq2Seq)."""
+        params = dict(self.state.params)
+        params["core"] = (mt_params["params"] if "params" in mt_params
+                          else mt_params)
+        self.state = self.state.replace(params=params)
+
+    # ---------------- image batch dispatch ----------------
+
+    def _img_step(self, b, image_root: str, rng):
+        batch = {
+            "images": jnp.asarray(b.images(image_root, size=self.img_size)),
+            "captions": jnp.asarray(b.captions),
+            "caption_mask": jnp.asarray(b.caption_mask),
+            "langs": jnp.asarray(b.langs),
+            "row_mask": jnp.asarray(b.row_mask),
+        }
+        mode = self.mm_mode
+        if mode == "mixed":
+            import random as _random
+
+            mode = "masked" if _random.random() <= 0.5 else "contrastive"
+        if mode == "contrastive":
+            negs = self._cur_img_batcher.sample_negatives(
+                b.captions.shape[0], int(self.state.step))
+            batch["neg"] = jnp.asarray(negs)
+            batch["neg_mask"] = jnp.asarray(negs != self.tp.pad_token_id())
+            batch["neg_langs"] = jnp.full((negs.shape[0],), int(b.langs[0]),
+                                          jnp.int32)
+            self.state, m = self.contrastive_step(self.state, batch, rng)
+        else:
+            # Image batches may mask more aggressively than mask_prob
+            # (train_image_mt.py:213): draw ~U(mask_prob, 1) per batch.
+            import random as _random
+
+            batch["lengths"] = jnp.asarray(b.lengths)
+            batch["mask_prob"] = jnp.float32(
+                _random.uniform(self.mask_prob, 1.0))
+            self.state, m = self.mm_mass_step(self.state, batch, rng)
+        return m

@@ -101,18 +101,23 @@ class MTTrainer:
         return {k: (jax.device_put(v, sh) if getattr(v, "ndim", 0) >= 1 else v)
                 for k, v in batch.items()}
 
+    def _variables(self):
+        """Model variables for apply(); subclasses with extra flax
+        collections (BatchNorm stats) override."""
+        return self.state.params
+
     # ---------------- decoding helpers ----------------
 
     def _decode_batch(self, src, src_mask, src_langs, first_tokens, tgt_langs,
                       src_sizes, beam_width: int, max_len: Optional[int] = None):
-        enc = self.model.apply(self.state.params, jnp.asarray(src),
+        enc = self.model.apply(self._variables(), jnp.asarray(src),
                                jnp.asarray(src_mask), jnp.asarray(src_langs),
-                               method=Seq2Seq.encode)
+                               method=type(self.model).encode)
         L = max_len or max_len_for(src.shape[1], self.max_len_a,
                                    self.max_len_b,
                                    self.cfg.max_position_embeddings)
         best, lengths = beam_search(
-            self.model, self.state.params, enc, jnp.asarray(src_mask),
+            self.model, self._variables(), enc, jnp.asarray(src_mask),
             jnp.asarray(first_tokens), jnp.asarray(tgt_langs),
             jnp.asarray(src_sizes), beam_width=beam_width, max_len=L,
             max_len_a=self.max_len_a, max_len_b=self.max_len_b,
@@ -126,6 +131,7 @@ class MTTrainer:
                     mt_batcher: Optional[MTBatcher] = None,
                     mass_batcher: Optional[MassBatcher] = None,
                     dev_batcher: Optional[MTBatcher] = None,
+                    img_batcher=None, image_root: str = "",
                     max_step: int = 300_000, fine_tune: bool = False,
                     lang_directions: Optional[Dict[int, int]] = None,
                     eval_every: int = 5000, save_every: int = 10_000,
@@ -137,6 +143,11 @@ class MTTrainer:
         meter = StepMeter(log_every=log_every)
         profiler = StepProfiler(profile_dir, start=step + 10, stop=step + 15)
         streams = []
+        # Reference zips (img, mass, mt) loaders in that order
+        # (train_image_mt.py:96, 357-364).
+        if img_batcher is not None:
+            self._cur_img_batcher = img_batcher
+            streams.append(("img", img_batcher.shuffled(epoch_seed)))
         if mass_batcher is not None:
             streams.append(("mass", mass_batcher.shuffled(epoch_seed)))
         if mt_batcher is not None:
@@ -163,6 +174,8 @@ class MTTrainer:
                     m = self._bt_step(b, lang_directions, step_rng)
                     if m is None:
                         continue
+                elif kind == "img":
+                    m = self._img_step(b, image_root, step_rng)
                 step += 1
                 profiler.tick(step)
                 meter.update(step, float(m["sum_loss"]), float(m["ntokens"]))
@@ -196,6 +209,10 @@ class MTTrainer:
 
                 traceback.print_exc()
         return step
+
+    def _img_step(self, b, image_root: str, rng):
+        raise NotImplementedError(
+            "image streams need ImageMTTrainer (train/trainer_image_mt.py)")
 
     def _bt_step(self, b, lang_directions: Dict[int, int], rng):
         """Back-translation: greedy/beam generate in the *reverse* direction

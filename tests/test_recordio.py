@@ -1,0 +1,104 @@
+"""First-party ITR1 packed-record IO (data/recordio.py + C++
+data/_native/recordio.cpp): write/read round-trip, native vs numpy-fallback
+parity, padded packing, and drop-in use through the MT/MASS loaders."""
+
+import numpy as np
+import pytest
+
+import imagetranslate_tpu.data.recordio as rio
+from imagetranslate_tpu.data.recordio import (
+    PackedReader,
+    PackedTupleView,
+    PackedWriter,
+    is_packed,
+)
+
+RECORDS = [
+    ([5, 6, 7, 8], [9, 10], 0, 1),
+    ([11], [12, 13, 14], 0, 1),
+    ([2, 3, 4, 5, 6, 7], [8, 9, 10, 11], 1, 0),
+]
+
+
+def write_sample(path):
+    with PackedWriter(str(path), 4) as w:
+        for src, dst, sl, dl in RECORDS:
+            w.add(src, dst, sl, dl)
+
+
+def check_reader(r):
+    assert len(r) == 3
+    assert r.n_fields == 4
+    for i, (src, dst, sl, dl) in enumerate(RECORDS):
+        assert r.field(i, 0).tolist() == src
+        assert r.field(i, 1).tolist() == dst
+        assert int(r.field(i, 2)[0]) == sl
+        assert int(r.field(i, 3)[0]) == dl
+    assert r.lengths(0).tolist() == [4, 1, 6]
+    assert r.lengths(1).tolist() == [2, 3, 4]
+    assert r.scalars(2).tolist() == [0, 0, 1]
+    packed = r.pack_padded([2, 0], 0, 5, pad=-1)
+    assert packed.tolist() == [[2, 3, 4, 5, 6], [5, 6, 7, 8, -1]]
+
+
+def test_native_roundtrip(tmp_path):
+    assert rio.get_lib() is not None, "g++ build of recordio.cpp failed"
+    p = tmp_path / "a.itrec"
+    write_sample(p)
+    assert is_packed(str(p))
+    r = PackedReader(str(p))
+    check_reader(r)
+    r.close()
+
+
+def test_fallback_matches_native(tmp_path, monkeypatch):
+    p = tmp_path / "native.itrec"
+    write_sample(p)
+    # Force the pure-numpy path for both writer and reader.
+    monkeypatch.setattr(rio, "_lib", None)
+    monkeypatch.setattr(rio, "_lib_tried", True)
+    q = tmp_path / "fallback.itrec"
+    write_sample(q)
+    assert p.read_bytes() == q.read_bytes()
+    check_reader(PackedReader(str(q)))
+
+
+def test_tuple_view_and_loaders(tmp_path):
+    from imagetranslate_tpu.data.binarize import _dump_mt, load_mt
+    from imagetranslate_tpu.data.loader import MTBatcher
+
+    p = str(tmp_path / "x.mt")
+    _dump_mt(RECORDS, p, packed=True)
+    view = load_mt(p)
+    assert isinstance(view, PackedTupleView)
+    assert len(view) == 3
+    src, dst, sl, dl = view[1]
+    assert list(src) == RECORDS[1][0] and (sl, dl) == (0, 1)
+    # Batcher consumes the view exactly like a marshal list.
+    batcher = MTBatcher(sorted(view, key=lambda e: len(e[1])), pad_id=0,
+                        max_batch=400, capacity_mb=600)
+    total = sum(int(b.row_mask.sum()) for b in batcher)
+    assert total == 3
+
+
+def test_writer_abort_cleans_tmp(tmp_path):
+    p = tmp_path / "b.itrec"
+    try:
+        with PackedWriter(str(p), 2) as w:
+            w.add([1, 2], 3)
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert not (tmp_path / "b.itrec.data.tmp").exists()
+    assert not p.exists()
+
+
+def test_empty_fields_ok(tmp_path):
+    p = str(tmp_path / "c.itrec")
+    with PackedWriter(p, 2) as w:
+        w.add([], 7)
+        w.add([1], 8)
+    r = PackedReader(p)
+    assert r.field(0, 0).size == 0
+    assert r.field(1, 0).tolist() == [1]
+    assert r.scalars(1).tolist() == [7, 8]
