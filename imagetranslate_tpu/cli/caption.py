@@ -24,14 +24,57 @@ def get_parser():
     p.add_argument("--max_len", type=int, default=256)
     p.add_argument("--len-penalty", dest="len_penalty_ratio", type=float,
                    default=0.8)
+    # Object stream (reference caption.py --obj: frozen Faster-RCNN box
+    # features blended into decoding via the multistream gate).
+    p.add_argument("--obj", dest="use_obj", action="store_true")
+    p.add_argument("--fcnn", dest="detector_path", default=None,
+                   help="torchvision fasterrcnn_resnet50_fpn state_dict "
+                        "(.pth); required with --obj (this image cannot "
+                        "download COCO weights)")
     return p
+
+
+def build_object_extractor(detector_path: str):
+    """Load COCO detector weights and return images([B,800,800,3]) ->
+    (box_features [B,O,1031], labels [B,O])."""
+    import jax
+    import torch
+
+    from imagetranslate_tpu.models.detector import (
+        FasterRCNN,
+        detection_to_object_inputs,
+    )
+    from imagetranslate_tpu.train.torch_import import import_torchvision_frcnn
+
+    sd = torch.load(detector_path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    variables = import_torchvision_frcnn(sd)
+    detector = FasterRCNN()
+
+    @jax.jit
+    def extract(images):
+        def one(img):
+            det = detector.apply(variables, img)
+            return detection_to_object_inputs(det, image_size=800)
+
+        return jax.vmap(one)(images)
+
+    return extract
 
 
 def main(argv=None):
     options = get_parser().parse_args(argv)
 
-    from imagetranslate_tpu.data.images import ImageFolderBatcher
-    from imagetranslate_tpu.decoding.beam import beam_search, trim_outputs
+    from imagetranslate_tpu.data.images import ImageFolderBatcher, load_image
+    from imagetranslate_tpu.decoding.beam import (
+        beam_search,
+        beam_search_dual,
+        trim_outputs,
+    )
     from imagetranslate_tpu.models.captioning import ImageSeq2Seq
     from imagetranslate_tpu.text.processor import TextProcessor
     from imagetranslate_tpu.train.checkpoint import load_checkpoint, load_config
@@ -50,6 +93,12 @@ def main(argv=None):
     template = jax.device_get(variables)
     variables, _, _ = load_checkpoint(options.model_path, template)
 
+    extract = None
+    if options.use_obj:
+        if options.detector_path is None:
+            raise SystemExit("--obj needs --fcnn <state_dict.pth>")
+        extract = build_object_extractor(options.detector_path)
+
     target_lang_tok = f"<{options.target_lang}>"
     batcher = ImageFolderBatcher(options.input_path, options.batch,
                                  tp.languages[target_lang_tok],
@@ -62,13 +111,32 @@ def main(argv=None):
                                method=ImageSeq2Seq.encode_images)
             img_mask = jnp.ones(grid.shape[:2], bool)
             L = min(options.max_len, cfg.max_position_embeddings)
-            best, lengths = beam_search(
-                model, variables, grid, img_mask,
-                jnp.asarray(batch["first_tokens"]),
-                jnp.asarray(batch["tgt_langs"]), None,
-                beam_width=options.beam_width, max_len=L,
-                len_penalty_ratio=options.len_penalty_ratio,
-                pad_id=tp.pad_token_id(), eos_id=tp.sep_token_id())
+            if extract is not None:
+                det_imgs = np.stack(
+                    [load_image(p, 800, resize_min=800)
+                     for p in batch["paths"]])
+                box_feats, labels = extract(jnp.asarray(det_imgs))
+                obj_states, obj_keep = model.apply(
+                    variables, box_feats, labels,
+                    method=ImageSeq2Seq.encode_objects)
+                best, lengths = beam_search_dual(
+                    model, variables, grid, img_mask, obj_states,
+                    jnp.asarray(batch["first_tokens"]),
+                    jnp.asarray(batch["tgt_langs"]), None,
+                    beam_width=options.beam_width, max_len=L,
+                    len_penalty_ratio=options.len_penalty_ratio,
+                    pad_id=tp.pad_token_id(), eos_id=tp.sep_token_id(),
+                    grid_mask=obj_keep,
+                    init_method=ImageSeq2Seq.init_obj_dual_cache,
+                    step_method=ImageSeq2Seq.decode_step_obj_dual)
+            else:
+                best, lengths = beam_search(
+                    model, variables, grid, img_mask,
+                    jnp.asarray(batch["first_tokens"]),
+                    jnp.asarray(batch["tgt_langs"]), None,
+                    beam_width=options.beam_width, max_len=L,
+                    len_penalty_ratio=options.len_penalty_ratio,
+                    pad_id=tp.pad_token_id(), eos_id=tp.sep_token_id())
             outs = trim_outputs(best, lengths, remove_first_token=True)
             for path, o in zip(batch["paths"], outs):
                 writer.write(path + "\t" + tp.decode(o) + "\n")

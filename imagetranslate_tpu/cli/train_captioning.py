@@ -54,6 +54,10 @@ def get_parser():
                    choices=[None, "mixed", "masked", "contrastive"],
                    help="multimodal image-stream mode (train_image_mt.py parity); default = plain captioning")
     p.add_argument("--mask", dest="mask_prob", type=float, default=0.5)
+    p.add_argument("--obj", dest="use_obj", action="store_true",
+                   help="train the object stream (needs --obj-feats)")
+    p.add_argument("--obj-feats", dest="obj_feats_path", default=None,
+                   help="precomputed detections .npz (cli/extract_objects.py)")
     return p
 
 
@@ -83,6 +87,7 @@ def main(argv=None):
         tie_embed=options.tie_embed,
         resnet_depth=options.resnet_depth,
         freeze_image=options.freeze_image,
+        use_obj=options.use_obj,
         dtype=options.dtype,
     )
     trainer = CaptionTrainer(
@@ -108,6 +113,14 @@ def main(argv=None):
     print(f"Caption batches: {len(cap_batcher)}")
     eval_set = CaptionEvalSet(options.dev_path, tp) if options.dev_path else None
 
+    obj_store = None
+    if options.use_obj:
+        if options.obj_feats_path is None:
+            raise SystemExit("--obj needs --obj-feats <detections.npz>")
+        from imagetranslate_tpu.data.images import ObjectStore
+
+        obj_store = ObjectStore(options.obj_feats_path)
+
     mt_batcher = None
     if options.mt_train_path is not None:
         examples = []
@@ -125,7 +138,7 @@ def main(argv=None):
         step = trainer.train_epoch(
             step, options.model_path, cap_batcher,
             image_root=options.image_dir, mt_batcher=mt_batcher,
-            eval_set=eval_set, max_step=options.step,
+            eval_set=eval_set, obj_store=obj_store, max_step=options.step,
             eval_every=options.eval_every, save_every=options.save_every,
             epoch_seed=epoch)
         epoch += 1

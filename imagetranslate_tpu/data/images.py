@@ -25,15 +25,21 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def load_image(path: str, size: int = 224) -> np.ndarray:
-    """Decode/resize/crop/normalize one image -> [size, size, 3] float32."""
+def load_image(path: str, size: int = 224,
+               resize_min: Optional[int] = None) -> np.ndarray:
+    """Decode/resize/crop/normalize one image -> [size, size, 3] float32.
+    resize_min defaults to 256 (the reference transform); pass e.g. 800 for
+    the detector's fixed-shape input (torchvision's min-side-800 resize,
+    center-cropped square to stay static-shape)."""
+    if resize_min is None:
+        resize_min = max(256, size)
     try:
         from PIL import Image
 
         with Image.open(path) as im:
             img = im.convert("RGB")
             w, h = img.size
-            scale = 256 / min(w, h)
+            scale = resize_min / min(w, h)
             img = img.resize((max(1, round(w * scale)),
                               max(1, round(h * scale))), Image.BILINEAR)
             w, h = img.size
@@ -64,6 +70,29 @@ class CaptionBatch:
             paths.append(paths[0])
         return np.stack([load_image(os.path.join(root_dir, p), size=size)
                          for p in paths])
+
+
+class ObjectStore:
+    """Precomputed detections (cli/extract_objects.py output): an .npz with
+    "<path>||feat" [O, 1031] float32 and "<path>||lab" [O] int32 per image.
+    Missing images get all-zero (masked-out) object slots."""
+
+    def __init__(self, npz_path: str):
+        self._z = np.load(npz_path)
+        feat_keys = [k for k in self._z.files if k.endswith("||feat")]
+        if not feat_keys:
+            raise ValueError(f"no detections in {npz_path}")
+        first = self._z[feat_keys[0]]
+        self.n_obj, self.feat_dim = first.shape
+
+    def lookup(self, paths: Sequence[str], n_rows: int):
+        feats = np.zeros((n_rows, self.n_obj, self.feat_dim), np.float32)
+        labels = np.zeros((n_rows, self.n_obj), np.int32)
+        for i, p in enumerate(paths[:n_rows]):
+            if f"{p}||feat" in self._z.files:
+                feats[i] = self._z[f"{p}||feat"]
+                labels[i] = self._z[f"{p}||lab"]
+        return feats, labels
 
 
 class CaptionBatcher:

@@ -249,7 +249,8 @@ def trim_outputs(best, lengths, remove_first_token: bool = False):
 @functools.partial(
     jax.jit,
     static_argnames=("model", "beam_width", "max_len", "len_penalty_ratio",
-                     "pad_id", "eos_id", "max_len_a", "max_len_b"),
+                     "pad_id", "eos_id", "max_len_a", "max_len_b",
+                     "init_method", "step_method"),
 )
 def beam_search_dual(
     model,
@@ -268,14 +269,27 @@ def beam_search_dual(
     len_penalty_ratio: float = 0.8,
     pad_id: int = 0,
     eos_id: int = 4,
+    grid_mask: Optional[jnp.ndarray] = None,
+    init_method=None,
+    step_method=None,
 ):
     """Gated dual-stream beam search (reference seq_gen.py:180-188): every
     step decodes against the text encoding AND the image grid, blending the
     two decoder outputs with the learned multimodal gate. Same selection
-    semantics as `beam_search`."""
+    semantics as `beam_search`.
+
+    The two streams are generic: pass init_method/step_method to swap in
+    another pair (e.g. ImageSeq2Seq.init_obj_dual_cache /
+    decode_step_obj_dual for grid+object --obj captioning, with `enc_text` =
+    the image grid, `grid` = object states and `grid_mask` = the
+    valid-detection mask)."""
     B, S, E = enc_text.shape
     K, L = beam_width, max_len
     lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
+    if init_method is None:
+        init_method = type(model).init_dual_cache
+    if step_method is None:
+        step_method = type(model).decode_step_dual
 
     if src_sizes is None:
         max_lens = jnp.full((B,), L, jnp.int32)
@@ -288,11 +302,14 @@ def beam_search_dual(
     mask_k = jnp.repeat(text_mask, K, axis=0)
     grid_k = jnp.repeat(grid, K, axis=0)
     cb_text = pad_bias(mask_k)
-    cb_img = pad_bias(jnp.ones(grid_k.shape[:2], bool))
+    if grid_mask is None:
+        cb_img = pad_bias(jnp.ones(grid_k.shape[:2], bool))
+    else:
+        cb_img = pad_bias(jnp.repeat(grid_mask, K, axis=0))
     langs_k = jnp.repeat(tgt_langs, K, axis=0)
 
     cache = model.apply(params, text_k, grid_k, B * K, L, lang_idx,
-                        method=type(model).init_dual_cache)
+                        method=init_method)
     dyn_cache, static_cache = _split_cache_nested(cache)
 
     tokens = jnp.full((B, K, L), pad_id, jnp.int32)
@@ -314,7 +331,7 @@ def beam_search_dual(
         logits, new_cache = model.apply(
             params, prev, _merge_cache_nested(st.cache, static_cache), i - 1,
             cb_text, cb_img, langs_k, lang_idx,
-            method=type(model).decode_step_dual)
+            method=step_method)
         new_cache, _ = _split_cache_nested(new_cache)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 

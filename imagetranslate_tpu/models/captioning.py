@@ -83,6 +83,12 @@ class ImageSeq2Seq(nn.Module):
             caption_mask[:, :W], pos)
         _ = self.contrastive_loss(images, captions, caption_mask, langs,
                                   captions, caption_mask, langs)
+        if self.cfg.use_obj:
+            # Touch the object stream too (1024 pooled + 7 geometry feats).
+            box_feats = jnp.zeros((B, 4, 1031), jnp.float32)
+            labels = jnp.ones((B, 4), jnp.int32)
+            _ = self.caption_forward_with_objects(
+                images, box_feats, labels, captions, caption_mask, langs)
         return logits
 
     # ---------------- encoders ----------------
@@ -289,3 +295,36 @@ class ImageSeq2Seq(nn.Module):
             + (1.0 - gate).astype(h_img.dtype) * h_img
         logits = core.project(blended, lang_idx)
         return logits[:, 0, :], {"text": c_text, "img": c_img}
+
+    # ---------------- object-stream decoding (--obj captioning,
+    # seq_gen.py:167-179): grid decoder + object decoder blended by
+    # sigmoid(multistream gate) every step, each with its own KV cache.
+
+    def init_obj_dual_cache(self, grid, obj_states, batch: int, max_len: int,
+                            lang_idx=0):
+        return {
+            "img": self.core.init_cache(grid, batch, max_len, lang_idx),
+            "obj": self.obj_decoder.init_cache(obj_states, batch, max_len),
+        }
+
+    def decode_step_obj_dual(self, prev_token, cache, index, cross_bias_img,
+                             cross_bias_obj, tgt_langs, lang_idx=None):
+        core = self.core
+        if lang_idx is None:
+            lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
+        B = prev_token.shape[0]
+        positions = jnp.full((B, 1), index, jnp.int32)
+        lang_ids = expand_langs(tgt_langs, 1)
+        x = core.embeddings(prev_token, positions, lang_ids, True)
+        if len(core.decoders) != 1:
+            raise NotImplementedError(
+                "object-stream decode with per-language decoders")
+        h_img, c_img = core.decoders[0].step(x, cache["img"], index,
+                                             cross_bias_img)
+        h_obj, c_obj = self.obj_decoder.step(x, cache["obj"], index,
+                                             cross_bias_obj)
+        gate = jax.nn.sigmoid(self.multistream_attention_gate + 1e-7)
+        blended = gate.astype(h_img.dtype) * h_img \
+            + (1.0 - gate).astype(h_obj.dtype) * h_obj
+        logits = core.project(blended, lang_idx)
+        return logits[:, 0, :], {"img": c_img, "obj": c_obj}

@@ -216,7 +216,9 @@ class FasterRCNN(nn.Module):
         deltas = jnp.take_along_axis(
             class_deltas.reshape(-1, NUM_CLASSES, 4),
             best_c[:, None, None].repeat(4, -1), axis=1)[:, 0]
-        final_boxes = decode_deltas(proposals, deltas / 10.0)
+        # torchvision's second-stage BoxCoder weights are (10, 10, 5, 5).
+        final_boxes = decode_deltas(
+            proposals, deltas / jnp.asarray([10.0, 10.0, 5.0, 5.0]))
         final_boxes = jnp.stack([
             jnp.clip(final_boxes[:, 0], 0, W), jnp.clip(final_boxes[:, 1], 0, H),
             jnp.clip(final_boxes[:, 2], 0, W), jnp.clip(final_boxes[:, 3], 0, H)],

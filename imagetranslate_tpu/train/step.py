@@ -289,6 +289,42 @@ def make_caption_train_step(model, optimizer, label_smoothing: float = 0.1,
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_caption_obj_train_step(model, optimizer, label_smoothing: float = 0.1,
+                                donate: bool = True) -> Callable:
+    """Captioning with the object stream (train_captioning image branch when
+    the model carries the frozen-detector features, image_model.py:352-366):
+    grid decoder + object decoder blended by the multistream gate. Batches
+    additionally carry box_features [N, O, 1031] and object_labels [N, O]
+    (precomputed by cli/extract_objects.py)."""
+
+    def step_fn(state: CaptionTrainState, batch: Dict[str, jnp.ndarray], rng):
+        def loss_fn(params):
+            logits, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"], batch["box_features"],
+                batch["object_labels"], batch["captions"],
+                batch["caption_mask"], batch["langs"],
+                train=True, deterministic=False, rngs={"dropout": rng},
+                method=type(model).caption_forward_with_objects,
+                mutable=["batch_stats"])
+            mask = batch["caption_mask"][:, 1:] & batch["row_mask"][:, None]
+            sum_l, n = smoothed_nll_loss(logits, batch["captions"][:, 1:],
+                                         mask, epsilon=label_smoothing)
+            n = jnp.maximum(n, 1.0)
+            return sum_l / n, (sum_l, n, updates)
+
+        (_, (sum_l, n, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        upd, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, upd)
+        new_state = CaptionTrainState(
+            params=params, batch_stats=updates["batch_stats"],
+            opt_state=opt_state, step=state.step + 1)
+        return new_state, {"sum_loss": sum_l, "ntokens": n}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
 def make_caption_mt_train_step(model, optimizer, mtl_weight: float = 0.1,
                                label_smoothing: float = 0.1,
                                donate: bool = True) -> Callable:

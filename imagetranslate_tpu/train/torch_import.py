@@ -198,6 +198,70 @@ def import_torchvision_resnet_grid(sd: Dict[str, np.ndarray], stage_sizes):
     return {"params": params, "batch_stats": stats}
 
 
+def _dense(sd, prefix):
+    return {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
+
+
+def _conv_b(sd, prefix):
+    return {"kernel": _conv(sd[f"{prefix}.weight"]),
+            "bias": sd[f"{prefix}.bias"]}
+
+
+def _tv_key(sd, *candidates):
+    """torchvision renamed FPN/RPN conv keys across versions
+    (inner_blocks.{i}.weight vs inner_blocks.{i}.0.weight,
+    rpn.head.conv.weight vs rpn.head.conv.0.0.weight)."""
+    for c in candidates:
+        if f"{c}.weight" in sd:
+            return c
+    raise KeyError(candidates[0])
+
+
+def import_torchvision_frcnn(sd: Dict[str, np.ndarray]):
+    """torchvision `fasterrcnn_resnet50_fpn` state_dict -> variables for
+    models.detector.FasterRCNN (COCO weights path of the reference,
+    faster_rcnn_feats.py:316-327).
+
+    Layout notes:
+    - backbone.body.* maps through import_torchvision_resnet.
+    - fc6 consumes the flattened 7x7x256 RoI: torch flattens NCHW (C,H,W),
+      our NHWC flatten is (H,W,C) — the weight's input axis is permuted
+      accordingly so the two compute identical logits.
+    """
+    body = {k[len("backbone.body."):]: v for k, v in sd.items()
+            if k.startswith("backbone.body.")}
+    bb_params, bb_stats = import_torchvision_resnet(body, "", (3, 4, 6, 3))
+
+    fpn: Dict = {}
+    for i in range(4):
+        lat = _tv_key(sd, f"backbone.fpn.inner_blocks.{i}",
+                      f"backbone.fpn.inner_blocks.{i}.0")
+        out = _tv_key(sd, f"backbone.fpn.layer_blocks.{i}",
+                      f"backbone.fpn.layer_blocks.{i}.0")
+        fpn[f"lateral_{i}"] = _conv_b(sd, lat)
+        fpn[f"out_{i}"] = _conv_b(sd, out)
+
+    rpn_conv = _tv_key(sd, "rpn.head.conv", "rpn.head.conv.0.0")
+    rpn = {"conv": _conv_b(sd, rpn_conv),
+           "cls_logits": _conv_b(sd, "rpn.head.cls_logits"),
+           "bbox_pred": _conv_b(sd, "rpn.head.bbox_pred")}
+
+    # fc6: [1024, 256*7*7] with (C,H,W) input order -> (H,W,C).
+    w6 = sd["roi_heads.box_head.fc6.weight"]
+    w6 = w6.reshape(-1, 256, 7, 7).transpose(0, 2, 3, 1).reshape(w6.shape[0], -1)
+    box_head = {
+        "fc6": {"kernel": w6.T, "bias": sd["roi_heads.box_head.fc6.bias"]},
+        "fc7": _dense(sd, "roi_heads.box_head.fc7"),
+        "cls_score": _dense(sd, "roi_heads.box_predictor.cls_score"),
+        "bbox_pred": _dense(sd, "roi_heads.box_predictor.bbox_pred"),
+    }
+
+    params = {"backbone": bb_params, "fpn": fpn, "rpn": rpn,
+              "box_head": box_head}
+    stats = {"backbone": bb_stats}
+    return {"params": params, "batch_stats": stats}
+
+
 def import_reference_checkpoint(ckpt_dir: str, tp, dtype: str = "bfloat16"):
     """Full pipeline: arch tuple + state_dict -> (cfg, params)."""
     from imagetranslate_tpu.models.config import Seq2SeqConfig

@@ -62,6 +62,13 @@ class CaptionTrainer:
         self.state = create_caption_train_state(variables, self.optimizer)
         self.cap_step = make_caption_train_step(
             self.model, self.optimizer, label_smoothing=label_smoothing)
+        if cfg.use_obj:
+            from imagetranslate_tpu.train.step import (
+                make_caption_obj_train_step,
+            )
+
+            self.cap_obj_step = make_caption_obj_train_step(
+                self.model, self.optimizer, label_smoothing=label_smoothing)
         self.mt_step = make_caption_mt_train_step(
             self.model, self.optimizer, mtl_weight=mtl_weight,
             label_smoothing=label_smoothing)
@@ -103,6 +110,7 @@ class CaptionTrainer:
                     cap_batcher: CaptionBatcher, image_root: str = "",
                     mt_batcher: Optional[MTBatcher] = None,
                     eval_set: Optional[CaptionEvalSet] = None,
+                    obj_store=None,
                     max_step: int = 300_000, eval_every: int = 5000,
                     save_every: int = 10_000, epoch_seed: int = 0,
                     log_every: int = 50) -> int:
@@ -157,6 +165,13 @@ class CaptionTrainer:
                                                       jnp.int32)
                         self.state, m = self.contrastive_step(self.state,
                                                               batch, srng)
+                    elif obj_store is not None:
+                        n = batch["captions"].shape[0]
+                        feats, labels = obj_store.lookup(b.image_paths, n)
+                        batch["box_features"] = jnp.asarray(feats)
+                        batch["object_labels"] = jnp.asarray(labels)
+                        self.state, m = self.cap_obj_step(self.state, batch,
+                                                          srng)
                     else:
                         self.state, m = self.cap_step(self.state, batch, srng)
                 else:
