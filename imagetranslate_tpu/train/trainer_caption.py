@@ -38,7 +38,7 @@ class CaptionTrainer:
                  accum: int = 1, beam_width: int = 4,
                  len_penalty_ratio: float = 0.8, mtl_weight: float = 0.1,
                  label_smoothing: float = 0.1, mm_mode: Optional[str] = None,
-                 mask_prob: float = 0.5, seed: int = 0):
+                 mask_prob: float = 0.5, img_size: int = 224, seed: int = 0):
         self.cfg = cfg
         self.tp = tp
         self.model = ImageSeq2Seq(cfg)
@@ -48,9 +48,10 @@ class CaptionTrainer:
         self.best_bleu = -1.0
         self.caption_reference: Dict[int, List[str]] = defaultdict(list)
 
+        self.img_size = img_size
         self.rng, init_rng = jax.random.split(self.rng)
         B, T = 2, 8
-        images = jnp.zeros((B, 224, 224, 3), jnp.float32)
+        images = jnp.zeros((B, img_size, img_size, 3), jnp.float32)
         caps = jnp.zeros((B, T), jnp.int32)
         mask = jnp.ones((B, T), bool)
         langs = jnp.zeros((B,), jnp.int32)
@@ -181,7 +182,8 @@ class CaptionTrainer:
                 meter.update(step, float(m["sum_loss"]), float(m["ntokens"]))
                 if eval_set is not None and step % eval_every == 0:
                     bleu = self.eval_caption_bleu(eval_set, image_root,
-                                                  saving_path)
+                                                  saving_path,
+                                                  obj_store=obj_store)
                     print(f"Captioning BLEU: {bleu:.2f}", flush=True)
                 if step % save_every == 0:
                     self._save(saving_path + ".latest", step)
@@ -193,7 +195,8 @@ class CaptionTrainer:
         print(f"Total loss in this epoch: {meter.epoch_loss():.4f}", flush=True)
         self._save(saving_path + ".latest", step)
         if eval_set is not None:
-            bleu = self.eval_caption_bleu(eval_set, image_root, saving_path)
+            bleu = self.eval_caption_bleu(eval_set, image_root, saving_path,
+                                          obj_store=obj_store)
             print(f"Captioning BLEU: {bleu:.2f}", flush=True)
         return step
 
@@ -201,17 +204,36 @@ class CaptionTrainer:
 
     def caption_images(self, images: np.ndarray, first_tokens: np.ndarray,
                        tgt_langs: np.ndarray, max_len: int,
-                       beam_width: Optional[int] = None):
-        """Beam decode captions for a batch of images -> (tokens, lengths)."""
+                       beam_width: Optional[int] = None,
+                       box_features: Optional[np.ndarray] = None,
+                       object_labels: Optional[np.ndarray] = None):
+        """Beam decode captions for a batch of images -> (tokens, lengths).
+        With box_features/object_labels, decodes the gated grid+object
+        dual stream (the --obj eval path)."""
         grid = self.model.apply(self._variables(), jnp.asarray(images),
                                 method=ImageSeq2Seq.encode_images)
         img_mask = jnp.ones(grid.shape[:2], bool)
+        common = dict(beam_width=beam_width or self.beam_width,
+                      max_len=max_len,
+                      len_penalty_ratio=self.len_penalty_ratio,
+                      pad_id=self.tp.pad_token_id(),
+                      eos_id=self.tp.sep_token_id())
+        if box_features is not None:
+            from imagetranslate_tpu.decoding.beam import beam_search_dual
+
+            obj_states, obj_keep = self.model.apply(
+                self._variables(), jnp.asarray(box_features),
+                jnp.asarray(object_labels),
+                method=ImageSeq2Seq.encode_objects)
+            return beam_search_dual(
+                self.model, self._variables(), grid, img_mask, obj_states,
+                jnp.asarray(first_tokens), jnp.asarray(tgt_langs), None,
+                grid_mask=obj_keep,
+                init_method=ImageSeq2Seq.init_obj_dual_cache,
+                step_method=ImageSeq2Seq.decode_step_obj_dual, **common)
         return beam_search(
             self.model, self._variables(), grid, img_mask,
-            jnp.asarray(first_tokens), jnp.asarray(tgt_langs), None,
-            beam_width=beam_width or self.beam_width, max_len=max_len,
-            len_penalty_ratio=self.len_penalty_ratio,
-            pad_id=self.tp.pad_token_id(), eos_id=self.tp.sep_token_id())
+            jnp.asarray(first_tokens), jnp.asarray(tgt_langs), None, **common)
 
     def _build_reference(self, eval_set: CaptionEvalSet):
         self.caption_reference = defaultdict(list)
@@ -223,7 +245,7 @@ class CaptionTrainer:
                 self.caption_reference[g.image_id].append(self.tp.decode(ids))
 
     def eval_caption_bleu(self, eval_set: CaptionEvalSet, image_root: str,
-                          saving_path: str) -> float:
+                          saving_path: str, obj_store=None) -> float:
         """Multi-reference caption BLEU (train_captioning.py:143-192)."""
         import sacrebleu
 
@@ -240,7 +262,13 @@ class CaptionTrainer:
                                for g in group])
             first = np.array([g.first_token for g in group], np.int32)
             langs = np.full((len(group),), eval_set.lang, np.int32)
-            best, lengths = self.caption_images(images, first, langs, L)
+            feats = labels = None
+            if obj_store is not None:
+                feats, labels = obj_store.lookup(
+                    [g.image_path for g in group], len(group))
+            best, lengths = self.caption_images(images, first, langs, L,
+                                                box_features=feats,
+                                                object_labels=labels)
             outs = trim_outputs(best, lengths, remove_first_token=True)
             for g, o in zip(group, outs):
                 outputs.append(self.tp.decode(o))

@@ -85,6 +85,35 @@ def test_obj_dual_beam_decode(setup):
     assert (np.asarray(lengths) <= 8).all()
 
 
+def test_caption_trainer_obj_eval_decode(tmp_path):
+    """CaptionTrainer.caption_images with box features = the --obj eval
+    decode path (dual grid+object stream)."""
+    from imagetranslate_tpu.text.processor import TextProcessor
+    from imagetranslate_tpu.train.trainer_caption import CaptionTrainer
+
+    d = tmp_path / "tok"
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("\n".join("alpha beta gamma" for _ in range(50)))
+    t = TextProcessor()
+    t.train_tokenizer([str(corpus)], 120, str(d), {"<aa>": 0})
+    tp = TextProcessor(str(d))
+
+    cfg = tiny_config(vocab_size=tp.vocab_size(), num_languages=1,
+                      use_obj=True)
+    trainer = CaptionTrainer(cfg, tp, beam_width=2, img_size=IMG)
+    rng = np.random.default_rng(3)
+    images = rng.standard_normal((2, IMG, IMG, 3)).astype(np.float32)
+    first = np.full((2,), tp.token_id("<aa>"), np.int32)
+    langs = np.zeros((2,), np.int32)
+    feats = rng.standard_normal((2, O, 1031)).astype(np.float32)
+    labels = np.array([[1, 2, 0, 0], [3, 0, 0, 0]], np.int32)
+    best, lengths = trainer.caption_images(images, first, langs, max_len=8,
+                                           box_features=feats,
+                                           object_labels=labels)
+    assert best.shape == (2, 8)
+    assert (np.asarray(lengths) <= 8).all()
+
+
 def test_object_store_roundtrip(tmp_path):
     from imagetranslate_tpu.data.images import ObjectStore
 
