@@ -21,6 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    """Force completion via a device-to-host transfer. On the tunneled axon
+    TPU, jax.block_until_ready can return before execution finishes, which
+    makes timing loops measure dispatch instead of compute."""
+    return np.asarray(x)
 
 
 def main():
@@ -61,20 +69,24 @@ def main():
         b_sizes = jnp.full((batch_size,), S, jnp.int32)
         b_first = jnp.full((batch_size,), 6, jnp.int32)
 
+        from imagetranslate_tpu.decoding.beam import apply_jit
+
         def run():
-            enc = model.apply(infer_params, b_src, b_mask, b_langs,
-                              method=Seq2Seq.encode)
+            enc = apply_jit(model, infer_params, b_src, b_mask, b_langs,
+                            method=Seq2Seq.encode)
             return beam_search(
                 model, infer_params, enc, b_mask, b_first, b_langs, b_sizes,
                 beam_width=4, max_len=L, len_penalty_ratio=0.8,
                 pad_id=cfg.pad_id, eos_id=-1)
 
         best, lengths = run()  # compile
-        jax.block_until_ready(best)
+        _sync(best)
+        best, lengths = run()  # warm steady-state
+        _sync(best)
         t0 = time.perf_counter()
         for _ in range(iters):
             best, lengths = run()
-        jax.block_until_ready(best)
+            _sync(best)
         dt = (time.perf_counter() - t0) / iters
         return float(jnp.sum(lengths)) / dt
 
@@ -93,12 +105,14 @@ def main():
         "row_mask": jnp.ones((B,), bool),
     }
     state, m = step_fn(state, batch, rng)  # compile
-    jax.block_until_ready(m["sum_loss"])
+    _sync(m["sum_loss"])
+    state, m = step_fn(state, batch, rng)  # warm
+    _sync(m["sum_loss"])
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step_fn(state, batch, rng)
-    jax.block_until_ready(m["sum_loss"])
+        _sync(m["sum_loss"])
     train_dt = (time.perf_counter() - t0) / iters
     train_tps = float(m["ntokens"]) / train_dt
 

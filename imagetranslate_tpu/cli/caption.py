@@ -71,6 +71,7 @@ def main(argv=None):
 
     from imagetranslate_tpu.data.images import ImageFolderBatcher, load_image
     from imagetranslate_tpu.decoding.beam import (
+        apply_jit,
         beam_search,
         beam_search_dual,
         trim_outputs,
@@ -107,8 +108,8 @@ def main(argv=None):
     n = 0
     with open(options.output_path, "w") as writer:
         for batch in batcher:
-            grid = model.apply(variables, jnp.asarray(batch["images"]),
-                               method=ImageSeq2Seq.encode_images)
+            grid = apply_jit(model, variables, jnp.asarray(batch["images"]),
+                             method=ImageSeq2Seq.encode_images)
             img_mask = jnp.ones(grid.shape[:2], bool)
             L = min(options.max_len, cfg.max_position_embeddings)
             if extract is not None:
@@ -116,8 +117,8 @@ def main(argv=None):
                     [load_image(p, 800, resize_min=800)
                      for p in batch["paths"]])
                 box_feats, labels = extract(jnp.asarray(det_imgs))
-                obj_states, obj_keep = model.apply(
-                    variables, box_feats, labels,
+                obj_states, obj_keep = apply_jit(
+                    model, variables, box_feats, labels,
                     method=ImageSeq2Seq.encode_objects)
                 best, lengths = beam_search_dual(
                     model, variables, grid, img_mask, obj_states,

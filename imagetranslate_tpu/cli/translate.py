@@ -92,6 +92,7 @@ def build_batches(options, tp):
 def translate_batches(model, cfg, params, tp, batcher, options,
                       writer=sys.stdout):
     from imagetranslate_tpu.decoding.beam import (
+        apply_jit,
         beam_search,
         max_len_for,
         trim_outputs,
@@ -101,8 +102,9 @@ def translate_batches(model, cfg, params, tp, batcher, options,
     sen_count = 0
     for b in batcher:
         n_real = int(b.row_mask.sum())
-        enc = model.apply(params, jnp.asarray(b.src), jnp.asarray(b.src_mask),
-                          jnp.asarray(b.src_langs), method=Seq2Seq.encode)
+        enc = apply_jit(model, params, jnp.asarray(b.src),
+                        jnp.asarray(b.src_mask), jnp.asarray(b.src_langs),
+                        method=Seq2Seq.encode)
         L = max_len_for(b.src.shape[1], options.max_len_a, options.max_len_b,
                         cfg.max_position_embeddings)
         props = (jnp.asarray(b.proposals)

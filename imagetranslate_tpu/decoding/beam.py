@@ -42,6 +42,16 @@ from imagetranslate_tpu.models.transformer import pad_bias
 NEG = -1e9
 
 
+@functools.partial(jax.jit, static_argnames=("model", "method"))
+def apply_jit(model, params, *args, method):
+    """Jit-compiled model.apply for host-driven calls (encoders before
+    beam_search, object encoding, ...). A bare `model.apply` outside jit
+    dispatches the graph op-by-op — on a tunneled TPU that per-op latency
+    dwarfs the beam loop itself (measured: unjitted BERT-base encode ~2.4s
+    vs the whole jitted 88-step beam loop ~0.5s at B=64)."""
+    return model.apply(params, *args, method=method)
+
+
 class BeamState(NamedTuple):
     i: jnp.ndarray            # scalar step
     tokens: jnp.ndarray       # [B, K, L]

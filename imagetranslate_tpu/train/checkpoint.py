@@ -68,9 +68,26 @@ def load_config(out_dir: str) -> Seq2SeqConfig:
 def load_checkpoint(out_dir: str, params_template,
                     opt_state_template=None) -> Tuple[Any, Any, dict]:
     """Restore into templates (e.g. from model.init / optimizer.init with
-    jax.eval_shape). Returns (params, opt_state_or_None, meta)."""
+    jax.eval_shape). Returns (params, opt_state_or_None, meta).
+
+    Cross-model interop: a text Seq2Seq template also loads from a
+    multimodal (ImageSeq2Seq) checkpoint — the text weights live in its
+    `core` subtree (e.g. translate with a model trained by the multimodal
+    ImageMTTrainer; reference strict=False load, seq2seq.py:198-213)."""
     with open(os.path.join(out_dir, "params.msgpack"), "rb") as f:
-        params = serialization.from_bytes(params_template, f.read())
+        blob = f.read()
+    try:
+        params = serialization.from_bytes(params_template, blob)
+    except ValueError:
+        raw = serialization.msgpack_restore(blob)
+        p = raw.get("params", raw)
+        tmpl_state = serialization.to_state_dict(params_template)
+        tmpl_keys = set(tmpl_state.get("params", tmpl_state))
+        if "core" in p and not (tmpl_keys & set(p)):
+            params = serialization.from_state_dict(params_template,
+                                                   {"params": p["core"]})
+        else:
+            raise
     opt_state = None
     opt_path = os.path.join(out_dir, "opt_state.msgpack")
     if opt_state_template is not None and os.path.exists(opt_path):

@@ -210,8 +210,10 @@ class CaptionTrainer:
         """Beam decode captions for a batch of images -> (tokens, lengths).
         With box_features/object_labels, decodes the gated grid+object
         dual stream (the --obj eval path)."""
-        grid = self.model.apply(self._variables(), jnp.asarray(images),
-                                method=ImageSeq2Seq.encode_images)
+        from imagetranslate_tpu.decoding.beam import apply_jit
+
+        grid = apply_jit(self.model, self._variables(), jnp.asarray(images),
+                         method=ImageSeq2Seq.encode_images)
         img_mask = jnp.ones(grid.shape[:2], bool)
         common = dict(beam_width=beam_width or self.beam_width,
                       max_len=max_len,
@@ -221,8 +223,8 @@ class CaptionTrainer:
         if box_features is not None:
             from imagetranslate_tpu.decoding.beam import beam_search_dual
 
-            obj_states, obj_keep = self.model.apply(
-                self._variables(), jnp.asarray(box_features),
+            obj_states, obj_keep = apply_jit(
+                self.model, self._variables(), jnp.asarray(box_features),
                 jnp.asarray(object_labels),
                 method=ImageSeq2Seq.encode_objects)
             return beam_search_dual(

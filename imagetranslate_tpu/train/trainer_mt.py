@@ -27,7 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from imagetranslate_tpu.data.loader import MassBatcher, MTBatcher
-from imagetranslate_tpu.decoding.beam import beam_search, max_len_for, trim_outputs
+from imagetranslate_tpu.decoding.beam import (
+    apply_jit,
+    beam_search,
+    max_len_for,
+    trim_outputs,
+)
 from imagetranslate_tpu.models.config import Seq2SeqConfig
 from imagetranslate_tpu.models.seq2seq import Seq2Seq
 from imagetranslate_tpu.models.transformer import pad_bias
@@ -110,9 +115,9 @@ class MTTrainer:
 
     def _decode_batch(self, src, src_mask, src_langs, first_tokens, tgt_langs,
                       src_sizes, beam_width: int, max_len: Optional[int] = None):
-        enc = self.model.apply(self._variables(), jnp.asarray(src),
-                               jnp.asarray(src_mask), jnp.asarray(src_langs),
-                               method=type(self.model).encode)
+        enc = apply_jit(self.model, self._variables(), jnp.asarray(src),
+                        jnp.asarray(src_mask), jnp.asarray(src_langs),
+                        method=type(self.model).encode)
         L = max_len or max_len_for(src.shape[1], self.max_len_a,
                                    self.max_len_b,
                                    self.cfg.max_position_embeddings)

@@ -94,11 +94,13 @@ class SenSimTrainer:
     def eval(self, dev_batcher: MTBatcher, saving_path: str) -> float:
         total, items = 0.0, 0
         for b in dev_batcher:
-            loss = self.model.apply(
-                self.state.params, jnp.asarray(b.src),
+            from imagetranslate_tpu.decoding.beam import apply_jit
+
+            loss = apply_jit(
+                self.model, self.state.params, jnp.asarray(b.src),
                 jnp.asarray(b.src_mask), jnp.asarray(b.src_langs),
                 jnp.asarray(b.dst), jnp.asarray(b.dst_mask),
-                jnp.asarray(b.dst_langs))
+                jnp.asarray(b.dst_langs), method=type(self.model).__call__)
             n = int(b.row_mask.sum())
             total += float(loss) * n
             items += n
@@ -111,11 +113,13 @@ class SenSimTrainer:
 
     def similarities(self, b) -> np.ndarray:
         """Per-pair cosine for a dev MTBatch (get_sen_sim.py:34-36)."""
-        sims = self.model.apply(
-            self.state.params, jnp.asarray(b.src), jnp.asarray(b.src_mask),
-            jnp.asarray(b.src_langs), jnp.asarray(b.dst),
-            jnp.asarray(b.dst_mask), jnp.asarray(b.dst_langs),
-            method=SenSim.similarity)
+        from imagetranslate_tpu.decoding.beam import apply_jit
+
+        sims = apply_jit(
+            self.model, self.state.params, jnp.asarray(b.src),
+            jnp.asarray(b.src_mask), jnp.asarray(b.src_langs),
+            jnp.asarray(b.dst), jnp.asarray(b.dst_mask),
+            jnp.asarray(b.dst_langs), method=SenSim.similarity)
         return np.asarray(sims)
 
     def _save(self, path: str, step: int):

@@ -90,8 +90,11 @@ class Caption2ImageTrainer:
         total, items = 0.0, 0
         for b in dev_batcher:
             batch = self._batch(b, image_root)
-            grid = self.model.apply(self.state.params, batch["src"],
-                                    batch["src_mask"], batch["src_langs"])
+            from imagetranslate_tpu.decoding.beam import apply_jit
+
+            grid = apply_jit(self.model, self.state.params, batch["src"],
+                             batch["src_mask"], batch["src_langs"],
+                             method=type(self.model).__call__)
             err = jnp.sum((grid - batch["target_grid"].astype(jnp.float32))
                           ** 2, axis=(1, 2))
             n = int(b.row_mask.sum())
