@@ -94,27 +94,34 @@ def main():
     decode_B = max(per_batch, key=per_batch.get)
     decode_tps = per_batch[decode_B]
 
-    # ---- train step throughput ----
+    # ---- train step throughput (B=64 and the capacity-sized B=256) ----
     optimizer = build_optimizer(lr=1e-4)
     state = create_train_state(params, optimizer)
     step_fn = make_mt_train_step(model, optimizer, donate=False)
-    batch = {
-        "src": src, "src_mask": src_mask, "dst": dst,
-        "dst_mask": jnp.ones((B, S), bool),
-        "src_langs": langs, "dst_langs": langs,
-        "row_mask": jnp.ones((B,), bool),
-    }
-    state, m = step_fn(state, batch, rng)  # compile
-    _sync(m["sum_loss"])
-    state, m = step_fn(state, batch, rng)  # warm
-    _sync(m["sum_loss"])
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step_fn(state, batch, rng)
+
+    def measure_train(bt):
+        b_ids = jax.random.randint(rng, (bt, S), 5, cfg.vocab_size)
+        batch = {
+            "src": b_ids, "src_mask": jnp.ones((bt, S), bool), "dst": b_ids,
+            "dst_mask": jnp.ones((bt, S), bool),
+            "src_langs": jnp.zeros((bt,), jnp.int32),
+            "dst_langs": jnp.zeros((bt,), jnp.int32),
+            "row_mask": jnp.ones((bt,), bool),
+        }
+        st, m = step_fn(state, batch, rng)  # compile
         _sync(m["sum_loss"])
-    train_dt = (time.perf_counter() - t0) / iters
-    train_tps = float(m["ntokens"]) / train_dt
+        st, m = step_fn(st, batch, rng)  # warm
+        _sync(m["sum_loss"])
+        iters = 3
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, m = step_fn(st, batch, rng)
+            _sync(m["sum_loss"])
+        train_dt = (time.perf_counter() - t0) / iters
+        return float(m["ntokens"]) / train_dt
+
+    train_per_batch = {b: measure_train(b) for b in (B, 256)}
+    train_tps = max(train_per_batch.values())
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
@@ -131,6 +138,8 @@ def main():
         "unit": "tokens/sec",
         "vs_baseline": round(vs, 3),
         "train_tokens_per_sec": round(train_tps, 1),
+        "train_tps_per_batch": {str(k): round(v, 1)
+                                for k, v in train_per_batch.items()},
         "decode_batch": decode_B, "decode_src_len": S, "decode_max_len": L,
         "decode_tps_per_batch": {str(k): round(v, 1)
                                  for k, v in per_batch.items()},

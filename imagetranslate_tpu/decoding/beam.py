@@ -108,7 +108,7 @@ def max_len_for(src_len: int, max_len_a: float, max_len_b: int,
 @functools.partial(
     jax.jit,
     static_argnames=("model", "beam_width", "max_len", "len_penalty_ratio",
-                     "pad_id", "eos_id", "max_len_a", "max_len_b"),
+                     "pad_id", "eos_id", "max_len_a", "max_len_b", "lazy"),
 )
 def beam_search(
     model: Seq2Seq,
@@ -128,11 +128,23 @@ def beam_search(
     len_penalty_ratio: float = 0.8,
     pad_id: int = 0,
     eos_id: int = 4,
+    lazy: Optional[bool] = None,
 ):
     B, S, E = enc_states.shape
     K, L = beam_width, max_len
     V = model.cfg.vocab_size
     lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
+
+    # Lazy beam permutation: instead of physically reordering the K/V cache
+    # every step, carry a [B, K, L] ancestry index and apply the permutation
+    # inside attention (Attention.step_beams). Saves the gather's
+    # read+write of the whole cache, but the one-hot select einsums tile
+    # poorly on the MXU — measured SLOWER than the gather path at BERT-base
+    # (8.3k vs 11.8k tok/s, B=64 K=4 L=88, v5e-1), so it stays opt-in
+    # (`lazy=True`); outputs are bit-identical (tests/test_beam.py).
+    use_lazy = (lazy is True and K > 1 and proposals is None
+                and not model.cfg.lang_dec
+                and hasattr(type(model), "decode_step_beams"))
 
     if src_sizes is None:
         max_lens = jnp.full((B,), L, jnp.int32)
@@ -175,10 +187,20 @@ def beam_search(
         i = st.i
         prev = jax.lax.dynamic_slice_in_dim(st.tokens, i - 1, 1, axis=2)
         prev = prev.reshape(B * K, 1)
-        logits, new_cache = model.apply(
-            params, prev, _merge_cache(st.cache, static_cache), i - 1,
-            cross_bias, langs_k, lang_idx, proposals=prop_k,
-            proposal_mask=pmask_k, method=type(model).decode_step)
+        if use_lazy:
+            dyn, anc = st.cache
+            # The token decoded this step writes K/V into its own physical
+            # row, so position i-1's ancestor is the identity.
+            anc = anc.at[:, :, i - 1].set(jnp.arange(K)[None, :])
+            logits, new_cache = model.apply(
+                params, prev, _merge_cache(dyn, static_cache), i - 1,
+                cross_bias, langs_k, anc,
+                method=type(model).decode_step_beams)
+        else:
+            logits, new_cache = model.apply(
+                params, prev, _merge_cache(st.cache, static_cache), i - 1,
+                cross_bias, langs_k, lang_idx, proposals=prop_k,
+                proposal_mask=pmask_k, method=type(model).decode_step)
         new_cache, _ = _split_cache(new_cache)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
@@ -220,17 +242,25 @@ def beam_search(
         parent_finished = jnp.take_along_axis(frozen, beam_idx, axis=1)
         new_finished = parent_finished | (word == eos_id)
 
-        new_cache = _gather_beams(new_cache, beam_idx, B, K)
+        if use_lazy:
+            # Permute the tiny ancestry matrix instead of the cache.
+            cache_state = (new_cache,
+                           jnp.take_along_axis(anc, beam_idx[:, :, None],
+                                               axis=1))
+        else:
+            cache_state = _gather_beams(new_cache, beam_idx, B, K)
         return BeamState(i + 1, new_tokens, top_scores, new_sizes,
-                         new_finished, new_cache)
+                         new_finished, cache_state)
 
+    init_cache_state = ((dyn_cache, jnp.zeros((B, K, L), jnp.int32))
+                        if use_lazy else dyn_cache)
     init = BeamState(
         i=jnp.asarray(1, jnp.int32),
         tokens=tokens,
         scores=scores,
         sizes=jnp.zeros((B, K), jnp.float32),
         finished=jnp.zeros((B, K), jnp.bool_),
-        cache=dyn_cache,
+        cache=init_cache_state,
     )
     final = jax.lax.while_loop(cond, body, init)
 

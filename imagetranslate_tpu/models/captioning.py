@@ -260,6 +260,12 @@ class ImageSeq2Seq(nn.Module):
                                      tgt_langs, lang_idx=lang_idx,
                                      positions=positions)
 
+    def decode_step_beams(self, prev_token, cache, index, cross_bias,
+                          tgt_langs, ancestry, lang_idx=None):
+        return self.core.decode_step_beams(prev_token, cache, index,
+                                           cross_bias, tgt_langs, ancestry,
+                                           lang_idx=lang_idx)
+
     # ---------------- gated dual-stream decoding (seq_gen.py:180-188):
     # run the decoder against the text encoding AND the image grid with
     # separate KV caches, sigmoid-gate the two hidden states, project once.

@@ -239,3 +239,23 @@ class Seq2Seq(nn.Module):
             hidden = self.proposal_attn(hidden, pe, proposal_mask)
         logits = self.project(hidden, lang_idx)
         return logits[:, 0, :], cache
+
+    def decode_step_beams(self, prev_token, cache: Cache, index, cross_bias,
+                          tgt_langs, ancestry, lang_idx=None):
+        """decode_step over an unpermuted beam cache: the caller carries the
+        [B, K, L] ancestry instead of gathering the K/V buffers every step
+        (Decoder.step_beams). Single shared decoder only — per-language
+        decoders and proposal attention fall back to the gather path."""
+        B = prev_token.shape[0]
+        if lang_idx is None:
+            lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
+        positions = jnp.full((B, 1), index, jnp.int32)
+        lang_ids = expand_langs(tgt_langs, 1)
+        x = self.embeddings(prev_token, positions, lang_ids, True)
+        if len(self.decoders) != 1:
+            raise NotImplementedError(
+                "lazy beam decode with per-language decoders")
+        hidden, cache = self.decoders[0].step_beams(x, cache, index,
+                                                    cross_bias, ancestry)
+        logits = self.project(hidden, lang_idx)
+        return logits[:, 0, :], cache

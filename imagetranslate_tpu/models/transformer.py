@@ -136,6 +136,50 @@ class Attention(nn.Module):
         cache for decoding — computed once, reused every step)."""
         return self.key(kv), self.value(kv)
 
+    def step_beams(self, x, cache_k, cache_v, index, ancestry_oh, len_bias):
+        """Self-attention decode step over an UNPERMUTED beam cache.
+
+        Beam search classically reorders the [B*K, L, H, D] K/V buffers
+        after every step — reading AND writing the whole cache, the dominant
+        HBM traffic of the decode loop (measured ~6.5 ms/step at BERT-base
+        B=64 K=4 L=88 on v5e, vs 0.9 ms for the rest of the step). Here the
+        cache rows stay where they were written; the beam permutation is
+        applied inside attention by scoring against ALL K physical rows and
+        selecting with the one-hot ancestry (which physical row holds this
+        logical beam's token at each position). Per-step traffic drops from
+        gather(2x cache) + attention-read(cache) to attention-read(cache);
+        the extra score compute (K x) is MXU-cheap.
+
+        x: [B*K, 1, E]; cache_k/v: [B*K, L, H, D];
+        ancestry_oh: [B, K, L, K] fp32 one-hot (query-beam, position ->
+        physical row); len_bias: additive [1, 1, L, 1] fp32, NEG_INF past
+        `index`. Returns (out [B*K, 1, E], (new_k, new_v)).
+        """
+        cfg = self.cfg
+        BK, L, H, D = cache_k.shape
+        K = ancestry_oh.shape[-1]
+        B = BK // K
+        q = self.query(x)
+        ck = jax.lax.dynamic_update_slice(
+            cache_k, self.key(x).astype(cache_k.dtype), (0, index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cache_v, self.value(x).astype(cache_v.dtype), (0, index, 0, 0))
+        k_all = ck.reshape(B, K, L, H, D)
+        v_all = cv.reshape(B, K, L, H, D)
+        q_ = q.reshape(B, K, H, D)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+        qk = jnp.einsum("bqhd,bpjhd->bqpjh", q_, k_all,
+                        preferred_element_type=jnp.float32) * scale
+        s = jnp.einsum("bqpjh,bqjp->bqjh", qk,
+                       ancestry_oh.astype(jnp.float32)) + len_bias
+        w = jax.nn.softmax(s, axis=2)
+        wp = jnp.einsum("bqjh,bqjp->bqpjh", w,
+                        ancestry_oh.astype(jnp.float32))
+        ctx = jnp.einsum("bqpjh,bpjhd->bqhd", wp.astype(v_all.dtype), v_all)
+        out = self.out(ctx.reshape(BK, 1, H, D))
+        out = self.ln(out + x).astype(cfg.compute_dtype)
+        return out, (ck, cv)
+
 
 class FeedForward(nn.Module):
     """BertIntermediate + BertOutput: dense-gelu-dense, residual post-LN."""
@@ -188,6 +232,17 @@ class DecoderLayer(nn.Module):
         """Single-token decode with KV cache. Returns (x, new_cache)."""
         x, (k, v) = self.self_attn(x, x, self_bias, True,
                                    cache=(cache["k"], cache["v"], index))
+        x = self.cross_attn(x, (cache["ek"], cache["ev"]), cross_bias, True,
+                            precomputed_kv=True)
+        x = self.ffn(x, True)
+        return x, {**cache, "k": k, "v": v}
+
+    def step_beams(self, x, cache: Cache, index, cross_bias, ancestry_oh,
+                   len_bias):
+        """Beam decode step on the unpermuted cache (see
+        Attention.step_beams)."""
+        x, (k, v) = self.self_attn.step_beams(x, cache["k"], cache["v"],
+                                              index, ancestry_oh, len_bias)
         x = self.cross_attn(x, (cache["ek"], cache["ev"]), cross_bias, True,
                             precomputed_kv=True)
         x = self.ffn(x, True)
@@ -273,6 +328,22 @@ class Decoder(nn.Module):
         new_cache = {}
         for i, layer in enumerate(self.layers):
             x, nc = layer.step(x, cache[f"layer_{i}"], index, cross_bias, self_bias)
+            new_cache[f"layer_{i}"] = nc
+        return x, new_cache
+
+    def step_beams(self, x, cache: Cache, index, cross_bias,
+                   ancestry) -> Tuple[jnp.ndarray, Cache]:
+        """One beam decode step against the unpermuted cache; `ancestry` is
+        [B, K, L] int32 (logical beam, position -> physical row)."""
+        L = cache["layer_0"]["k"].shape[1]
+        keep = jnp.arange(L) <= index
+        len_bias = make_attention_bias(keep)[None, None, :, None]
+        K = ancestry.shape[1]
+        oh = jax.nn.one_hot(ancestry, K, dtype=jnp.float32)  # [B, K, L, K]
+        new_cache = {}
+        for i, layer in enumerate(self.layers):
+            x, nc = layer.step_beams(x, cache[f"layer_{i}"], index,
+                                     cross_bias, oh, len_bias)
             new_cache[f"layer_{i}"] = nc
         return x, new_cache
 

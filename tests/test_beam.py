@@ -95,3 +95,18 @@ def test_trim_outputs():
     assert out[1] == [6, 9, 9, 9, 9]
     out2 = trim_outputs(best, lengths, remove_first_token=True)
     assert out2[0] == [9]
+
+
+def test_lazy_beam_matches_gather(setup):
+    """The lazy (ancestry-in-attention) beam path must produce the same
+    hypotheses and lengths as the classic cache-gather path."""
+    cfg, model, params, src, src_mask, langs = setup
+    for K in (2, 4):
+        b_lazy, l_lazy = run_beam(cfg, model, params, src, src_mask, langs,
+                                  beam_width=K, lazy=True)
+        b_gather, l_gather = run_beam(cfg, model, params, src, src_mask,
+                                      langs, beam_width=K, lazy=False)
+        np.testing.assert_array_equal(np.asarray(b_lazy),
+                                      np.asarray(b_gather))
+        np.testing.assert_array_equal(np.asarray(l_lazy),
+                                      np.asarray(l_gather))
