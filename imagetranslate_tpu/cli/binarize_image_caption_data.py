@@ -10,6 +10,8 @@ def main(argv=None):
     p.add_argument("--tok", dest="tokenizer_path", required=True)
     p.add_argument("--max-len", dest="max_len", type=int, default=256)
     p.add_argument("--only-captions", action="store_true")
+    p.add_argument("--packed", action="store_true",
+                   help="write the first-party ITR1 record format")
     p.add_argument("--all-sentences", action="store_true",
                    help="use every long sentence, not just relevant ones")
     options = p.parse_args(argv)
@@ -21,7 +23,8 @@ def main(argv=None):
     write_from_wiki_json(tp, options.output_file, options.file,
                          max_len=options.max_len,
                          only_captions=options.only_captions,
-                         choose_relevant=not options.all_sentences)
+                         choose_relevant=not options.all_sentences,
+                         packed=options.packed)
     print("Finished")
 
 if __name__ == "__main__":

@@ -19,8 +19,12 @@ from imagetranslate_tpu.text.processor import TextProcessor
 
 def _finalize(tp: TextProcessor, output_file: str,
               captions: Iterable[Tuple[str, str]], max_len: int,
-              sample_size: int = -1, path_fixer=None):
-    """Tokenize, dedup image paths, length-sort, marshal-dump."""
+              sample_size: int = -1, path_fixer=None, packed: bool = False):
+    """Tokenize, dedup image paths, length-sort, dump.
+
+    packed=True writes the first-party ITR1 record file (records =
+    (image_id, caption_ids)) plus a `<output>.paths.json` sidecar for the
+    {image_id: path} table, instead of the reference marshal tuple."""
     skipped = 0
     image_path_dict: Dict[str, int] = {}
     unique_images: Dict[int, str] = {}
@@ -48,8 +52,17 @@ def _finalize(tp: TextProcessor, output_file: str,
     print(f"Skipped long sentences: {skipped}")
     by_len = sorted(tok_captions.items(), key=lambda kv: len(kv[1]))
     caption_sorted = [(image_ids[cid], ids) for cid, ids in by_len]
-    with open(output_file, "wb") as wfp:
-        marshal.dump((unique_images, caption_sorted), wfp)
+    if packed:
+        from imagetranslate_tpu.data.recordio import PackedWriter
+
+        with PackedWriter(output_file, 2) as w:
+            for img_id, ids in caption_sorted:
+                w.add(img_id, ids)
+        with open(output_file + ".paths.json", "w") as jf:
+            json.dump({str(k): v for k, v in unique_images.items()}, jf)
+    else:
+        with open(output_file, "wb") as wfp:
+            marshal.dump((unique_images, caption_sorted), wfp)
     print(f"Dumped {len(caption_sorted)} captions from "
           f"{len(unique_images)} unique images")
     return len(caption_sorted)
@@ -68,7 +81,7 @@ def _sniff_extension(path: str) -> str:
 
 def write_from_list(tp: TextProcessor, output_file: str, input_file: str,
                     max_len: int = 256, sample_size: int = -1,
-                    lang: Optional[str] = None):
+                    lang: Optional[str] = None, packed: bool = False):
     """TSV "path<TAB>caption" list (binarize_captions_from_list.py:12-66).
     Prepends "<lang> ... </s>" when the caption lacks the lang tag."""
     lang_tok = f"<{lang}>" if lang is not None else None
@@ -86,11 +99,12 @@ def write_from_list(tp: TextProcessor, output_file: str, input_file: str,
                 yield path, caption
 
     return _finalize(tp, output_file, gen(), max_len, sample_size,
-                     path_fixer=_sniff_extension)
+                     path_fixer=_sniff_extension, packed=packed)
 
 
 def write_from_coco(tp: TextProcessor, output_file: str, input_file: str,
-                    max_len: int = 256, sample_size: int = -1):
+                    max_len: int = 256, sample_size: int = -1,
+                    packed: bool = False):
     """COCO annotation JSON; image files are 12-digit zero-padded jpgs
     (binarize_coco_data.py:7-9)."""
     with open(input_file) as r:
@@ -104,12 +118,13 @@ def write_from_coco(tp: TextProcessor, output_file: str, input_file: str,
             yield (id2path(str(ann["image_id"])),
                    " ".join(["<en>", ann["caption"], "</s>"]))
 
-    return _finalize(tp, output_file, gen(), max_len, sample_size)
+    return _finalize(tp, output_file, gen(), max_len, sample_size,
+                     packed=packed)
 
 
 def write_from_wiki_json(tp: TextProcessor, output_file: str, input_file: str,
                          max_len: int = 256, only_captions: bool = False,
-                         choose_relevant: bool = True):
+                         choose_relevant: bool = True, packed: bool = False):
     """Wiki-doc JSON [{content, images: [{img_path, caption}]}] with three
     caption-selection modes (binarize_image_caption_data.py:20-66):
     only captions / word-overlap-relevant sentences / all long sentences."""
@@ -147,4 +162,4 @@ def write_from_wiki_json(tp: TextProcessor, output_file: str, input_file: str,
                     for s in sens:
                         yield img["img_path"], s
 
-    return _finalize(tp, output_file, gen(), max_len)
+    return _finalize(tp, output_file, gen(), max_len, packed=packed)

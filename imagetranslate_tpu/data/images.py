@@ -72,6 +72,28 @@ class CaptionBatch:
                          for p in paths])
 
 
+def load_caption_bin(data_bin_file: str):
+    """(unique_images {id: path}, [(image_id, caption_ids), ...]) from
+    either the reference marshal tuple or the first-party packed pair
+    (ITR1 records + .paths.json sidecar, data/recordio.py)."""
+    from imagetranslate_tpu.data.recordio import is_packed
+
+    if is_packed(data_bin_file):
+        import json
+
+        from imagetranslate_tpu.data.recordio import PackedReader
+
+        r = PackedReader(data_bin_file)
+        with open(data_bin_file + ".paths.json") as jf:
+            unique_images = {int(k): v for k, v in json.load(jf).items()}
+        captions = [(int(r.field(i, 0)[0]), r.field(i, 1).tolist())
+                    for i in range(len(r))]
+        r.close()
+        return unique_images, captions
+    with open(data_bin_file, "rb") as fp:
+        return marshal.load(fp)
+
+
 class ObjectStore:
     """Precomputed detections (cli/extract_objects.py output): an .npz with
     "<path>||feat" [O, 1031] float32 and "<path>||lab" [O] int32 per image.
@@ -104,8 +126,7 @@ class CaptionBatcher:
     def __init__(self, data_bin_file: str, tp, max_capacity_mb: int = 50,
                  max_img_per_batch: int = 32, bucket_step: int = 16):
         self.pad_id = tp.pad_token_id()
-        with open(data_bin_file, "rb") as fp:
-            self.unique_images, captions = marshal.load(fp)
+        self.unique_images, captions = load_caption_bin(data_bin_file)
         lang_token = tp.id2token(captions[0][1][0])
         self.lang = tp.languages.get(lang_token, 0)
         self.all_captions = []
@@ -188,8 +209,7 @@ class CaptionEvalSet:
     longest ref + 10 (reference ImageCaptionTestDataset, dataset.py:401-423)."""
 
     def __init__(self, data_bin_file: str, tp):
-        with open(data_bin_file, "rb") as fp:
-            unique_images, captions = marshal.load(fp)
+        unique_images, captions = load_caption_bin(data_bin_file)
         lang_token = tp.id2token(captions[0][1][0])
         self.lang = tp.languages.get(lang_token, 0)
         groups: Dict[int, CaptionEvalGroup] = {}

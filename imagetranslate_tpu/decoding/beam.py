@@ -202,15 +202,17 @@ def beam_search(
                 cross_bias, langs_k, lang_idx, proposals=prop_k,
                 proposal_mask=pmask_k, method=type(model).decode_step)
         new_cache, _ = _split_cache(new_cache)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-
         # Two-stage selection: per-beam top-K over the vocab first (cheap),
         # then top-K over the K*K surviving candidates. Only the K best
         # continuations of a beam can enter the next beam set, so this is
         # exactly equivalent to the reference's topk over beam*vocab
-        # (seq_gen.py:203) at a fraction of the TopK cost.
-        top_logp, top_word = jax.lax.top_k(logp, K)       # [B*K, K]
-        top_logp = top_logp.reshape(B, K, K)
+        # (seq_gen.py:203) at a fraction of the TopK cost. log_softmax is
+        # applied AFTER the top-k as logits - logsumexp (identical values,
+        # monotonic, and skips materializing the [B*K, V] fp32 array).
+        logits = logits.astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+        top_val, top_word = jax.lax.top_k(logits, K)      # [B*K, K]
+        top_logp = (top_val - lse).reshape(B, K, K)
         top_word = top_word.reshape(B, K, K).astype(jnp.int32)
 
         row_done = (max_lens < i + 1)[:, None]            # [B, 1]
@@ -373,10 +375,10 @@ def beam_search_dual(
             cb_text, cb_img, langs_k, lang_idx,
             method=step_method)
         new_cache, _ = _split_cache_nested(new_cache)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-
-        top_logp, top_word = jax.lax.top_k(logp, K)
-        top_logp = top_logp.reshape(B, K, K)
+        logits = logits.astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+        top_val, top_word = jax.lax.top_k(logits, K)
+        top_logp = (top_val - lse).reshape(B, K, K)
         top_word = top_word.reshape(B, K, K).astype(jnp.int32)
 
         row_done = (max_lens < i + 1)[:, None]

@@ -81,6 +81,40 @@ def test_tuple_view_and_loaders(tmp_path):
     assert total == 3
 
 
+def test_packed_caption_bin_roundtrip(tmp_path):
+    """Caption binaries in ITR1 + .paths.json load identically to marshal
+    through CaptionBatcher/CaptionEvalSet (data/images.py sniffing)."""
+    from imagetranslate_tpu.data.binarize_captions import write_from_list
+    from imagetranslate_tpu.data.images import load_caption_bin
+    from imagetranslate_tpu.text.processor import TextProcessor
+
+    d = tmp_path
+    corpus = d / "c.txt"
+    corpus.write_text("\n".join("alpha beta gamma" for _ in range(50)))
+    t = TextProcessor()
+    t.train_tokenizer([str(corpus)], 120, str(d / "tok"), {"<aa>": 0})
+    tp = TextProcessor(str(d / "tok"))
+
+    rows = [f"img{i}.jpg\talpha beta" for i in range(4)]
+    (d / "list.tsv").write_text("\n".join(rows))
+    write_from_list(tp, str(d / "m.bin"), str(d / "list.tsv"), lang="aa")
+    write_from_list(tp, str(d / "p.bin"), str(d / "list.tsv"), lang="aa",
+                    packed=True)
+    um_m, caps_m = load_caption_bin(str(d / "m.bin"))
+    um_p, caps_p = load_caption_bin(str(d / "p.bin"))
+    assert um_m == um_p
+    assert [(i, list(c)) for i, c in caps_m] == caps_p
+
+    from imagetranslate_tpu.data.images import CaptionBatcher
+
+    bm = CaptionBatcher(str(d / "m.bin"), tp)
+    bp = CaptionBatcher(str(d / "p.bin"), tp)
+    assert len(bm) == len(bp)
+    for x, y in zip(bm, bp):
+        np.testing.assert_array_equal(x.captions, y.captions)
+        assert x.image_paths == y.image_paths
+
+
 def test_writer_abort_cleans_tmp(tmp_path):
     p = tmp_path / "b.itrec"
     try:
