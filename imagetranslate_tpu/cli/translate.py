@@ -39,7 +39,21 @@ def get_parser() -> argparse.ArgumentParser:
                    help="lexical proposal dictionary")
     p.add_argument("--bucket_step", type=int, default=16,
                    help="length bucket multiple (larger = fewer XLA shapes)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard decode batches over N devices (data-parallel "
+                        "serving; 0 = single device). Batch rows come in "
+                        "multiples of 8 (loader row quantum), so N <= 8 "
+                        "always divides evenly.")
     return p
+
+
+def _dp_sharding(n: int):
+    """NamedSharding that splits the batch dim over the first n devices."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+    return NamedSharding(mesh, PartitionSpec("data"))
 
 
 def build_model(options):
@@ -99,22 +113,32 @@ def translate_batches(model, cfg, params, tp, batcher, options,
     )
     from imagetranslate_tpu.models.seq2seq import Seq2Seq
 
+    sharding = None
+    dp = getattr(options, "dp", 0)
+    if dp and dp > 1:
+        sharding = _dp_sharding(dp)
+
+    def dev(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, sharding) if sharding is not None else x
+
     sen_count = 0
     for b in batcher:
         n_real = int(b.row_mask.sum())
-        enc = apply_jit(model, params, jnp.asarray(b.src),
-                        jnp.asarray(b.src_mask), jnp.asarray(b.src_langs),
-                        method=Seq2Seq.encode)
+        # Under --dp, batch-dim-sharded inputs make jit propagate the
+        # sharding through encode and the whole beam loop — XLA inserts the
+        # collectives; no replica code needed (contrast parallel.py).
+        enc = apply_jit(model, params, dev(b.src), dev(b.src_mask),
+                        dev(b.src_langs), method=Seq2Seq.encode)
         L = max_len_for(b.src.shape[1], options.max_len_a, options.max_len_b,
                         cfg.max_position_embeddings)
-        props = (jnp.asarray(b.proposals)
-                 if b.proposals is not None else None)
-        pmask = (jnp.asarray(b.proposal_mask)
+        props = dev(b.proposals) if b.proposals is not None else None
+        pmask = (dev(b.proposal_mask)
                  if b.proposal_mask is not None else None)
         best, lengths = beam_search(
-            model, params, enc, jnp.asarray(b.src_mask),
-            jnp.asarray(b.dst[:, 0]), jnp.asarray(b.dst_langs),
-            jnp.asarray(b.src_sizes), props, pmask,
+            model, params, enc, dev(b.src_mask),
+            dev(b.dst[:, 0]), dev(b.dst_langs),
+            dev(b.src_sizes), props, pmask,
             beam_width=options.beam_width,
             max_len=L, max_len_a=options.max_len_a,
             max_len_b=options.max_len_b,
