@@ -60,6 +60,11 @@ def get_parser() -> argparse.ArgumentParser:
                    choices=["mixed", "masked", "contrastive"])
     p.add_argument("--langs", dest="bt_langs", default="")
     p.add_argument("--acc", dest="accum", type=int, default=1)
+    p.add_argument("--ignore-mt-mass", dest="ignore_mt_mass",
+                   action="store_true",
+                   help="drop the supervised MT stream during the "
+                        "back-translation fine-tune phase "
+                        "(option_parser.py:73, train_image_mt.py:522)")
     p.add_argument("--save-opt", dest="save_opt", action="store_true")
     p.add_argument("--cont", dest="continue_train", action="store_true")
     p.add_argument("--eval-every", type=int, default=5000)
@@ -69,6 +74,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="capture a JAX profiler trace of steps 10-15 here")
     p.add_argument("--dict", dest="dict_path", default=None,
                    help="lexical proposal dictionary (build_alignment_dict output)")
+    p.add_argument("--lm", dest="lm_path", default=None,
+                   help="pretrained MLM checkpoint (cli/train_lm) to "
+                        "warm-start embeddings/encoder/output "
+                        "(Seq2Seq.init_from_lm parity, seq2seq.py:88-99)")
     p.add_argument("--bucket_step", type=int, default=16,
                    help="length bucket multiple (larger = fewer XLA shapes)")
     return p
@@ -131,6 +140,41 @@ def main(argv=None):
                                  **trainer_kwargs)
     else:
         trainer = MTTrainer(cfg, tp, **trainer_kwargs)
+
+    if options.lm_path is not None and options.train_path is None:
+        import jax
+        import jax.numpy as jnp
+
+        from imagetranslate_tpu.models.lm import LM
+        from imagetranslate_tpu.train.checkpoint import (
+            load_checkpoint as _load_ckpt,
+        )
+        from imagetranslate_tpu.train.checkpoint import (
+            load_config as _load_cfg,
+        )
+
+        lm_cfg = _load_cfg(options.lm_path)
+        lm = LM(lm_cfg)
+        tmpl = jax.eval_shape(
+            lambda: lm.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, 8), jnp.int32),
+                            jnp.ones((2, 8), bool),
+                            jnp.zeros((2,), jnp.int32)))
+        tmpl = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tmpl)
+        lm_vars, _, _ = _load_ckpt(options.lm_path, tmpl)
+        p = dict(trainer.state.params["params"])
+        p["embeddings"] = lm_vars["params"]["embeddings"]
+        p["encoder"] = lm_vars["params"]["encoder"]
+        # Reference ties the output layer to the MLM head (seq2seq.py:92-93);
+        # untied output layers take the word table transposed + MLM bias.
+        if not cfg.tie_embed and "output_layers_0" in p:
+            word = lm_vars["params"]["embeddings"]["word"]["embedding"]
+            p["output_layers_0"] = {"proj": {
+                "kernel": jnp.transpose(word),
+                "bias": lm_vars["params"]["out_bias"]}}
+        trainer.state = trainer.state.replace(
+            params={"params": p})
+        print("Initialized encoder/embeddings/output from the MLM LM")
 
     if options.pretrained_path is not None:
         from imagetranslate_tpu.train.checkpoint import load_checkpoint
@@ -230,6 +274,8 @@ def main(argv=None):
         epoch += 1
 
     if options.finetune_step > 0:
+        if options.ignore_mt_mass:
+            mt_batcher = None
         trainer.reset_for_finetune()
         lang_directions = MTTrainer.lang_directions(
             options.bt_langs.strip().split(","), tp)
