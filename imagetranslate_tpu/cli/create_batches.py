@@ -9,6 +9,8 @@ def main(argv=None):
     p.add_argument("--tok", dest="tokenizer_path", required=True)
     p.add_argument("--seq_len", type=int, default=512)
     p.add_argument("--block", dest="sen_block_size", type=int, default=10000)
+    p.add_argument("--packed", action="store_true",
+                   help="write blocks in the first-party ITR1 record format")
     options = p.parse_args(argv)
 
     from imagetranslate_tpu.data.binarize import write_doc_blocks
@@ -17,7 +19,8 @@ def main(argv=None):
     tp = TextProcessor(options.tokenizer_path)
     n = write_doc_blocks(tp, options.data_path, options.cache_path,
                          seq_len=options.seq_len,
-                         sen_block_size=options.sen_block_size)
+                         sen_block_size=options.sen_block_size,
+                         packed=options.packed)
     print(f"Wrote {n} blocks")
 
 if __name__ == "__main__":

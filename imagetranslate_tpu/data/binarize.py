@@ -142,9 +142,24 @@ def load_mass(path_prefix: str):
 
 
 def write_doc_blocks(tp: TextProcessor, txt_file: str, cache_dir: str,
-                     seq_len: int = 512, sen_block_size: int = 10_000):
-    """Doc-level LM binaries (create_batches.py:9-53)."""
+                     seq_len: int = 512, sen_block_size: int = 10_000,
+                     packed: bool = False):
+    """Doc-level LM binaries (create_batches.py:9-53). packed=True stores
+    each block as an ITR1 record file (same `{N}.pkl` names + info.txt so
+    DocBlockDataset sniffs per block)."""
     os.makedirs(cache_dir, exist_ok=True)
+
+    def dump_block(rows, path):
+        if packed:
+            from imagetranslate_tpu.data.recordio import PackedWriter
+
+            with PackedWriter(path, 1) as w:
+                for r in rows:
+                    w.add(r)
+        else:
+            with open(path, "wb") as fw:
+                marshal.dump(rows, fw)
+
     sentences = []
     line_num, file_count = 0, 0
     with open(txt_file) as fp:
@@ -156,14 +171,12 @@ def write_doc_blocks(tp: TextProcessor, txt_file: str, cache_dir: str,
                 sentences.append([int(x) for x in seq])
                 line_num += 1
                 if len(sentences) >= sen_block_size:
-                    with open(os.path.join(cache_dir, f"{file_count}.pkl"),
-                              "wb") as fw:
-                        marshal.dump(sentences, fw)
+                    dump_block(sentences,
+                               os.path.join(cache_dir, f"{file_count}.pkl"))
                     sentences = []
                     file_count += 1
     if sentences:
-        with open(os.path.join(cache_dir, f"{file_count}.pkl"), "wb") as fw:
-            marshal.dump(sentences, fw)
+        dump_block(sentences, os.path.join(cache_dir, f"{file_count}.pkl"))
         file_count += 1
     with open(os.path.join(cache_dir, "info.txt"), "w") as fw:
         fw.write(f"{sen_block_size}\t{line_num}\t{file_count}")

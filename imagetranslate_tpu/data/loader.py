@@ -201,11 +201,20 @@ class DocBlockDataset:
             self._fill(0, self.file_count)
 
     def _fill(self, start: int, end: int):
+        from imagetranslate_tpu.data.recordio import is_packed
+
         self.cache = {}
         for n in range(start, min(end, self.file_count)):
-            with open(self._os.path.join(self.cache_dir, f"{n}.pkl"),
-                      "rb") as fp:
-                self.cache[n] = self._marshal.load(fp)
+            path = self._os.path.join(self.cache_dir, f"{n}.pkl")
+            if is_packed(path):
+                from imagetranslate_tpu.data.recordio import PackedReader
+
+                r = PackedReader(path)
+                self.cache[n] = [r.field(i, 0).tolist() for i in range(len(r))]
+                r.close()
+            else:
+                with open(path, "rb") as fp:
+                    self.cache[n] = self._marshal.load(fp)
 
     def __len__(self):
         return self.line_num

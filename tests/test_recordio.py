@@ -127,6 +127,30 @@ def test_writer_abort_cleans_tmp(tmp_path):
     assert not p.exists()
 
 
+def test_packed_doc_blocks_roundtrip(tmp_path):
+    """Doc-LM block cache reads marshal and ITR1 blocks identically."""
+    from imagetranslate_tpu.data.binarize import write_doc_blocks
+    from imagetranslate_tpu.data.loader import DocBlockDataset
+    from imagetranslate_tpu.text.processor import TextProcessor
+
+    d = tmp_path
+    (d / "c.txt").write_text("\n".join("<aa> alpha beta gamma </s>"
+                                       for _ in range(40)))
+    t = TextProcessor()
+    t.train_tokenizer([str(d / "c.txt")], 120, str(d / "tok"), {"<aa>": 0})
+    tp = TextProcessor(str(d / "tok"))
+
+    write_doc_blocks(tp, str(d / "c.txt"), str(d / "m"), seq_len=16,
+                     sen_block_size=8)
+    write_doc_blocks(tp, str(d / "c.txt"), str(d / "p"), seq_len=16,
+                     sen_block_size=8, packed=True)
+    dm = DocBlockDataset(str(d / "m"), max_cache_size=1)
+    dp = DocBlockDataset(str(d / "p"), max_cache_size=1)
+    assert len(dm) == len(dp) > 0
+    for i in range(len(dm)):
+        assert list(dm[i]) == list(dp[i])
+
+
 def test_empty_fields_ok(tmp_path):
     p = str(tmp_path / "c.itrec")
     with PackedWriter(p, 2) as w:
