@@ -207,6 +207,15 @@ class PackedReader:
         return int(self._index[k + 1] - self._index[k])
 
     def field(self, i: int, f: int) -> np.ndarray:
+        """Owned copy of field f of record i. (A copy, NOT a view: callers
+        like `examples.extend(load_mt(path))` outlive the reader, and a
+        view into the munmap'd file segfaults on first touch.)"""
+        return np.array(self.field_view(i, f))
+
+    def field_view(self, i: int, f: int) -> np.ndarray:
+        """Zero-copy view into the mmap — valid ONLY while this reader is
+        alive. Use for bulk scans where the reader is held (pack_padded
+        already does the bulk path in C)."""
         n = self.field_len(i, f)
         if self._h is not None:
             ptr = self._lib.rec_field_ptr(self._h, i, f)

@@ -81,6 +81,23 @@ def test_tuple_view_and_loaders(tmp_path):
     assert total == 3
 
 
+def test_fields_survive_reader_gc(tmp_path):
+    """Regression: `examples.extend(load_mt(p))` drops the reader; the
+    extracted arrays must own their data, not view the munmap'd file
+    (this exact pattern segfaulted cli/train_mt on packed binaries)."""
+    import gc
+
+    from imagetranslate_tpu.data.binarize import _dump_mt, load_mt
+
+    p = str(tmp_path / "x.mt")
+    _dump_mt(RECORDS, p, packed=True)
+    examples = []
+    examples.extend(load_mt(p))
+    gc.collect()
+    total = sum(int(np.sum(e[0])) + int(np.sum(e[1])) for e in examples)
+    assert total == sum(sum(r[0]) + sum(r[1]) for r in RECORDS)
+
+
 def test_packed_caption_bin_roundtrip(tmp_path):
     """Caption binaries in ITR1 + .paths.json load identically to marshal
     through CaptionBatcher/CaptionEvalSet (data/images.py sniffing)."""
