@@ -215,14 +215,29 @@ def main(argv=None):
     pad = tp.pad_token_id()
     mt_batcher = None
     if options.mt_train_path is not None:
-        examples = []
-        for path in options.mt_train_path.split(","):
-            examples.extend(load_mt(path))
-        mt_batcher = MTBatcher(examples, pad_id=pad, max_batch=options.batch // 2,
-                               capacity_mb=options.total_capacity // 2,
-                               max_seq_len=options.max_seq_len,
-                               bucket_step=options.bucket_step,
-                               lex_dict=lex_dict)
+        from imagetranslate_tpu.data.recordio import is_packed
+
+        paths = options.mt_train_path.split(",")
+        if len(paths) == 1 and is_packed(paths[0]):
+            # C-packed batch construction straight off the mmap.
+            from imagetranslate_tpu.data.recordio import PackedReader
+
+            mt_batcher = MTBatcher.from_packed(
+                PackedReader(paths[0]), pad_id=pad,
+                max_batch=options.batch // 2,
+                capacity_mb=options.total_capacity // 2,
+                max_seq_len=options.max_seq_len,
+                bucket_step=options.bucket_step, lex_dict=lex_dict)
+        else:
+            examples = []
+            for path in paths:
+                examples.extend(load_mt(path))
+            mt_batcher = MTBatcher(examples, pad_id=pad,
+                                   max_batch=options.batch // 2,
+                                   capacity_mb=options.total_capacity // 2,
+                                   max_seq_len=options.max_seq_len,
+                                   bucket_step=options.bucket_step,
+                                   lex_dict=lex_dict)
         print(f"MT train batches: {len(mt_batcher)}")
 
     mass_batcher = None

@@ -163,6 +163,80 @@ class MTBatcher:
                        examples=[r[:2] for r in rows_data] if keep_examples else None,
                        proposals=proposals, proposal_mask=proposal_mask)
 
+    @classmethod
+    def from_packed(cls, reader, pad_id: int = 0, max_batch: int = 4000,
+                    capacity_mb: int = 600, max_seq_len: int = 175,
+                    bucket_step: int = 16, lex_dict=None) -> "MTBatcher":
+        """Build batches straight from an ITR1 PackedReader: the grouping
+        loop touches only the O(1)-readable length arrays, and row packing
+        runs in C (recordio pack_padded) instead of a per-row Python loop —
+        the batch-construction hot path for 6M-example shards."""
+        self = cls.__new__(cls)
+        self.pad_id = pad_id
+        self.lex_dict = lex_dict
+        self.batches = []
+        ls = np.minimum(reader.lengths(0), max_seq_len).astype(np.int32)
+        ld = np.minimum(reader.lengths(1), max_seq_len).astype(np.int32)
+        sl_all = reader.scalars(2)
+        dl_all = reader.scalars(3)
+
+        def flush(idx, sb, db):
+            if not idx:
+                return
+            n = len(idx)
+            rows = max(_rows_for(sb, db, max_batch, capacity_mb,
+                                 min_rows=n), n)
+            ii = np.asarray(idx, np.int64)
+            src = np.full((rows, sb), pad_id, np.int32)
+            dst = np.full((rows, db), pad_id, np.int32)
+            src[:n] = reader.pack_padded(ii, 0, sb, pad_id)
+            dst[:n] = reader.pack_padded(ii, 1, db, pad_id)
+            # enforce the max_seq_len truncation exactly (records longer
+            # than max_seq_len got cut at the bucketed width by C packing)
+            src[:n][np.arange(sb)[None, :] >= ls[ii][:, None]] = pad_id
+            dst[:n][np.arange(db)[None, :] >= ld[ii][:, None]] = pad_id
+            src_langs = np.zeros((rows,), np.int32)
+            dst_langs = np.zeros((rows,), np.int32)
+            src_sizes = np.ones((rows,), np.int32)
+            row_mask = np.zeros((rows,), bool)
+            src_langs[:n] = sl_all[ii]
+            dst_langs[:n] = dl_all[ii]
+            src_sizes[:n] = ls[ii]
+            row_mask[:n] = True
+            if n < rows:
+                src[n:] = src[0]
+                dst[n:] = dst[0]
+                src_langs[n:] = src_langs[0]
+                dst_langs[n:] = dst_langs[0]
+                src_sizes[n:] = src_sizes[0]
+            proposals = proposal_mask = None
+            if lex_dict is not None:
+                prop_rows = [lex_proposals(src[i], lex_dict, pad_id)
+                             for i in range(rows)]
+                proposals = pack_proposals(prop_rows, pad_id)
+                proposal_mask = proposals != pad_id
+            self.batches.append(MTBatch(
+                src, src != pad_id, dst, dst != pad_id, src_langs, dst_langs,
+                src_sizes, row_mask, examples=None, proposals=proposals,
+                proposal_mask=proposal_mask))
+
+        cur: List[int] = []
+        cur_sb = cur_db = 0
+        for i in range(len(reader)):
+            sb = bucket_len(int(ls[i]), bucket_step)
+            db = bucket_len(int(ld[i]), bucket_step)
+            nsb, ndb = max(cur_sb, sb), max(cur_db, db)
+            rows_budget = _rows_for(nsb, ndb, max_batch, capacity_mb)
+            if cur and (nsb != cur_sb or ndb != cur_db or
+                        len(cur) + 1 > rows_budget):
+                flush(cur, cur_sb, cur_db)
+                cur = []
+                nsb, ndb = sb, db
+            cur.append(i)
+            cur_sb, cur_db = nsb, ndb
+        flush(cur, cur_sb, cur_db)
+        return self
+
     def __len__(self):
         return len(self.batches)
 
@@ -294,6 +368,64 @@ class MassBatcher:
             cur.append(ex)
             cur_s = ns
         flush()
+
+    @classmethod
+    def from_packed(cls, reader, pad_id: int = 0, max_batch: int = 4000,
+                    capacity_mb: int = 600, max_seq_len: int = 512,
+                    bucket_step: int = 16) -> "MassBatcher":
+        """C-packed batch construction from an ITR1 shard (see
+        MTBatcher.from_packed)."""
+        self = cls.__new__(cls)
+        self.pad_id = pad_id
+        self.batches = []
+        lens = reader.lengths(0).astype(np.int32)
+        langs_all = reader.scalars(1)
+
+        def rows_for(s):
+            by_tokens = max_batch // (2 * s)
+            by_capacity = int(capacity_mb * 1_000_000) // (2 * s ** 3)
+            rows = max(1, min(by_tokens, by_capacity))
+            if rows > 8:
+                rows = (rows // 8) * 8
+            return rows
+
+        def flush(idx, s):
+            if not idx:
+                return
+            n = len(idx)
+            rows = max(rows_for(s), n)
+            ii = np.asarray(idx, np.int64)
+            src = np.full((rows, s), pad_id, np.int32)
+            src[:n] = reader.pack_padded(ii, 0, s, pad_id)
+            langs = np.zeros((rows,), np.int32)
+            lengths = np.ones((rows,), np.int32)
+            row_mask = np.zeros((rows,), bool)
+            langs[:n] = langs_all[ii]
+            lengths[:n] = lens[ii]
+            row_mask[:n] = True
+            if n < rows:
+                src[n:] = src[0]
+                langs[n:] = langs[0]
+                lengths[n:] = lengths[0]
+            self.batches.append(MassBatch(src, src != pad_id, langs,
+                                          src[:, 0].copy(), lengths,
+                                          row_mask))
+
+        cur: List[int] = []
+        cur_s = 0
+        for i in range(len(reader)):
+            if int(lens[i]) > max_seq_len:
+                continue
+            s = bucket_len(int(lens[i]), bucket_step)
+            ns = max(cur_s, s)
+            if cur and (ns != cur_s or len(cur) + 1 > rows_for(ns)):
+                flush(cur, cur_s)
+                cur = []
+                ns = s
+            cur.append(i)
+            cur_s = ns
+        flush(cur, cur_s)
+        return self
 
     def _pack(self, rows_data, rows, s) -> MassBatch:
         n = len(rows_data)

@@ -132,6 +132,49 @@ def test_packed_caption_bin_roundtrip(tmp_path):
         assert x.image_paths == y.image_paths
 
 
+def test_from_packed_matches_list_batching(tmp_path):
+    """MTBatcher/MassBatcher.from_packed (C pack_padded hot path) must
+    produce byte-identical batches to the list-based constructor."""
+    from imagetranslate_tpu.data.binarize import _dump_mass, _dump_mt, load_mt
+    from imagetranslate_tpu.data.loader import MassBatcher, MTBatcher
+    from imagetranslate_tpu.data.recordio import PackedReader
+
+    rng = np.random.default_rng(5)
+    examples = []
+    for _ in range(200):
+        ls, ld = int(rng.integers(2, 40)), int(rng.integers(2, 40))
+        examples.append((rng.integers(5, 100, ls).tolist(),
+                         rng.integers(5, 100, ld).tolist(),
+                         int(rng.integers(0, 2)), int(rng.integers(0, 2))))
+    examples.sort(key=lambda e: len(e[1]))
+    p = str(tmp_path / "x.mt")
+    _dump_mt(examples, p, packed=True)
+
+    kw = dict(pad_id=0, max_batch=500, capacity_mb=600, max_seq_len=20)
+    a = MTBatcher(examples, **kw)
+    b = MTBatcher.from_packed(PackedReader(p), **kw)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.src, y.src)
+        np.testing.assert_array_equal(x.dst, y.dst)
+        np.testing.assert_array_equal(x.src_langs, y.src_langs)
+        np.testing.assert_array_equal(x.src_sizes, y.src_sizes)
+        np.testing.assert_array_equal(x.row_mask, y.row_mask)
+
+    mono = sorted([(e[0], e[2]) for e in examples], key=lambda e: len(e[0]))
+    q = str(tmp_path / "x.mass")
+    _dump_mass(mono, q, packed=True)
+    kw = dict(pad_id=0, max_batch=300, capacity_mb=600, max_seq_len=30)
+    a = MassBatcher(mono, **kw)
+    b = MassBatcher.from_packed(PackedReader(q), **kw)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.src, y.src)
+        np.testing.assert_array_equal(x.langs, y.langs)
+        np.testing.assert_array_equal(x.lengths, y.lengths)
+        np.testing.assert_array_equal(x.row_mask, y.row_mask)
+
+
 def test_writer_abort_cleans_tmp(tmp_path):
     p = tmp_path / "b.itrec"
     try:
