@@ -240,16 +240,44 @@ def main(argv=None):
                                    lex_dict=lex_dict)
         print(f"MT train batches: {len(mt_batcher)}")
 
-    mass_batcher = None
-    if options.mass_train_path is not None:
+    def build_mass_batcher(max_batch, capacity_mb, bucket_step=16):
+        """Packed shards batch in C per shard (batches concatenate freely);
+        marshal shards go through the list constructor."""
+        import glob as _glob
+
+        from imagetranslate_tpu.data.recordio import is_packed
+
+        shard_paths = []
+        for pfx in options.mass_train_path.split(","):
+            shard_paths.extend(sorted(_glob.glob(pfx + "*")))
+        if shard_paths and all(is_packed(s) for s in shard_paths):
+            from imagetranslate_tpu.data.recordio import PackedReader
+
+            batcher = None
+            for s in shard_paths:
+                nb = MassBatcher.from_packed(
+                    PackedReader(s), pad_id=pad, max_batch=max_batch,
+                    capacity_mb=capacity_mb,
+                    max_seq_len=options.max_seq_len,
+                    bucket_step=bucket_step)
+                if batcher is None:
+                    batcher = nb
+                else:
+                    batcher.batches.extend(nb.batches)
+            return batcher
         examples = []
         for pfx in options.mass_train_path.split(","):
             examples.extend(load_mass(pfx))
-        mass_batcher = MassBatcher(examples, pad_id=pad,
-                                   max_batch=options.batch,
-                                   capacity_mb=options.total_capacity,
-                                   max_seq_len=options.max_seq_len,
-                                   bucket_step=options.bucket_step)
+        return MassBatcher(examples, pad_id=pad, max_batch=max_batch,
+                           capacity_mb=capacity_mb,
+                           max_seq_len=options.max_seq_len,
+                           bucket_step=bucket_step)
+
+    mass_batcher = None
+    if options.mass_train_path is not None:
+        mass_batcher = build_mass_batcher(options.batch,
+                                          options.total_capacity,
+                                          options.bucket_step)
         print(f"MASS train batches: {len(mass_batcher)}")
 
     img_batcher = None
@@ -300,13 +328,8 @@ def main(argv=None):
         # (train_image_mt.py:594-605: capacity / max(2, bt_beam)).
         if mass_batcher is not None:
             denom = max(2, options.bt_beam_width)
-            examples = []
-            for pfx in options.mass_train_path.split(","):
-                examples.extend(load_mass(pfx))
-            mass_batcher = MassBatcher(examples, pad_id=pad,
-                                       max_batch=options.batch // denom,
-                                       capacity_mb=options.total_capacity // denom,
-                                       max_seq_len=options.max_seq_len)
+            mass_batcher = build_mass_batcher(
+                options.batch // denom, options.total_capacity // denom)
         while step < options.finetune_step + options.step:
             print(f"finetune epoch {fepoch}")
             step = trainer.train_epoch(
