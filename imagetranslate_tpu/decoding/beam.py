@@ -249,6 +249,11 @@ def beam_search(
             cache_state = (new_cache,
                            jnp.take_along_axis(anc, beam_idx[:, :, None],
                                                axis=1))
+        elif K == 1:
+            # Greedy / BT generation: the beam permutation is always the
+            # identity — skip the whole-cache gather (~830 MB/step at
+            # BERT-base B=64 L=88).
+            cache_state = new_cache
         else:
             cache_state = _gather_beams(new_cache, beam_idx, B, K)
         return BeamState(i + 1, new_tokens, top_scores, new_sizes,
