@@ -51,6 +51,12 @@ class Seq2SeqConfig:
     dtype: str = "bfloat16"  # activation/compute dtype
     remat: bool = False      # jax.checkpoint each layer to trade FLOPs for HBM
     use_pallas_attention: bool = True   # Pallas flash-attention on TPU
+    # Decode-time self-attn KV cache dtype. "float8_e4m3fn" halves the
+    # cache's HBM footprint (serving capacity / longer contexts) at reduced
+    # K/V precision. Measured speed-neutral on v5e (11.9k vs 12.0k tok/s):
+    # XLA materializes the bf16 upcast instead of fusing it into the dot,
+    # so the traffic saving doesn't land — see docs/PERF.md.
+    kv_cache_dtype: str = "bfloat16"
     # Pallas fused label-smoothed xent: measured SLOWER than XLA's own
     # fusion for the training step on v5e (74.9k vs 88.7k tok/s at
     # B=256 S=64 BERT-base) — XLA already fuses the softmax/log into the

@@ -116,6 +116,11 @@ class Attention(nn.Module):
                 k = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, index, 0, 0))
                 v = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, index, 0, 0))
                 new_kv = (k, v)
+                if k.dtype != cfg.compute_dtype:
+                    # fp8 cache (cfg.kv_cache_dtype): store narrow, compute
+                    # wide — XLA fuses the convert into the dot operands.
+                    k = k.astype(cfg.compute_dtype)
+                    v = v.astype(cfg.compute_dtype)
 
         ctx = dot_product_attention(
             q, k, v, bias=bias,
@@ -308,13 +313,14 @@ class Decoder(nn.Module):
     def init_cache(self, enc_states, batch: int, max_len: int) -> Cache:
         """Zeroed self-attn K/V buffers + once-projected encoder K/V."""
         cfg = self.cfg
+        kv_dtype = jnp.dtype(cfg.kv_cache_dtype)
         kv_shape = (batch, max_len, cfg.num_heads, cfg.head_dim)
         cache = {}
         for i, layer in enumerate(self.layers):
             ek, ev = layer.init_cross_kv(enc_states)
             cache[f"layer_{i}"] = {
-                "k": jnp.zeros(kv_shape, cfg.compute_dtype),
-                "v": jnp.zeros(kv_shape, cfg.compute_dtype),
+                "k": jnp.zeros(kv_shape, kv_dtype),
+                "v": jnp.zeros(kv_shape, kv_dtype),
                 "ek": ek,
                 "ev": ev,
             }

@@ -110,3 +110,20 @@ def test_lazy_beam_matches_gather(setup):
                                       np.asarray(b_gather))
         np.testing.assert_array_equal(np.asarray(l_lazy),
                                       np.asarray(l_gather))
+
+
+def test_fp8_kv_cache_decodes(setup):
+    """Opt-in fp8 KV cache (cfg.kv_cache_dtype): decode runs and produces a
+    valid hypothesis; scores differ slightly from bf16 by design."""
+    cfg, model, params, src, src_mask, langs = setup
+    import dataclasses
+
+    from imagetranslate_tpu.models.seq2seq import Seq2Seq as S2S
+
+    cfg8 = dataclasses.replace(cfg, kv_cache_dtype="float8_e4m3fn")
+    model8 = S2S(cfg8)
+    best, lengths = run_beam(cfg8, model8, params, src, src_mask, langs,
+                             beam_width=3)
+    best = np.asarray(best)
+    assert (best[:, 0] == 6).all()
+    assert np.isfinite(np.asarray(lengths)).all()
