@@ -58,11 +58,18 @@ def get_parser():
                    help="train the object stream (needs --obj-feats)")
     p.add_argument("--obj-feats", dest="obj_feats_path", default=None,
                    help="precomputed detections .npz (cli/extract_objects.py)")
+    p.add_argument("--mesh", dest="mesh_spec", default="",
+                   help="device mesh 'DATAxMODEL' (e.g. 8, 4x2, auto)")
     return p
 
 
 def main(argv=None):
     options = get_parser().parse_args(argv)
+
+    from imagetranslate_tpu.parallel.mesh import init_distributed, parse_mesh
+
+    init_distributed()
+    mesh = parse_mesh(options.mesh_spec)
 
     from imagetranslate_tpu.data.binarize import load_mt
     from imagetranslate_tpu.data.images import CaptionBatcher, CaptionEvalSet
@@ -95,7 +102,7 @@ def main(argv=None):
         clip=options.clip, accum=options.accum, beam_width=options.beam_width,
         len_penalty_ratio=options.len_penalty_ratio,
         mtl_weight=options.mtl_weight, mm_mode=options.mm_mode,
-        mask_prob=options.mask_prob)
+        mask_prob=options.mask_prob, mesh=mesh)
 
     if options.lm_path is not None:
         import jax

@@ -80,11 +80,24 @@ def get_parser() -> argparse.ArgumentParser:
                         "(Seq2Seq.init_from_lm parity, seq2seq.py:88-99)")
     p.add_argument("--bucket_step", type=int, default=16,
                    help="length bucket multiple (larger = fewer XLA shapes)")
+    p.add_argument("--mesh", dest="mesh_spec", default="",
+                   help="device mesh 'DATAxMODEL' (e.g. 8, 4x2, auto): "
+                        "data-parallel batch sharding + tensor-parallel "
+                        "attention/FFN/vocab. Replaces the reference's "
+                        "broken multi-GPU path (utils.py:93-97, "
+                        "README.md:120); multi-host via "
+                        "JAX_COORDINATOR_ADDRESS et al.")
     return p
 
 
 def main(argv=None):
     options = get_parser().parse_args(argv)
+
+    # Multi-host bring-up must happen before any other JAX call.
+    from imagetranslate_tpu.parallel.mesh import init_distributed, parse_mesh
+
+    init_distributed()
+    mesh = parse_mesh(options.mesh_spec)
 
     from imagetranslate_tpu.data.binarize import load_mass, load_mt
     from imagetranslate_tpu.data.loader import MassBatcher, MTBatcher
@@ -132,7 +145,7 @@ def main(argv=None):
         beam_width=options.beam_width, bt_beam_width=options.bt_beam_width,
         max_len_a=options.max_len_a, max_len_b=options.max_len_b,
         len_penalty_ratio=options.len_penalty_ratio,
-        label_smoothing=0.0 if options.nll_loss else 0.1)
+        label_smoothing=0.0 if options.nll_loss else 0.1, mesh=mesh)
     if options.train_path is not None:
         from imagetranslate_tpu.train.trainer_image_mt import ImageMTTrainer
 

@@ -105,10 +105,208 @@ def max_len_for(src_len: int, max_len_a: float, max_len_b: int,
     return min(int(max_len_a * src_len + max_len_b), max_positions)
 
 
+def _split3(cache):
+    """Split a windowed decode cache into (main(k,v), win(wk,wv),
+    static(ek,ev)) pytrees. Only the window buffers are carried through the
+    per-segment while_loop; the main buffers are read-only between
+    consolidations and the encoder K/V never change."""
+    main = {l: {k: v for k, v in e.items() if k in ("k", "v")}
+            for l, e in cache.items()}
+    win = {l: {k: v for k, v in e.items() if k in ("wk", "wv")}
+           for l, e in cache.items()}
+    static = {l: {k: v for k, v in e.items() if k in ("ek", "ev")}
+              for l, e in cache.items()}
+    return main, win, static
+
+
+def _merge3(main, win, static):
+    return {l: {**main[l], **win[l], **static[l]} for l in main}
+
+
+def _consolidate(main, win, rowsel, wanc, t0: int, batch: int, k: int):
+    """Fold a finished window into the main cache: physically reorder the
+    consolidated prefix [:, :t0] by `rowsel` (one gather per W steps instead
+    of per step) and scatter the window buffers by the per-position ancestry
+    `wanc`, so afterwards physical row q again holds logical beam q's full
+    history < t0+W."""
+    W = wanc.shape[-1]
+    rs_oh = jax.nn.one_hot(rowsel, k, dtype=jnp.bfloat16)      # [B, K, K]
+    wa_oh = jax.nn.one_hot(wanc, k, dtype=jnp.bfloat16)        # [B, K, W, K]
+
+    def fold(leaf, wleaf):
+        BK = leaf.shape[0]
+        rest = leaf.shape[2:]
+        new = leaf
+        if t0 > 0:
+            pre = leaf[:, :t0].reshape(batch, k, -1)
+            pre = jnp.einsum("bqp,bpf->bqf", rs_oh, pre.astype(jnp.bfloat16))
+            pre = pre.reshape((BK, t0) + rest).astype(leaf.dtype)
+            new = jax.lax.dynamic_update_slice_in_dim(new, pre, 0, axis=1)
+        wsel = wleaf.reshape((batch, k, W) + rest)
+        wsel = jnp.einsum("bqwp,bpwf->bqwf", wa_oh,
+                          wsel.reshape(batch, k, W, -1).astype(jnp.bfloat16))
+        wsel = wsel.reshape((BK, W) + rest).astype(leaf.dtype)
+        return jax.lax.dynamic_update_slice_in_dim(new, wsel, t0, axis=1)
+
+    new_main = {}
+    for l in main:
+        new_main[l] = {
+            "k": fold(main[l]["k"], win[l]["wk"]),
+            "v": fold(main[l]["v"], win[l]["wv"]),
+        }
+    return new_main
+
+
+def _beam_search_windowed(model, params, enc_states, src_mask, first_tokens,
+                          tgt_langs, max_lens, prop_k, pmask_k, *,
+                          beam_width: int, max_len: int,
+                          len_penalty_ratio: float, pad_id: int, eos_id: int,
+                          window: int):
+    """Gather-free beam search: windowed-consolidation cache.
+
+    The classic beam loop physically reorders the whole [B*K, L, H, D] K/V
+    cache every step — measured ~70% of the decode step's wall-clock (HBM
+    read+write of the full cache, docs/PERF.md). Here the permutation is
+    carried as two tiny index maps — `rowsel` [B, K] for the consolidated
+    prefix and `wanc` [B, K, W] for positions inside the current window —
+    applied inside attention (Attention.step_windowed), and the cache is
+    physically consolidated only once per W steps. The decode runs as a
+    python-unrolled sequence of per-segment while_loops so each segment's
+    prefix length t0 is STATIC: attention reads exactly [:, :t0+W] instead
+    of the full buffer, and early segments touch almost nothing.
+
+    Selection semantics are identical to `beam_search` (reference
+    seq_gen.py:195-227 parity): same two-stage top-k, penalty recurrence,
+    EOS freezing and per-row max lengths.
+    """
+    B, S, E = enc_states.shape
+    K, L, W = beam_width, max_len, window
+    lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
+    cross_bias = pad_bias(src_mask)                      # [B, 1, 1, S] dedup
+    langs_k = jnp.repeat(tgt_langs, K, axis=0)
+
+    cache = model.apply(params, enc_states, B, K, L, W, lang_idx,
+                        method=type(model).init_cache_windowed)
+    main_kv, win_kv, static_kv = _split3(cache)
+
+    tokens = jnp.full((B, K, L), pad_id, jnp.int32)
+    tokens = tokens.at[:, :, 0].set(first_tokens[:, None])
+    scores = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.float32), jnp.full((B, K - 1), NEG, jnp.float32)],
+        axis=1)
+
+    def penalty(sizes):
+        return jnp.power((sizes + 6.0) / 6.0, len_penalty_ratio)
+
+    class WState(NamedTuple):
+        i: jnp.ndarray
+        tokens: jnp.ndarray
+        scores: jnp.ndarray
+        sizes: jnp.ndarray
+        finished: jnp.ndarray
+        rowsel: jnp.ndarray    # [B, K] prefix physical row per logical beam
+        wanc: jnp.ndarray      # [B, K, W] window ancestry
+        win: Any               # window K/V buffers
+
+    state = WState(
+        i=jnp.asarray(1, jnp.int32),
+        tokens=tokens,
+        scores=scores,
+        sizes=jnp.zeros((B, K), jnp.float32),
+        finished=jnp.zeros((B, K), jnp.bool_),
+        rowsel=jnp.broadcast_to(jnp.arange(K)[None, :], (B, K)),
+        wanc=jnp.zeros((B, K, W), jnp.int32),
+        win=win_kv,
+    )
+
+    # Cache positions run [0, L-1) (step i writes position i-1).
+    n_segments = max(1, -(-(L - 1) // W))
+    for seg in range(n_segments):
+        t0 = seg * W
+        hi = min(t0 + W, L - 1)          # segment covers positions [t0, hi)
+
+        def cond(st, _hi=hi):
+            return (st.i < _hi + 1) & ~jnp.all(st.finished)
+
+        def body(st, _t0=t0, _main=main_kv):
+            i = st.i
+            j = i - 1 - _t0
+            prev = jax.lax.dynamic_slice_in_dim(st.tokens, i - 1, 1, axis=2)
+            prev = prev.reshape(B * K, 1)
+            # This step's token K/V lands in its own physical row.
+            ident = jnp.broadcast_to(jnp.arange(K)[None, :, None], (B, K, 1))
+            wanc = jax.lax.dynamic_update_slice(st.wanc, ident, (0, 0, j))
+            logits, new_cache = model.apply(
+                params, prev, _merge3(_main, st.win, static_kv), i - 1, j,
+                cross_bias, langs_k, st.rowsel, wanc, _t0, lang_idx,
+                proposals=prop_k, proposal_mask=pmask_k,
+                method=type(model).decode_step_windowed)
+            _, new_win, _ = _split3(new_cache)
+
+            logits = logits.astype(jnp.float32)
+            lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+            top_val, top_word = jax.lax.top_k(logits, K)
+            top_logp = (top_val - lse).reshape(B, K, K)
+            top_word = top_word.reshape(B, K, K).astype(jnp.int32)
+
+            row_done = (max_lens < i + 1)[:, None]
+            frozen = st.finished | row_done
+            slot0 = jnp.arange(K)[None, None, :] == 0
+            cand_logp = jnp.where(frozen[:, :, None],
+                                  jnp.where(slot0, 0.0, NEG), top_logp)
+            cand_word = jnp.where(frozen[:, :, None], pad_id, top_word)
+            cand = st.scores[:, :, None] + cand_logp
+            cand = cand / penalty(st.sizes)[:, :, None]
+
+            flat = cand.reshape(B, K * K)
+            top_scores, top_idx = jax.lax.top_k(flat, K)
+            beam_idx = top_idx // K
+            word = jnp.take_along_axis(cand_word.reshape(B, K * K), top_idx,
+                                       axis=1)
+            parent_tokens = jnp.take_along_axis(st.tokens,
+                                                beam_idx[:, :, None], axis=1)
+            new_tokens = jax.lax.dynamic_update_slice_in_dim(
+                parent_tokens, word[:, :, None], i, axis=2)
+            parent_sizes = jnp.take_along_axis(st.sizes, beam_idx, axis=1)
+            new_sizes = parent_sizes + (word != pad_id).astype(jnp.float32)
+            parent_finished = jnp.take_along_axis(frozen, beam_idx, axis=1)
+            new_finished = parent_finished | (word == eos_id)
+            # Permute the index maps, never the cache.
+            new_rowsel = jnp.take_along_axis(st.rowsel, beam_idx, axis=1)
+            new_wanc = jnp.take_along_axis(wanc, beam_idx[:, :, None], axis=1)
+            return WState(i + 1, new_tokens, top_scores, new_sizes,
+                          new_finished, new_rowsel, new_wanc, new_win)
+
+        state = jax.lax.while_loop(cond, body, state)
+
+        if seg < n_segments - 1:
+            def do_fold(ops, _t0=t0):
+                m, w, rs, wa = ops
+                return _consolidate(m, w, rs, wa, _t0, B, K)
+
+            def skip_fold(ops):
+                return ops[0]
+
+            main_kv = jax.lax.cond(
+                jnp.all(state.finished), skip_fold, do_fold,
+                (main_kv, state.win, state.rowsel, state.wanc))
+            state = state._replace(
+                rowsel=jnp.broadcast_to(jnp.arange(K)[None, :], (B, K)),
+                wanc=jnp.zeros((B, K, W), jnp.int32))
+
+    best = state.tokens[:, 0, :]
+    is_eos = best == eos_id
+    any_eos = jnp.any(is_eos, axis=1)
+    first_eos = jnp.argmax(is_eos, axis=1)
+    lengths = jnp.where(any_eos, first_eos, max_lens)
+    return best, lengths
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model", "beam_width", "max_len", "len_penalty_ratio",
-                     "pad_id", "eos_id", "max_len_a", "max_len_b", "lazy"),
+                     "pad_id", "eos_id", "max_len_a", "max_len_b", "lazy",
+                     "mode", "window"),
 )
 def beam_search(
     model: Seq2Seq,
@@ -129,22 +327,13 @@ def beam_search(
     pad_id: int = 0,
     eos_id: int = 4,
     lazy: Optional[bool] = None,
+    mode: Optional[str] = None,   # None(auto) | "windowed" | "gather" | "lazy"
+    window: Optional[int] = None,
 ):
     B, S, E = enc_states.shape
     K, L = beam_width, max_len
     V = model.cfg.vocab_size
     lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
-
-    # Lazy beam permutation: instead of physically reordering the K/V cache
-    # every step, carry a [B, K, L] ancestry index and apply the permutation
-    # inside attention (Attention.step_beams). Saves the gather's
-    # read+write of the whole cache, but the one-hot select einsums tile
-    # poorly on the MXU — measured SLOWER than the gather path at BERT-base
-    # (8.3k vs 11.8k tok/s, B=64 K=4 L=88, v5e-1), so it stays opt-in
-    # (`lazy=True`); outputs are bit-identical (tests/test_beam.py).
-    use_lazy = (lazy is True and K > 1 and proposals is None
-                and not model.cfg.lang_dec
-                and hasattr(type(model), "decode_step_beams"))
 
     if src_sizes is None:
         max_lens = jnp.full((B,), L, jnp.int32)
@@ -152,6 +341,38 @@ def beam_search(
         per_row = jnp.floor(max_len_a * src_sizes.astype(jnp.float32)
                             + max_len_b).astype(jnp.int32)
         max_lens = jnp.minimum(per_row, L)
+
+    if lazy is True and mode is None:
+        mode = "lazy"
+    if window is None:
+        # Balance per-step window-select cost (~W) against amortized
+        # consolidation cost (~L^2/W): optimum ~ sqrt(L). Measured on v5e-1
+        # at L=88 (B=256, BERT-base): W=44 best (42.8k tok/s) vs W=16
+        # (33.3k), W=87/no-consolidation (10.5k) — see docs/PERF.md.
+        window = max(8, min(64, int(round(4.7 * L ** 0.5))))
+    # Windowed-consolidation decode (gather-free): default for beam > 1.
+    if mode in (None, "windowed") and K > 1:
+        prop_k = (jnp.repeat(proposals, K, axis=0)
+                  if proposals is not None else None)
+        pmask_k = (jnp.repeat(proposal_mask, K, axis=0)
+                   if proposal_mask is not None else None)
+        return _beam_search_windowed(
+            model, params, enc_states, src_mask, first_tokens, tgt_langs,
+            max_lens, prop_k, pmask_k, beam_width=K, max_len=L,
+            len_penalty_ratio=len_penalty_ratio, pad_id=pad_id,
+            eos_id=eos_id, window=min(window, max(1, L - 1)))
+
+    # Lazy beam permutation: instead of physically reordering the K/V cache
+    # every step, carry a [B, K, L] ancestry index and apply the permutation
+    # inside attention (Attention.step_beams). Saves the gather's
+    # read+write of the whole cache, but the one-hot select einsums tile
+    # poorly on the MXU — measured SLOWER than the gather path at BERT-base
+    # (8.3k vs 11.8k tok/s, B=64 K=4 L=88, v5e-1); superseded by the
+    # windowed path, kept for comparison (`mode="lazy"`); outputs are
+    # bit-identical (tests/test_beam.py).
+    use_lazy = (mode == "lazy" and K > 1 and proposals is None
+                and not model.cfg.lang_dec
+                and hasattr(type(model), "decode_step_beams"))
 
     # Expand encoder context to B*K rows once (contrast seq_gen.py:146 which
     # repeat_interleaves inside the loop every step).

@@ -240,6 +240,59 @@ class Seq2Seq(nn.Module):
         logits = self.project(hidden, lang_idx)
         return logits[:, 0, :], cache
 
+    def init_cache_windowed(self, enc_states, batch: int, beams: int,
+                            max_len: int, window: int, lang_idx=0) -> Cache:
+        """Cache for the windowed gather-free beam decode (Decoder.
+        init_cache_windowed). enc_states must be the UNREPEATED [B, S, E]
+        encoder output — cross-attention K/V are shared across beams."""
+        if len(self.decoders) == 1:
+            return self.decoders[0].init_cache_windowed(
+                enc_states, batch, beams, max_len, window)
+        if self.is_initializing():
+            return [d.init_cache_windowed(enc_states, batch, beams, max_len,
+                                          window)
+                    for d in self.decoders][0]
+        branches = [
+            (lambda m, e, _i=i: m.decoders[_i].init_cache_windowed(
+                e, batch, beams, max_len, window))
+            for i in range(len(self.decoders))
+        ]
+        return nn.switch(lang_idx, branches, self, enc_states)
+
+    def decode_step_windowed(self, prev_token, cache: Cache, index, j,
+                             cross_bias, tgt_langs, rowsel, wanc, t0: int,
+                             lang_idx=None, proposals=None,
+                             proposal_mask=None):
+        """Windowed beam decode step (Decoder.step_windowed): no per-step
+        cache gather; the beam permutation is carried as the tiny
+        rowsel/wanc index maps instead. `index` is the absolute position
+        (for the position embedding); `j = index - t0` the window slot."""
+        B = prev_token.shape[0]
+        if lang_idx is None:
+            lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
+        positions = jnp.full((B, 1), index, jnp.int32)
+        lang_ids = expand_langs(tgt_langs, 1)
+        x = self.embeddings(prev_token, positions, lang_ids, True)
+        if len(self.decoders) == 1:
+            hidden, cache = self.decoders[0].step_windowed(
+                x, cache, j, cross_bias, rowsel, wanc, t0)
+        elif self.is_initializing():
+            hidden, cache = [d.step_windowed(x, cache, j, cross_bias, rowsel,
+                                             wanc, t0)
+                             for d in self.decoders][0]
+        else:
+            branches = [
+                (lambda m, *a, _i=i: m.decoders[_i].step_windowed(*a, t0))
+                for i in range(len(self.decoders))
+            ]
+            hidden, cache = nn.switch(lang_idx, branches, self, x, cache, j,
+                                      cross_bias, rowsel, wanc)
+        if self.cfg.use_proposals and proposals is not None:
+            pe = self.embeddings.word(proposals)
+            hidden = self.proposal_attn(hidden, pe, proposal_mask)
+        logits = self.project(hidden, lang_idx)
+        return logits[:, 0, :], cache
+
     def decode_step_beams(self, prev_token, cache: Cache, index, cross_bias,
                           tgt_langs, ancestry, lang_idx=None):
         """decode_step over an unpermuted beam cache: the caller carries the

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from imagetranslate_tpu.models.config import Seq2SeqConfig
 from imagetranslate_tpu.ops.attention import (
+    NEG_INF,
     dot_product_attention,
     make_attention_bias,
 )
@@ -140,6 +141,115 @@ class Attention(nn.Module):
         """Project encoder states to (k, v) once per sequence (cross-attn
         cache for decoding — computed once, reused every step)."""
         return self.key(kv), self.value(kv)
+
+    def cross_step_dedup(self, x, ek, ev, bias):
+        """Cross-attention decode step with beam-DEDUPLICATED encoder K/V.
+
+        The K beams of a row attend the same encoder states, but the gather
+        decode path stores ek/ev repeated K times ([B*K, S, H, D]) and
+        re-reads all K copies every step — at BERT-base B=256 K=4 that is
+        ~100 MB per tensor per layer per step of pure duplicate HBM traffic.
+        Here ek/ev stay [B, S, H, D] and the K queries of a row are batched
+        against the single copy.
+
+        x: [B*K, 1, E]; ek/ev: [B, S, H, D]; bias: [B, 1, 1, S].
+        """
+        cfg = self.cfg
+        B, S, H, D = ek.shape
+        K = x.shape[0] // B
+        q = self.query(x).reshape(B, K, H, D)
+        s = jnp.einsum("bqhd,bshd->bqhs", q, ek,
+                       preferred_element_type=jnp.float32)
+        s = s / jnp.sqrt(jnp.asarray(D, jnp.float32))
+        s = s + bias.astype(jnp.float32).reshape(B, 1, 1, S)
+        w = jax.nn.softmax(s, axis=-1).astype(ev.dtype)
+        ctx = jnp.einsum("bqhs,bshd->bqhd", w, ev)
+        out = self.out(ctx.reshape(B * K, 1, H, D))
+        return self.ln(out + x).astype(cfg.compute_dtype)
+
+    def step_windowed(self, x, main_k, main_v, win_k, win_v, j, rowsel_oh,
+                      wanc_oh, t0: int):
+        """Self-attention decode step over a consolidated-prefix + ancestry-
+        window beam cache — no per-step cache gather.
+
+        Beam search classically reorders the whole [B*K, L, H, D] K/V cache
+        after every step (read+write of the full cache — the dominant HBM
+        traffic of the decode loop). Here the cache is only physically
+        consolidated at window boundaries (every W steps, see
+        decoding/beam.py): positions < t0 of physical row p hold the full
+        history of the beam that was logical p at the last consolidation, and
+        `rowsel_oh[b, q, p]` says which physical row holds logical beam q's
+        prefix NOW. Positions inside the window live in small win_k/win_v
+        buffers written at the emitting beam's own physical slot, with
+        per-position ancestry `wanc_oh[b, q, w, p]`.
+
+        Scores are computed against ALL K physical rows and selected with the
+        one-hot maps — K× extra attention FLOPs (VPU-cheap) in exchange for
+        eliminating the per-step gather's read+write of the cache.
+
+        x: [B*K, 1, E]; main_k/v: [B*K, L, H, D]; win_k/v: [B*K, W, H, D];
+        j: dynamic slot in the window (cache position t0+j); t0: STATIC
+        consolidated prefix length. Returns (out, new_win_k, new_win_v).
+        """
+        cfg = self.cfg
+        BK, L, H, D = main_k.shape
+        W = win_k.shape[1]
+        B, Kq, Kp = rowsel_oh.shape
+        scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+
+        q = self.query(x)                                  # [BK, 1, H, D]
+        win_k = jax.lax.dynamic_update_slice(
+            win_k, self.key(x).astype(win_k.dtype), (0, j, 0, 0))
+        win_v = jax.lax.dynamic_update_slice(
+            win_v, self.value(x).astype(win_v.dtype), (0, j, 0, 0))
+
+        qb = q.reshape(B, Kq, H, D)
+        kw = win_k.reshape(B, Kp, W, H, D).astype(cfg.compute_dtype)
+        vw = win_v.reshape(B, Kp, W, H, D).astype(cfg.compute_dtype)
+
+        # Window scores: all (query-beam, physical-row) pairs, then select by
+        # per-position ancestry. Positions past j are masked with the same
+        # -10000 the gather path uses so softmax inputs match bit-for-bit.
+        sw_all = jnp.einsum("bqhd,bpwhd->bqpwh", qb, kw,
+                            preferred_element_type=jnp.float32)
+        s_win = jnp.einsum("bqpwh,bqwp->bqwh", sw_all,
+                           wanc_oh.astype(jnp.float32))
+        live = jnp.arange(W)[None, None, :, None] <= j
+        s_win = s_win * scale + (1.0 - live.astype(jnp.float32)) * NEG_INF
+
+        if t0 > 0:
+            kp = main_k[:, :t0].reshape(B, Kp, t0, H, D).astype(cfg.compute_dtype)
+            vp = main_v[:, :t0].reshape(B, Kp, t0, H, D).astype(cfg.compute_dtype)
+            # One-hot row select folded INTO the contraction: mask the
+            # queries by physical row first (tiny [B,K,K,H,D]), then contract
+            # over (p, d) in one einsum — no [B,K,K,t0,H] score tensor ever
+            # hits HBM. Adding the exact zeros of the one-hot to the fp32
+            # accumulation is bit-identical to selecting afterwards.
+            qm = jnp.einsum("bqhd,bqp->bqphd", qb,
+                            rowsel_oh.astype(qb.dtype))
+            s_pre = jnp.einsum("bqphd,bpthd->bqth", qm, kp,
+                               preferred_element_type=jnp.float32) * scale
+            s = jnp.concatenate([s_pre, s_win], axis=2)    # [B, Kq, t0+W, H]
+        else:
+            s = s_win
+
+        w = jax.nn.softmax(s, axis=2)
+        w_win = w[:, :, t0:] if t0 > 0 else w
+        wsel = jnp.einsum("bqwh,bqwp->bqpwh", w_win,
+                          wanc_oh.astype(jnp.float32)).astype(vw.dtype)
+        ctx = jnp.einsum("bqpwh,bpwhd->bqhd", wsel, vw)
+        if t0 > 0:
+            # Same trick on the PV side: contract (t) against every physical
+            # row into a tiny [B,K,K,H,D] tensor, then select — avoids the
+            # [B,K,K,t0,H] weight tensor.
+            ctx_all = jnp.einsum("bqth,bpthd->bqphd",
+                                 w[:, :, :t0].astype(vp.dtype), vp)
+            ctx = ctx + jnp.einsum("bqphd,bqp->bqhd", ctx_all,
+                                   rowsel_oh.astype(ctx_all.dtype))
+
+        out = self.out(ctx.reshape(BK, 1, H, D))
+        out = self.ln(out + x).astype(cfg.compute_dtype)
+        return out, (win_k, win_v)
 
     def step_beams(self, x, cache_k, cache_v, index, ancestry_oh, len_bias):
         """Self-attention decode step over an UNPERMUTED beam cache.
@@ -253,6 +363,19 @@ class DecoderLayer(nn.Module):
         x = self.ffn(x, True)
         return x, {**cache, "k": k, "v": v}
 
+    def step_windowed(self, x, cache: Cache, j, cross_bias, rowsel_oh,
+                      wanc_oh, t0: int):
+        """Windowed beam decode step (no per-step cache gather; see
+        Attention.step_windowed). Cross-attention uses beam-deduplicated
+        encoder K/V ([B, S, H, D], not repeated per beam)."""
+        x, (wk, wv) = self.self_attn.step_windowed(
+            x, cache["k"], cache["v"], cache["wk"], cache["wv"], j,
+            rowsel_oh, wanc_oh, t0)
+        x = self.cross_attn.cross_step_dedup(x, cache["ek"], cache["ev"],
+                                             cross_bias)
+        x = self.ffn(x, True)
+        return x, {**cache, "wk": wk, "wv": wv}
+
     def init_cross_kv(self, enc):
         return self.cross_attn.project_kv(enc)
 
@@ -350,6 +473,45 @@ class Decoder(nn.Module):
         for i, layer in enumerate(self.layers):
             x, nc = layer.step_beams(x, cache[f"layer_{i}"], index,
                                      cross_bias, oh, len_bias)
+            new_cache[f"layer_{i}"] = nc
+        return x, new_cache
+
+    def init_cache_windowed(self, enc_states, batch: int, beams: int,
+                            max_len: int, window: int) -> Cache:
+        """Cache for the windowed (gather-free) beam decode: per layer the
+        consolidated main K/V buffers [B*K, L, H, D], the in-window buffers
+        [B*K, W, H, D], and beam-DEDUPLICATED encoder K/V [B, S, H, D]
+        (enc_states must be the unrepeated [B, S, E] states)."""
+        cfg = self.cfg
+        kv_dtype = jnp.dtype(cfg.kv_cache_dtype)
+        main_shape = (batch * beams, max_len, cfg.num_heads, cfg.head_dim)
+        win_shape = (batch * beams, window, cfg.num_heads, cfg.head_dim)
+        cache = {}
+        for i, layer in enumerate(self.layers):
+            ek, ev = layer.init_cross_kv(enc_states)
+            cache[f"layer_{i}"] = {
+                "k": jnp.zeros(main_shape, kv_dtype),
+                "v": jnp.zeros(main_shape, kv_dtype),
+                "wk": jnp.zeros(win_shape, kv_dtype),
+                "wv": jnp.zeros(win_shape, kv_dtype),
+                "ek": ek,
+                "ev": ev,
+            }
+        return cache
+
+    def step_windowed(self, x, cache: Cache, j, cross_bias, rowsel,
+                      wanc, t0: int) -> Tuple[jnp.ndarray, Cache]:
+        """One windowed beam decode step. `rowsel` is [B, K] int32 (logical
+        beam -> physical row holding its consolidated prefix), `wanc` is
+        [B, K, W] int32 (logical beam, window slot -> physical row), `t0` is
+        the STATIC consolidated prefix length, `j` the dynamic window slot."""
+        K = rowsel.shape[1]
+        rowsel_oh = jax.nn.one_hot(rowsel, K, dtype=jnp.float32)
+        wanc_oh = jax.nn.one_hot(wanc, K, dtype=jnp.float32)
+        new_cache = {}
+        for i, layer in enumerate(self.layers):
+            x, nc = layer.step_windowed(x, cache[f"layer_{i}"], j, cross_bias,
+                                        rowsel_oh, wanc_oh, t0)
             new_cache[f"layer_{i}"] = nc
         return x, new_cache
 

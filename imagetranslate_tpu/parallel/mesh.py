@@ -18,12 +18,63 @@ Axes:
 
 from __future__ import annotations
 
+import os
 import re
+import warnings
 from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_DISTRIBUTED_UP = False
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host bring-up: `jax.distributed.initialize` gated on explicit
+    arguments or the standard env vars. Replaces the reference's NCCL
+    process-group init (utils.py:93-97, driven by --local_rank) — after this
+    `jax.devices()` spans every host in the slice and the same mesh/pjit code
+    runs unchanged; XLA routes collectives over ICI/DCN.
+
+    Called automatically by the training CLIs. Returns True when a
+    multi-process runtime was initialized, False for single-process runs.
+    On TPU pods (JAX_COORDINATOR_ADDRESS or TPU metadata present) the
+    argument-less initialize() autodetects everything.
+    """
+    global _DISTRIBUTED_UP
+    if _DISTRIBUTED_UP:
+        return True
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator is None and num_processes is None:
+        return False  # single process — nothing to do
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _DISTRIBUTED_UP = True
+    return True
+
+
+def parse_mesh(spec: Optional[str]) -> Optional[Mesh]:
+    """CLI `--mesh` parser: "4x2" -> 4-way data x 2-way model mesh;
+    "8" or "8x1" -> pure data parallel; "" / None -> no mesh (single chip).
+    "auto" -> all devices on the data axis."""
+    if not spec:
+        return None
+    if spec == "auto":
+        return make_mesh()
+    m = re.fullmatch(r"(\d+)(?:x(\d+))?", spec)
+    if not m:
+        raise ValueError(f"bad --mesh spec {spec!r}; expected e.g. 8, 4x2, auto")
+    n_data = int(m.group(1))
+    n_model = int(m.group(2) or 1)
+    return make_mesh(n_data, n_model)
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
@@ -70,18 +121,35 @@ def param_shardings(params, mesh: Mesh):
         return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
                         for p in path)
 
+    fallbacks = []
+
     def assign(path, leaf):
-        spec = param_spec(to_path_str(path))
-        # Guard: dims not divisible by the mesh axis fall back to replication.
+        p = to_path_str(path)
+        spec = param_spec(p)
+        # Guard: dims not divisible by the mesh axis fall back to replication
+        # — LOUDLY, so "TP" can't silently degrade to pure DP.
         sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
         for dim, axis in zip(leaf.shape, spec):
             if axis is not None and dim % sizes.get(axis, 1) != 0:
+                if spec != P():
+                    fallbacks.append((p, leaf.shape, spec))
                 return NamedSharding(mesh, P())
         if len(spec) > len(leaf.shape):
+            if spec != P():
+                fallbacks.append((p, leaf.shape, spec))
             return NamedSharding(mesh, P())
         return NamedSharding(mesh, spec)
 
-    return jax.tree_util.tree_map_with_path(assign, params)
+    out = jax.tree_util.tree_map_with_path(assign, params)
+    if fallbacks:
+        lines = "\n".join(f"  {p} shape={s} wanted {spec}"
+                          for p, s, spec in fallbacks[:8])
+        warnings.warn(
+            f"{len(fallbacks)} tensor-parallel params fell back to "
+            f"replication (dims not divisible by the model axis); this mesh "
+            f"runs those layers as pure data parallel:\n{lines}",
+            stacklevel=2)
+    return out
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -102,5 +170,21 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
     def put(x):
         return jax.device_put(x, sh) if getattr(x, "ndim", 0) >= 1 else x
+
+    return {k: put(v) for k, v in batch.items()}
+
+
+def shard_batch_safe(batch: dict, mesh: Mesh) -> dict:
+    """shard_batch, but arrays whose leading dim does not divide the data
+    axis are replicated instead (always semantically correct — e.g. the
+    >=30-row contrastive negative pool)."""
+    sh = batch_sharding(mesh)
+    rep = replicated(mesh)
+    n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+
+    def put(v):
+        if getattr(v, "ndim", 0) < 1:
+            return v
+        return jax.device_put(v, sh if v.shape[0] % n_data == 0 else rep)
 
     return {k: put(v) for k, v in batch.items()}

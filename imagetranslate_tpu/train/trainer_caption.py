@@ -38,10 +38,12 @@ class CaptionTrainer:
                  accum: int = 1, beam_width: int = 4,
                  len_penalty_ratio: float = 0.8, mtl_weight: float = 0.1,
                  label_smoothing: float = 0.1, mm_mode: Optional[str] = None,
-                 mask_prob: float = 0.5, img_size: int = 224, seed: int = 0):
+                 mask_prob: float = 0.5, img_size: int = 224, mesh=None,
+                 seed: int = 0):
         self.cfg = cfg
         self.tp = tp
         self.model = ImageSeq2Seq(cfg)
+        self.mesh = mesh  # jax.sharding.Mesh for dp/tp; None = single chip
         self.rng = jax.random.PRNGKey(seed)
         self.beam_width = beam_width
         self.len_penalty_ratio = len_penalty_ratio
@@ -57,6 +59,17 @@ class CaptionTrainer:
         langs = jnp.zeros((B,), jnp.int32)
         variables = self.model.init(init_rng, images, caps, mask, langs,
                                     method=ImageSeq2Seq.init_everything)
+        if mesh is not None:
+            from imagetranslate_tpu.parallel.mesh import (
+                replicated,
+                shard_params,
+            )
+
+            variables = dict(variables)
+            variables["params"] = shard_params(variables["params"], mesh)
+            if "batch_stats" in variables:
+                variables["batch_stats"] = jax.device_put(
+                    variables["batch_stats"], replicated(mesh))
         self.optimizer = wrap_accum(
             build_optimizer(lr=lr, warmup_updates=warmup, clip_norm=clip),
             accum)
@@ -107,6 +120,13 @@ class CaptionTrainer:
         return {"params": self.state.params,
                 "batch_stats": self.state.batch_stats}
 
+    def _shard(self, batch):
+        if self.mesh is None:
+            return batch
+        from imagetranslate_tpu.parallel.mesh import shard_batch_safe
+
+        return shard_batch_safe(batch, self.mesh)
+
     def train_epoch(self, step: int, saving_path: str,
                     cap_batcher: CaptionBatcher, image_root: str = "",
                     mt_batcher: Optional[MTBatcher] = None,
@@ -153,8 +173,8 @@ class CaptionTrainer:
                         batch["lengths"] = jnp.asarray(b.lengths)
                         batch["mask_prob"] = jnp.float32(
                             _random.uniform(self.mask_prob, 1.0))
-                        self.state, m = self.mm_mass_step(self.state, batch,
-                                                          srng)
+                        self.state, m = self.mm_mass_step(
+                            self.state, self._shard(batch), srng)
                     elif mode == "contrastive":
                         negs = cap_batcher.sample_negatives(
                             b.captions.shape[0], int(self.state.step))
@@ -164,20 +184,21 @@ class CaptionTrainer:
                         batch["neg_langs"] = jnp.full((negs.shape[0],),
                                                       int(b.langs[0]),
                                                       jnp.int32)
-                        self.state, m = self.contrastive_step(self.state,
-                                                              batch, srng)
+                        self.state, m = self.contrastive_step(
+                            self.state, self._shard(batch), srng)
                     elif obj_store is not None:
                         n = batch["captions"].shape[0]
                         feats, labels = obj_store.lookup(b.image_paths, n)
                         batch["box_features"] = jnp.asarray(feats)
                         batch["object_labels"] = jnp.asarray(labels)
-                        self.state, m = self.cap_obj_step(self.state, batch,
-                                                          srng)
+                        self.state, m = self.cap_obj_step(
+                            self.state, self._shard(batch), srng)
                     else:
-                        self.state, m = self.cap_step(self.state, batch, srng)
+                        self.state, m = self.cap_step(self.state,
+                                                      self._shard(batch), srng)
                 else:
-                    self.state, m = self.mt_step(self.state,
-                                                 mt_batch_to_device(b), srng)
+                    self.state, m = self.mt_step(
+                        self.state, self._shard(mt_batch_to_device(b)), srng)
                 step += 1
                 meter.update(step, float(m["sum_loss"]), float(m["ntokens"]))
                 if eval_set is not None and step % eval_every == 0:

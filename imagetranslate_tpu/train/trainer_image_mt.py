@@ -49,13 +49,13 @@ class ImageMTTrainer(MTTrainer):
                  bt_beam_width: int = 1, max_len_a: float = 1.1,
                  max_len_b: int = 5, len_penalty_ratio: float = 0.8,
                  label_smoothing: float = 0.1, img_size: int = 224,
-                 seed: int = 0):
+                 mesh=None, seed: int = 0):
         # Intentionally does not call MTTrainer.__init__: the model and
         # train-state types differ; only the scalar knobs are shared.
         self.cfg = cfg
         self.tp = tp
         self.model = ImageSeq2Seq(cfg)
-        self.mesh = None
+        self.mesh = mesh  # jax.sharding.Mesh for dp/tp; None = single chip
         self.rng = jax.random.PRNGKey(seed)
         self.beam_width = beam_width
         self.bt_beam_width = bt_beam_width
@@ -77,6 +77,20 @@ class ImageMTTrainer(MTTrainer):
         langs = jnp.zeros((B,), jnp.int32)
         variables = self.model.init(init_rng, images, caps, mask, langs,
                                     method=ImageSeq2Seq.init_everything)
+        if mesh is not None:
+            from imagetranslate_tpu.parallel.mesh import (
+                replicated,
+                shard_params,
+            )
+
+            # TP rules shard the text core; CNN params + BatchNorm stats are
+            # replicated (the batch dim is the sharded one — XLA turns the
+            # BatchNorm batch reductions into cross-device psums on its own).
+            variables = dict(variables)
+            variables["params"] = shard_params(variables["params"], mesh)
+            if "batch_stats" in variables:
+                variables["batch_stats"] = jax.device_put(
+                    variables["batch_stats"], replicated(mesh))
         self.optimizer = wrap_accum(
             build_optimizer(lr=lr, warmup_updates=warmup, clip_norm=clip),
             accum)
@@ -146,7 +160,8 @@ class ImageMTTrainer(MTTrainer):
             batch["neg_mask"] = jnp.asarray(negs != self.tp.pad_token_id())
             batch["neg_langs"] = jnp.full((negs.shape[0],), int(b.langs[0]),
                                           jnp.int32)
-            self.state, m = self.contrastive_step(self.state, batch, rng)
+            self.state, m = self.contrastive_step(self.state,
+                                                  self._shard(batch), rng)
         else:
             # Image batches may mask more aggressively than mask_prob
             # (train_image_mt.py:213): draw ~U(mask_prob, 1) per batch.
@@ -155,5 +170,6 @@ class ImageMTTrainer(MTTrainer):
             batch["lengths"] = jnp.asarray(b.lengths)
             batch["mask_prob"] = jnp.float32(
                 _random.uniform(self.mask_prob, 1.0))
-            self.state, m = self.mm_mass_step(self.state, batch, rng)
+            self.state, m = self.mm_mass_step(self.state,
+                                              self._shard(batch), rng)
         return m

@@ -97,14 +97,15 @@ class MTTrainer:
     def _shard(self, batch):
         """Batch-dim data sharding when a mesh is attached; row counts are
         multiples of 8 by construction (loader row quantum), covering data
-        axes up to 8."""
+        axes up to 8. Arrays whose leading dim does not divide the data axis
+        (e.g. the >=30 contrastive negative pool) are replicated instead —
+        replication is always semantically correct, sharding is the
+        optimization."""
         if self.mesh is None:
             return batch
-        from imagetranslate_tpu.parallel.mesh import batch_sharding
+        from imagetranslate_tpu.parallel.mesh import shard_batch_safe
 
-        sh = batch_sharding(self.mesh)
-        return {k: (jax.device_put(v, sh) if getattr(v, "ndim", 0) >= 1 else v)
-                for k, v in batch.items()}
+        return shard_batch_safe(batch, self.mesh)
 
     def _variables(self):
         """Model variables for apply(); subclasses with extra flax

@@ -103,13 +103,64 @@ def test_lazy_beam_matches_gather(setup):
     cfg, model, params, src, src_mask, langs = setup
     for K in (2, 4):
         b_lazy, l_lazy = run_beam(cfg, model, params, src, src_mask, langs,
-                                  beam_width=K, lazy=True)
+                                  beam_width=K, mode="lazy")
         b_gather, l_gather = run_beam(cfg, model, params, src, src_mask,
-                                      langs, beam_width=K, lazy=False)
+                                      langs, beam_width=K, mode="gather")
         np.testing.assert_array_equal(np.asarray(b_lazy),
                                       np.asarray(b_gather))
         np.testing.assert_array_equal(np.asarray(l_lazy),
                                       np.asarray(l_gather))
+
+
+def test_windowed_beam_matches_gather(setup):
+    """The windowed-consolidation (gather-free) decode — the production
+    default for beam > 1 — must match the classic cache-gather path
+    token-for-token, across window sizes that exercise 1..many segments."""
+    cfg, model, params, src, src_mask, langs = setup
+    for K in (2, 4):
+        b_g, l_g = run_beam(cfg, model, params, src, src_mask, langs,
+                            beam_width=K, mode="gather")
+        for W in (1, 3, 16, 64):
+            b_w, l_w = run_beam(cfg, model, params, src, src_mask, langs,
+                                beam_width=K, mode="windowed", window=W)
+            np.testing.assert_array_equal(np.asarray(b_w), np.asarray(b_g))
+            np.testing.assert_array_equal(np.asarray(l_w), np.asarray(l_g))
+
+
+def test_windowed_beam_lang_dec_and_proposals():
+    """Windowed decode parity for the per-language-decoder (nn.switch) and
+    lexical-proposal models — paths the lazy mode never supported."""
+    for kw, use_props in (({"lang_dec": True, "num_languages": 2}, False),
+                          ({"use_proposals": True}, True)):
+        cfg = tiny_config(vocab_size=32, **kw)
+        model = Seq2Seq(cfg)
+        rng = jax.random.PRNGKey(1)
+        B, S = 3, 6
+        src = jax.random.randint(rng, (B, S), 5, cfg.vocab_size)
+        src_mask = jnp.ones((B, S), bool)
+        langs = jnp.zeros((B,), jnp.int32)
+        tl = jnp.ones((B,), jnp.int32)
+        tgt = jax.random.randint(rng, (B, S), 5, cfg.vocab_size)
+        props = pmask = None
+        init_kw = {}
+        if use_props:
+            props = jax.random.randint(rng, (B, 5), 5, cfg.vocab_size)
+            pmask = jnp.broadcast_to(jnp.arange(5)[None, :] < 3, (B, 5))
+            init_kw = dict(proposals=props, proposal_mask=pmask)
+        params = model.init(rng, src, src_mask, tgt, jnp.ones_like(tgt, bool),
+                            langs, tl, **init_kw)
+        enc = model.apply(params, src, src_mask, langs, method=Seq2Seq.encode)
+        first = jnp.full((B,), 6, jnp.int32)
+        sizes = src_mask.sum(axis=1)
+        common = dict(beam_width=3, max_len=14, pad_id=cfg.pad_id,
+                      eos_id=cfg.eos_id)
+        b_g, l_g = beam_search(model, params, enc, src_mask, first, tl,
+                               sizes, props, pmask, mode="gather", **common)
+        b_w, l_w = beam_search(model, params, enc, src_mask, first, tl,
+                               sizes, props, pmask, mode="windowed",
+                               window=4, **common)
+        np.testing.assert_array_equal(np.asarray(b_w), np.asarray(b_g))
+        np.testing.assert_array_equal(np.asarray(l_w), np.asarray(l_g))
 
 
 def test_fp8_kv_cache_decodes(setup):
