@@ -15,10 +15,18 @@ Reference semantics preserved:
 - per-row max output length ``min(a*src_len + b, max_positions)``
   (seq_gen.py:113-121); rows past their limit emit only pad.
 - finished beams contribute logp 0 and extend with pad (seq_gen.py:195-213).
-  Deviation: the reference lets a finished beam tie across all vocab entries
-  (filling several topk slots with duplicates, seq_gen.py:199-213); here a
-  finished beam proposes exactly one (pad) continuation, which removes the
-  duplicate-beam pathology without changing the returned top beam.
+  By default (`ref_ties=True`) the reference's tie/limit quirks are
+  reproduced bit-for-bit: a finished beam ties across the whole vocab and
+  fills several topk slots with duplicates (199-213), rows past their
+  length limit collapse every slot onto beam 0 (205-207), and the
+  flat_indices[eos_mask] overwrite pads slot j whenever parent-beam j was
+  finished — a slot/beam index confusion in the reference (211-213).
+  Token-for-token parity with a torch reimplementation of seq_gen.py is
+  tested in tests/test_golden_decode.py. `ref_ties=False` gives the clean
+  semantics (a finished beam proposes exactly one pad continuation; frozen
+  rows keep their beams); measured on random weights this CHANGES the
+  returned top beam for a third of limit-terminated rows — it is NOT
+  output-invariant, which is why fidelity is the default.
 - greedy mode (beam_width=1) skips the penalty, like seq_gen.py:200-201.
 - early exit when every beam holds an EOS (seq_gen.py:134-136).
 
@@ -161,7 +169,7 @@ def _beam_search_windowed(model, params, enc_states, src_mask, first_tokens,
                           tgt_langs, max_lens, prop_k, pmask_k, *,
                           beam_width: int, max_len: int,
                           len_penalty_ratio: float, pad_id: int, eos_id: int,
-                          window: int):
+                          window: int, ref_ties: bool = False):
     """Gather-free beam search: windowed-consolidation cache.
 
     The classic beam loop physically reorders the whole [B*K, L, H, D] K/V
@@ -252,8 +260,17 @@ def _beam_search_windowed(model, params, enc_states, src_mask, first_tokens,
             row_done = (max_lens < i + 1)[:, None]
             frozen = st.finished | row_done
             slot0 = jnp.arange(K)[None, None, :] == 0
-            cand_logp = jnp.where(frozen[:, :, None],
-                                  jnp.where(slot0, 0.0, NEG), top_logp)
+            if ref_ties:
+                # Reference tie semantics (seq_gen.py:195-227): a frozen beam
+                # zeroes its WHOLE logp row, so it ties across the vocab and
+                # can fill several topk slots with duplicates. Per-beam
+                # top-K of an all-zero row = K tied pad candidates, which
+                # reproduces the duplicate fill exactly (both topks break
+                # ties on the lower index, beam-major).
+                cand_logp = jnp.where(frozen[:, :, None], 0.0, top_logp)
+            else:
+                cand_logp = jnp.where(frozen[:, :, None],
+                                      jnp.where(slot0, 0.0, NEG), top_logp)
             cand_word = jnp.where(frozen[:, :, None], pad_id, top_word)
             cand = st.scores[:, :, None] + cand_logp
             cand = cand / penalty(st.sizes)[:, :, None]
@@ -263,6 +280,17 @@ def _beam_search_windowed(model, params, enc_states, src_mask, first_tokens,
             beam_idx = top_idx // K
             word = jnp.take_along_axis(cand_word.reshape(B, K * K), top_idx,
                                        axis=1)
+            if ref_ties:
+                # seq_gen.py:205-213 oddities, reproduced bit-for-bit:
+                # rows past their length limit collapse every slot onto
+                # beam 0 + pad (indices[reached_eos_limit] = pad_idx, then
+                # beam = indices // V = 0); and flat_indices[eos_mask] =
+                # pad_idx indexes the topk SLOTS with the parent-beam
+                # finished mask, padding slot j whenever beam j was
+                # finished — regardless of which parent slot j selected.
+                beam_idx = jnp.where(row_done, 0, beam_idx)
+                word = jnp.where(row_done, pad_id, word)
+                word = jnp.where(st.finished, pad_id, word)
             parent_tokens = jnp.take_along_axis(st.tokens,
                                                 beam_idx[:, :, None], axis=1)
             new_tokens = jax.lax.dynamic_update_slice_in_dim(
@@ -306,7 +334,7 @@ def _beam_search_windowed(model, params, enc_states, src_mask, first_tokens,
     jax.jit,
     static_argnames=("model", "beam_width", "max_len", "len_penalty_ratio",
                      "pad_id", "eos_id", "max_len_a", "max_len_b", "lazy",
-                     "mode", "window"),
+                     "mode", "window", "ref_ties"),
 )
 def beam_search(
     model: Seq2Seq,
@@ -329,6 +357,7 @@ def beam_search(
     lazy: Optional[bool] = None,
     mode: Optional[str] = None,   # None(auto) | "windowed" | "gather" | "lazy"
     window: Optional[int] = None,
+    ref_ties: bool = True,        # reproduce seq_gen.py tie/limit quirks
 ):
     B, S, E = enc_states.shape
     K, L = beam_width, max_len
@@ -360,7 +389,8 @@ def beam_search(
             model, params, enc_states, src_mask, first_tokens, tgt_langs,
             max_lens, prop_k, pmask_k, beam_width=K, max_len=L,
             len_penalty_ratio=len_penalty_ratio, pad_id=pad_id,
-            eos_id=eos_id, window=min(window, max(1, L - 1)))
+            eos_id=eos_id, window=min(window, max(1, L - 1)),
+            ref_ties=ref_ties)
 
     # Lazy beam permutation: instead of physically reordering the K/V cache
     # every step, carry a [B, K, L] ancestry index and apply the permutation
@@ -439,11 +469,15 @@ def beam_search(
         row_done = (max_lens < i + 1)[:, None]            # [B, 1]
         frozen = st.finished | row_done                    # [B, K]
 
-        # Frozen beams contribute one pad continuation at unchanged (then
-        # re-penalized) score; their other slots are dead.
+        # Frozen beams: ref_ties reproduces the reference's vocab-wide tie
+        # (seq_gen.py:195-197 — K tied pad candidates, duplicate fill);
+        # otherwise one pad continuation and dead lower slots.
         slot0 = jnp.arange(K)[None, None, :] == 0
-        cand_logp = jnp.where(frozen[:, :, None],
-                              jnp.where(slot0, 0.0, NEG), top_logp)
+        if ref_ties and K > 1:
+            cand_logp = jnp.where(frozen[:, :, None], 0.0, top_logp)
+        else:
+            cand_logp = jnp.where(frozen[:, :, None],
+                                  jnp.where(slot0, 0.0, NEG), top_logp)
         cand_word = jnp.where(frozen[:, :, None], pad_id, top_word)
 
         cand = st.scores[:, :, None] + cand_logp
@@ -455,6 +489,14 @@ def beam_search(
         beam_idx = top_idx // K
         word = jnp.take_along_axis(cand_word.reshape(B, K * K), top_idx,
                                    axis=1)
+        if ref_ties and K > 1:
+            # seq_gen.py:205-213: limit-reached rows collapse every slot to
+            # beam 0 + pad; and the flat_indices[eos_mask] overwrite pads
+            # slot j whenever parent-beam j was finished (slot/beam index
+            # confusion in the reference, reproduced for output fidelity).
+            beam_idx = jnp.where(row_done, 0, beam_idx)
+            word = jnp.where(row_done, pad_id, word)
+            word = jnp.where(st.finished, pad_id, word)
 
         # Gather parent beams, then append the word.
         parent_tokens = jnp.take_along_axis(st.tokens, beam_idx[:, :, None], axis=1)
@@ -518,7 +560,7 @@ def trim_outputs(best, lengths, remove_first_token: bool = False):
     jax.jit,
     static_argnames=("model", "beam_width", "max_len", "len_penalty_ratio",
                      "pad_id", "eos_id", "max_len_a", "max_len_b",
-                     "init_method", "step_method"),
+                     "init_method", "step_method", "ref_ties"),
 )
 def beam_search_dual(
     model,
@@ -540,6 +582,7 @@ def beam_search_dual(
     grid_mask: Optional[jnp.ndarray] = None,
     init_method=None,
     step_method=None,
+    ref_ties: bool = True,
 ):
     """Gated dual-stream beam search (reference seq_gen.py:180-188): every
     step decodes against the text encoding AND the image grid, blending the
@@ -610,8 +653,13 @@ def beam_search_dual(
         row_done = (max_lens < i + 1)[:, None]
         frozen = st.finished | row_done
         slot0 = jnp.arange(K)[None, None, :] == 0
-        cand_logp = jnp.where(frozen[:, :, None],
-                              jnp.where(slot0, 0.0, NEG), top_logp)
+        if ref_ties and K > 1:
+            # Reference tie/limit quirks (see beam_search): vocab-wide tie
+            # for frozen beams, limit collapse, slot/beam pad overwrite.
+            cand_logp = jnp.where(frozen[:, :, None], 0.0, top_logp)
+        else:
+            cand_logp = jnp.where(frozen[:, :, None],
+                                  jnp.where(slot0, 0.0, NEG), top_logp)
         cand_word = jnp.where(frozen[:, :, None], pad_id, top_word)
         cand = st.scores[:, :, None] + cand_logp
         if K > 1:
@@ -621,6 +669,10 @@ def beam_search_dual(
         beam_idx = top_idx // K
         word = jnp.take_along_axis(cand_word.reshape(B, K * K), top_idx,
                                    axis=1)
+        if ref_ties and K > 1:
+            beam_idx = jnp.where(row_done, 0, beam_idx)
+            word = jnp.where(row_done, pad_id, word)
+            word = jnp.where(st.finished, pad_id, word)
         parent_tokens = jnp.take_along_axis(st.tokens, beam_idx[:, :, None],
                                             axis=1)
         new_tokens = jax.lax.dynamic_update_slice_in_dim(

@@ -23,6 +23,44 @@ def make_attention_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     return ((1.0 - mask.astype(jnp.float32)) * NEG_INF).astype(dtype)
 
 
+def _xla_attention(q, k, v, bias):
+    """Reference attention math (no dropout), shared by the XLA fallback
+    and the flash path's backward."""
+    depth = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(depth, jnp.float32))
+    scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v)
+
+
+@jax.custom_vjp
+def _flash_with_vjp(q, k, v, bias):
+    from imagetranslate_tpu.ops.flash_attention import flash_attention
+
+    return flash_attention(q, k, v, bias)
+
+
+def _flash_fwd(q, k, v, bias):
+    return _flash_with_vjp(q, k, v, bias), (q, k, v, bias)
+
+
+def _flash_bwd(res, g):
+    # Backward through the plain XLA math (numerically the same function the
+    # kernel computes). Rarely exercised — training uses the XLA path — but
+    # keeps eval-mode applies differentiable instead of crashing in the
+    # kernel's missing JVP.
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, bias),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+_flash_with_vjp.defvjp(_flash_fwd, _flash_bwd)
+
+
 def dot_product_attention(
     q: jnp.ndarray,            # [B, T, H, D]
     k: jnp.ndarray,            # [B, S, H, D]
@@ -36,12 +74,15 @@ def dot_product_attention(
     """Returns [B, T, H, D]. fp32 softmax regardless of input dtype."""
     if use_pallas and deterministic:
         # Flash path only for inference/no-dropout; training uses XLA (which
-        # fuses the dropout into the softmax epilogue anyway).
-        from imagetranslate_tpu.ops.flash_attention import flash_attention
+        # fuses the dropout into the softmax epilogue anyway). Wrapped in a
+        # custom_vjp (XLA-math backward) so eval-mode applies stay
+        # differentiable — the raw kernel has no JVP rule.
+        from imagetranslate_tpu.ops.flash_attention import flash_supported
 
-        out = flash_attention(q, k, v, bias)
-        if out is not None:
-            return out
+        if flash_supported(q, k, bias):
+            b = (bias if bias is not None
+                 else jnp.zeros((q.shape[0], 1, 1, k.shape[1]), jnp.float32))
+            return _flash_with_vjp(q, k, v, b)
 
     depth = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(depth, jnp.float32))

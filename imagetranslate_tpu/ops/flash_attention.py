@@ -77,21 +77,31 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *,
         o_ref[0, 0, :, :] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
+def flash_supported(q: jnp.ndarray, k: jnp.ndarray,
+                    bias: Optional[jnp.ndarray] = None) -> bool:
+    """Static shape check: does the forward kernel apply?"""
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    if bias is not None and (bias.ndim != 4 or bias.shape[1] != 1
+                             or bias.shape[2] != 1):
+        return False
+    if D % 8 != 0:
+        return False
+    Tb = _pick_block(T)
+    Sb = _pick_kv_block(S)
+    return not (Tb < 8 or Sb < 8 or T < 8 or S < 8)
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     bias: Optional[jnp.ndarray] = None) -> Optional[jnp.ndarray]:
     """q: [B, T, H, D]; k, v: [B, S, H, D]; bias: None or [B, 1, 1, S].
     Returns [B, T, H, D] or None if this kernel doesn't apply."""
     B, T, H, D = q.shape
     S = k.shape[1]
-    if bias is not None and (bias.ndim != 4 or bias.shape[1] != 1
-                             or bias.shape[2] != 1):
-        return None
-    if D % 8 != 0:
+    if not flash_supported(q, k, bias):
         return None
     Tb = _pick_block(T)
     Sb = _pick_kv_block(S)
-    if Tb < 8 or Sb < 8 or T < 8 or S < 8:
-        return None
 
     has_bias = bias is not None
     grid = (B, H, T // Tb, S // Sb)

@@ -55,3 +55,28 @@ def test_fallback_on_unsupported_bias():
     q, k, v = make_qkv()
     causal = jnp.zeros((2, 1, 32, 32), jnp.float32)
     assert flash_attention(q, k, v, causal) is None
+
+
+def test_grad_through_flash_path():
+    """Differentiating an eval-mode (deterministic, Pallas-routed) attention
+    must work and match the XLA path's gradients — the raw kernel has no
+    JVP, so the custom_vjp (XLA-math backward) covers it. Regression for a
+    round-2 crash: jax.grad over a deterministic apply raised AssertionError
+    inside pallas_call's jvp rule."""
+    q, k, v = make_qkv()
+    mask = jnp.ones((2, 32), bool).at[1, 20:].set(False)
+    bias = make_attention_bias(mask[:, None, None, :])
+
+    def f(use_pallas):
+        def loss(q, k, v):
+            out = dot_product_attention(q, k, v, bias=bias,
+                                        use_pallas=use_pallas)
+            return jnp.sum(out ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    g_flash = f(True)
+    g_xla = f(False)
+    for a, b in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
