@@ -94,10 +94,53 @@ def main():
     decode_B = max(per_batch, key=per_batch.get)
     decode_tps = per_batch[decode_B]
 
-    # ---- train step throughput (B=64 and the capacity-sized B=256) ----
+    # ---- captioning throughput (BASELINE.json names captioned images/sec):
+    # ResNet grid encode + beam-4 decode to a fixed 32-token budget
+    # (eos outside vocab = full-length decode, same honesty as the MT
+    # number; reference eval decodes to max_ref+10, train_captioning.py).
+    def measure_caption(batch_size=64, cap_len=32, iters=3):
+        from imagetranslate_tpu.decoding.beam import apply_jit
+        from imagetranslate_tpu.models.captioning import ImageSeq2Seq
+
+        cap_model = ImageSeq2Seq(cfg)
+        imgs = jax.random.uniform(rng, (batch_size, 224, 224, 3),
+                                  jnp.float32)
+        caps = jax.random.randint(rng, (2, 8), 5, cfg.vocab_size)
+        variables = cap_model.init(
+            rng, imgs[:2], caps, jnp.ones((2, 8), bool),
+            jnp.zeros((2,), jnp.int32), method=ImageSeq2Seq.init_everything)
+        cap_vars = {"params": cast_params(variables["params"]),
+                    "batch_stats": variables.get("batch_stats", {})}
+        first = jnp.full((batch_size,), 6, jnp.int32)
+        cl = jnp.zeros((batch_size,), jnp.int32)
+
+        def run():
+            grid = apply_jit(cap_model, cap_vars, imgs,
+                             method=ImageSeq2Seq.encode_images)
+            return beam_search(
+                cap_model, cap_vars, grid, jnp.ones(grid.shape[:2], bool),
+                first, cl, None, beam_width=4, max_len=cap_len,
+                len_penalty_ratio=0.8, pad_id=cfg.pad_id, eos_id=-1)
+
+        best, _ = run()
+        _sync(best)
+        best, _ = run()
+        _sync(best)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            best, _ = run()
+            _sync(best)
+        dt = (time.perf_counter() - t0) / iters
+        return batch_size / dt
+
+    caption_ips = measure_caption()
+
+    # ---- train step throughput (B=64 and the capacity-sized B=256),
+    # honest donation: buffers are donated like a real training loop, with
+    # sacrificial param copies per measurement.
     optimizer = build_optimizer(lr=1e-4)
-    state = create_train_state(params, optimizer)
-    step_fn = make_mt_train_step(model, optimizer, donate=False)
+    step_fn = make_mt_train_step(model, optimizer, donate=True)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
 
     def measure_train(bt):
         b_ids = jax.random.randint(rng, (bt, S), 5, cfg.vocab_size)
@@ -108,7 +151,8 @@ def main():
             "dst_langs": jnp.zeros((bt,), jnp.int32),
             "row_mask": jnp.ones((bt,), bool),
         }
-        st, m = step_fn(state, batch, rng)  # compile
+        st = create_train_state(jax.tree.map(jnp.array, params), optimizer)
+        st, m = step_fn(st, batch, rng)  # compile
         _sync(m["sum_loss"])
         st, m = step_fn(st, batch, rng)  # warm
         _sync(m["sum_loss"])
@@ -122,6 +166,8 @@ def main():
 
     train_per_batch = {b: measure_train(b) for b in (B, 256)}
     train_tps = max(train_per_batch.values())
+    # MFU: fwd+bwd ~= 3x the 2*P*token dense estimate, vs v5e bf16 peak.
+    train_mfu = 3 * 2 * n_params * train_tps / 197e12
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
@@ -138,6 +184,8 @@ def main():
         "unit": "tokens/sec",
         "vs_baseline": round(vs, 3),
         "train_tokens_per_sec": round(train_tps, 1),
+        "train_mfu": round(train_mfu, 3),
+        "caption_images_per_sec": round(caption_ips, 1),
         "train_tps_per_batch": {str(k): round(v, 1)
                                 for k, v in train_per_batch.items()},
         "decode_batch": decode_B, "decode_src_len": S, "decode_max_len": L,

@@ -103,6 +103,14 @@ def build_batches(options, tp):
                      lex_dict=lex_dict)
 
 
+def _pad_rows(arr, rows):
+    """Pad the leading dim up to `rows` with zeros (np arrays only)."""
+    if arr is None or arr.shape[0] == rows:
+        return arr
+    pad = [(0, rows - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad)
+
+
 def translate_batches(model, cfg, params, tp, batcher, options,
                       writer=sys.stdout):
     from imagetranslate_tpu.decoding.beam import (
@@ -125,20 +133,39 @@ def translate_batches(model, cfg, params, tp, batcher, options,
     sen_count = 0
     for b in batcher:
         n_real = int(b.row_mask.sum())
+        # Compile-count discipline: every distinct (rows, S, L) triple is a
+        # fresh XLA compilation, and on this environment's remote compiles a
+        # mixed-length corpus could spend its wall-clock compiling. Rows pad
+        # up to the next power of two (padded rows carry src_size 0, so
+        # their per-row limit freezes them within a few steps), S is already
+        # bucketed by the loader, and the decode *buffer* length L rounds up
+        # to a multiple of 16 — output-invariant because every row's actual
+        # limit is min(a*src_size+b, L), and a*src_size+b <= L always holds
+        # before rounding.
+        rows = max(8, 1 << (int(b.src.shape[0]) - 1).bit_length())
+        src = _pad_rows(b.src, rows)
+        src_mask = _pad_rows(b.src_mask, rows)
+        src_langs = _pad_rows(b.src_langs, rows)
+        first = _pad_rows(b.dst[:, 0], rows)
+        dst_langs = _pad_rows(b.dst_langs, rows)
+        src_sizes = _pad_rows(b.src_sizes, rows)
+        props = _pad_rows(b.proposals, rows) if b.proposals is not None else None
+        pmask = (_pad_rows(b.proposal_mask, rows)
+                 if b.proposal_mask is not None else None)
         # Under --dp, batch-dim-sharded inputs make jit propagate the
         # sharding through encode and the whole beam loop — XLA inserts the
         # collectives; no replica code needed (contrast parallel.py).
-        enc = apply_jit(model, params, dev(b.src), dev(b.src_mask),
-                        dev(b.src_langs), method=Seq2Seq.encode)
-        L = max_len_for(b.src.shape[1], options.max_len_a, options.max_len_b,
+        enc = apply_jit(model, params, dev(src), dev(src_mask),
+                        dev(src_langs), method=Seq2Seq.encode)
+        L = max_len_for(src.shape[1], options.max_len_a, options.max_len_b,
                         cfg.max_position_embeddings)
-        props = dev(b.proposals) if b.proposals is not None else None
-        pmask = (dev(b.proposal_mask)
-                 if b.proposal_mask is not None else None)
+        L = min(-(-L // 16) * 16, cfg.max_position_embeddings)
+        props = dev(props) if props is not None else None
+        pmask = dev(pmask) if pmask is not None else None
         best, lengths = beam_search(
-            model, params, enc, dev(b.src_mask),
-            dev(b.dst[:, 0]), dev(b.dst_langs),
-            dev(b.src_sizes), props, pmask,
+            model, params, enc, dev(src_mask),
+            dev(first), dev(dst_langs),
+            dev(src_sizes), props, pmask,
             beam_width=options.beam_width,
             max_len=L, max_len_a=options.max_len_a,
             max_len_b=options.max_len_b,
