@@ -108,20 +108,23 @@ class BoxHead(nn.Module):
 
 
 def make_anchors(shape_hw: Tuple[int, int], stride: int, size: int):
-    """Dense [H*W*A, 4] xyxy anchors for one level."""
+    """Dense [H*W*A, 4] xyxy anchors for one level — torchvision
+    AnchorGenerator semantics exactly (the COCO RPN weights were trained
+    against them): base anchors are (-w/2, -h/2, w/2, h/2) ROUNDED to
+    integers, shifted by cell-corner offsets arange*stride (no half-stride
+    centering); ratio-major enumeration, cell-major/anchor-minor layout."""
     H, W = shape_hw
     scales = jnp.asarray([size], jnp.float32)
     ratios = jnp.asarray(ANCHOR_RATIOS, jnp.float32)
     h_r = jnp.sqrt(ratios)
     ws = (scales[None, :] / h_r[:, None]).reshape(-1)
     hs = (scales[None, :] * h_r[:, None]).reshape(-1)
-    cx = (jnp.arange(W, dtype=jnp.float32) + 0.5) * stride
-    cy = (jnp.arange(H, dtype=jnp.float32) + 0.5) * stride
-    cxg, cyg = jnp.meshgrid(cx, cy)
-    centers = jnp.stack([cxg, cyg], -1).reshape(-1, 1, 2)
-    wh = jnp.stack([ws, hs], -1)[None, :, :]
-    boxes = jnp.concatenate([centers - wh / 2, centers + wh / 2], -1)
-    return boxes.reshape(-1, 4)
+    base = jnp.round(jnp.stack([-ws, -hs, ws, hs], -1) / 2.0)  # [A, 4]
+    sx = jnp.arange(W, dtype=jnp.float32) * stride
+    sy = jnp.arange(H, dtype=jnp.float32) * stride
+    sxg, syg = jnp.meshgrid(sx, sy)
+    shifts = jnp.stack([sxg, syg, sxg, syg], -1).reshape(-1, 1, 4)
+    return (shifts + base[None, :, :]).reshape(-1, 4)
 
 
 def decode_deltas(anchors, deltas, clip=4.135):
@@ -138,6 +141,15 @@ def decode_deltas(anchors, deltas, clip=4.135):
     w = jnp.exp(dw) * wa
     h = jnp.exp(dh) * ha
     return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+
+def fpn_levels(boxes: jnp.ndarray) -> jnp.ndarray:
+    """torchvision LevelMapper (canonical 224 @ level 4, k in [2, 5]):
+    [N, 4] xyxy -> [N] index into the P2..P5 pyramid list (0-based)."""
+    areas = jnp.clip((boxes[:, 2] - boxes[:, 0])
+                     * (boxes[:, 3] - boxes[:, 1]), 1.0)
+    lvl = jnp.floor(4 + jnp.log2(jnp.sqrt(areas) / 224.0 + 1e-6))
+    return (jnp.clip(lvl, 2, 5) - 2).astype(jnp.int32)
 
 
 class DetectionResult(NamedTuple):
@@ -170,8 +182,12 @@ class FasterRCNN(nn.Module):
         pyramid = self.fpn(feats)
         rpn_out = self.rpn(pyramid)
 
-        # --- proposals: decode + per-level top-k, then joint NMS ---
-        all_boxes, all_scores = [], []
+        # --- proposals: decode + per-level top-k, then per-level NMS
+        # (torchvision filter_proposals runs batched_nms with the FPN level
+        # as the category — boxes from different levels never suppress each
+        # other; expressed fixed-shape by offsetting each level's boxes to a
+        # disjoint coordinate range before one joint NMS call) ---
+        all_boxes, all_scores, all_lvls = [], [], []
         for lvl, ((cls, reg), size) in enumerate(zip(rpn_out, ANCHOR_SIZES)):
             stride = 4 * 2 ** lvl
             h, w = cls.shape[1], cls.shape[2]
@@ -186,17 +202,16 @@ class FasterRCNN(nn.Module):
                 jnp.clip(boxes[:, 2], 0, W), jnp.clip(boxes[:, 3], 0, H)], -1)
             all_boxes.append(boxes)
             all_scores.append(top_s)
+            all_lvls.append(jnp.full((k,), lvl, jnp.float32))
         boxes = jnp.concatenate(all_boxes)
         scores = jnp.concatenate(all_scores)
-        keep_idx, keep_valid = nms(boxes, jax.nn.sigmoid(scores),
+        lvl_off = jnp.concatenate(all_lvls)[:, None] * (max(H, W) + 2.0)
+        keep_idx, keep_valid = nms(boxes + lvl_off, jax.nn.sigmoid(scores),
                                    self.rpn_nms_thresh, self.post_nms_topk)
         proposals = boxes[keep_idx] * keep_valid[:, None]
 
         # --- RoI heads: FPN level assignment + RoIAlign + box head ---
-        areas = jnp.clip((proposals[:, 2] - proposals[:, 0])
-                         * (proposals[:, 3] - proposals[:, 1]), 1.0)
-        lvl = jnp.clip(jnp.floor(4 + jnp.log2(jnp.sqrt(areas) / 224.0)),
-                       2, 5).astype(jnp.int32) - 2
+        lvl = fpn_levels(proposals)
         pooled_per_level = [
             roi_align(pyramid[i][0], proposals, spatial_scale=1.0 / (4 * 2 ** i),
                       output_size=7, sampling_ratio=2)
