@@ -83,10 +83,13 @@ def main():
         _sync(best)
         best, lengths = run()  # warm steady-state
         _sync(best)
+        # Chain dispatches, sync once: each device->host sync on this
+        # tunneled TPU costs ~25 ms of round-trip, which would understate
+        # throughput by ~5-20% if paid per iteration.
         t0 = time.perf_counter()
         for _ in range(iters):
             best, lengths = run()
-            _sync(best)
+        _sync(best)
         dt = (time.perf_counter() - t0) / iters
         return float(jnp.sum(lengths)) / dt
 
@@ -129,7 +132,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(iters):
             best, _ = run()
-            _sync(best)
+        _sync(best)
         dt = (time.perf_counter() - t0) / iters
         return batch_size / dt
 
@@ -141,6 +144,12 @@ def main():
     optimizer = build_optimizer(lr=1e-4)
     step_fn = make_mt_train_step(model, optimizer, donate=True)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    # Production trainers use the hardware RNG for dropout (train/step.py
+    # train_rng: threefry masks cost 20 ms/step at this config) — measure
+    # with the same stream.
+    from imagetranslate_tpu.train.step import train_rng
+
+    step_rng = train_rng(0)
 
     def measure_train(bt):
         b_ids = jax.random.randint(rng, (bt, S), 5, cfg.vocab_size)
@@ -152,15 +161,15 @@ def main():
             "row_mask": jnp.ones((bt,), bool),
         }
         st = create_train_state(jax.tree.map(jnp.array, params), optimizer)
-        st, m = step_fn(st, batch, rng)  # compile
+        st, m = step_fn(st, batch, step_rng)  # compile
         _sync(m["sum_loss"])
-        st, m = step_fn(st, batch, rng)  # warm
+        st, m = step_fn(st, batch, step_rng)  # warm
         _sync(m["sum_loss"])
-        iters = 3
+        iters = 10
         t0 = time.perf_counter()
         for _ in range(iters):
-            st, m = step_fn(st, batch, rng)
-            _sync(m["sum_loss"])
+            st, m = step_fn(st, batch, step_rng)
+        _sync(m["sum_loss"])
         train_dt = (time.perf_counter() - t0) / iters
         return float(m["ntokens"]) / train_dt
 

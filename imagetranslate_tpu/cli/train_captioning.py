@@ -44,6 +44,11 @@ def get_parser():
     p.add_argument("--intermediate", dest="intermediate_layer_dim", type=int,
                    default=3072)
     p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--attn-dropout", dest="attention_dropout", type=float,
+                   default=None,
+                   help="attention-probability dropout (default: --dropout). "
+                        "0 disables it: measured +9%% train throughput at "
+                        "BERT-base B=256 on v5e (docs/PERF.md)")
     p.add_argument("--tie", dest="tie_embed", action="store_true")
     p.add_argument("--ldec", dest="lang_decoder", action="store_true")
     p.add_argument("--fimg", dest="freeze_image", action="store_true")
@@ -89,7 +94,7 @@ def main(argv=None):
         enc_layers=options.encoder_layer,
         dec_layers=options.decoder_layer,
         dropout=options.dropout,
-        attention_dropout=options.dropout,
+        attention_dropout=(options.dropout if options.attention_dropout is None else options.attention_dropout),
         lang_dec=options.lang_decoder,
         tie_embed=options.tie_embed,
         resnet_depth=options.resnet_depth,

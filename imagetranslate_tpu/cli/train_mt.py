@@ -28,6 +28,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--step", type=int, default=125000)
     p.add_argument("--fstep", dest="finetune_step", type=int, default=0)
     p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--attn-dropout", dest="attention_dropout", type=float,
+                   default=None,
+                   help="attention-probability dropout (default: --dropout). "
+                        "0 disables it: measured +9%% train throughput at "
+                        "BERT-base B=256 on v5e (docs/PERF.md)")
     p.add_argument("--enc", dest="encoder_layer", type=int, default=6)
     p.add_argument("--dec", dest="decoder_layer", type=int, default=6)
     p.add_argument("--embed", dest="embed_dim", type=int, default=768)
@@ -131,7 +136,7 @@ def main(argv=None):
             enc_layers=options.encoder_layer,
             dec_layers=options.decoder_layer,
             dropout=options.dropout,
-            attention_dropout=options.dropout,
+            attention_dropout=(options.dropout if options.attention_dropout is None else options.attention_dropout),
             lang_dec=options.lang_decoder,
             tie_embed=options.tie_embed,
             use_proposals=lex_dict is not None,

@@ -380,7 +380,8 @@ def beam_search(
         # (33.3k), W=87/no-consolidation (10.5k) — see docs/PERF.md.
         window = max(8, min(64, int(round(4.7 * L ** 0.5))))
     # Windowed-consolidation decode (gather-free): default for beam > 1.
-    if mode in (None, "windowed") and K > 1:
+    if (mode in (None, "windowed") and K > 1
+            and hasattr(type(model), "decode_step_windowed")):
         prop_k = (jnp.repeat(proposals, K, axis=0)
                   if proposals is not None else None)
         pmask_k = (jnp.repeat(proposal_mask, K, axis=0)

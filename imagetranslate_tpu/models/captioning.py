@@ -266,6 +266,18 @@ class ImageSeq2Seq(nn.Module):
                                            cross_bias, tgt_langs, ancestry,
                                            lang_idx=lang_idx)
 
+    def init_cache_windowed(self, enc_states, batch: int, beams: int,
+                            max_len: int, window: int, lang_idx=0):
+        return self.core.init_cache_windowed(enc_states, batch, beams,
+                                             max_len, window, lang_idx)
+
+    def decode_step_windowed(self, prev_token, cache, index, j, cross_bias,
+                             tgt_langs, rowsel, wanc, t0: int, lang_idx=None,
+                             proposals=None, proposal_mask=None):
+        return self.core.decode_step_windowed(
+            prev_token, cache, index, j, cross_bias, tgt_langs, rowsel,
+            wanc, t0, lang_idx=lang_idx)
+
     # ---------------- gated dual-stream decoding (seq_gen.py:180-188):
     # run the decoder against the text encoding AND the image grid with
     # separate KV caches, sigmoid-gate the two hidden states, project once.

@@ -57,6 +57,11 @@ class Seq2SeqConfig:
     # XLA materializes the bf16 upcast instead of fusing it into the dot,
     # so the traffic saving doesn't land — see docs/PERF.md.
     kv_cache_dtype: str = "bfloat16"
+    # Emit vocab logits in fp32 (True, default) or the compute dtype.
+    # bf16 logits halve the [B*T, V] materialization between the output
+    # projection and the loss (2 GB at B=256/S=64/V=32k); the loss's
+    # logsumexp/statistics still run fp32 (ops/losses.py upcasts).
+    fp32_logits: bool = True
     # Pallas fused label-smoothed xent: measured SLOWER than XLA's own
     # fusion for the training step on v5e (74.9k vs 88.7k tok/s at
     # B=256 S=64 BERT-base) — XLA already fuses the softmax/log into the

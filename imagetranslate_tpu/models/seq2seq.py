@@ -143,10 +143,13 @@ class Seq2Seq(nn.Module):
         return nn.switch(lang_idx, branches, self, x, enc, self_bias, cross_bias)
 
     def project(self, hidden, lang_idx=0):
-        """hidden -> fp32 vocab logits, honoring tie_embed / lang_dec."""
+        """hidden -> vocab logits (fp32 unless cfg.fp32_logits is off),
+        honoring tie_embed / lang_dec."""
         cfg = self.cfg
         if cfg.tie_embed:
-            logits = self.embeddings.attend(hidden).astype(jnp.float32)
+            logits = self.embeddings.attend(hidden)
+            if cfg.fp32_logits:
+                logits = logits.astype(jnp.float32)
             if len(self.out_bias) == 1:
                 return logits + self.out_bias[0]
             bias = jnp.stack(self.out_bias)[lang_idx]

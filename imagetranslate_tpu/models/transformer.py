@@ -527,4 +527,5 @@ class OutputLayer(nn.Module):
                              dtype=self.cfg.compute_dtype)
 
     def __call__(self, x):
-        return self.proj(x).astype(jnp.float32)
+        out = self.proj(x)
+        return out.astype(jnp.float32) if self.cfg.fp32_logits else out

@@ -56,7 +56,9 @@ class ImageMTTrainer(MTTrainer):
         self.tp = tp
         self.model = ImageSeq2Seq(cfg)
         self.mesh = mesh  # jax.sharding.Mesh for dp/tp; None = single chip
-        self.rng = jax.random.PRNGKey(seed)
+        from imagetranslate_tpu.train.step import train_rng
+
+        self.rng = train_rng(seed)  # hardware RNG: -20ms/step vs threefry
         self.beam_width = beam_width
         self.bt_beam_width = bt_beam_width
         self.max_len_a = max_len_a
