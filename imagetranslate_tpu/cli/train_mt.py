@@ -85,6 +85,10 @@ def get_parser() -> argparse.ArgumentParser:
                         "(Seq2Seq.init_from_lm parity, seq2seq.py:88-99)")
     p.add_argument("--bucket_step", type=int, default=16,
                    help="length bucket multiple (larger = fewer XLA shapes)")
+    p.add_argument("--pack", dest="pack_mt", action="store_true",
+                   help="pack multiple MT examples per row with segment-"
+                        "isolated attention (kills bucket-padding waste; "
+                        "numerically identical per token, data/packing.py)")
     p.add_argument("--mesh", dest="mesh_spec", default="",
                    help="device mesh 'DATAxMODEL' (e.g. 8, 4x2, auto): "
                         "data-parallel batch sharding + tensor-parallel "
@@ -232,7 +236,21 @@ def main(argv=None):
 
     pad = tp.pad_token_id()
     mt_batcher = None
-    if options.mt_train_path is not None:
+    if options.mt_train_path is not None and options.pack_mt:
+        from imagetranslate_tpu.data.packing import (
+            PackedMTBatcher,
+            packing_efficiency,
+        )
+
+        examples = []
+        for path in options.mt_train_path.split(","):
+            examples.extend(load_mt(path))
+        mt_batcher = PackedMTBatcher(examples, pad_id=pad,
+                                     max_seq_len=options.max_seq_len)
+        eff = packing_efficiency(mt_batcher.batches)
+        print(f"MT train batches: {len(mt_batcher)} (packed, "
+              f"{eff:.0%} of target slots carry real tokens)")
+    elif options.mt_train_path is not None:
         from imagetranslate_tpu.data.recordio import is_packed
 
         paths = options.mt_train_path.split(",")

@@ -116,13 +116,23 @@ class Seq2Seq(nn.Module):
 
     # ---------------- encoding ----------------
 
-    def encode(self, src_ids, src_mask, src_langs, deterministic: bool = True):
-        """reference Seq2Seq.encode (seq2seq.py:101-108)."""
+    def encode(self, src_ids, src_mask, src_langs, deterministic: bool = True,
+               src_positions=None, src_segments=None):
+        """reference Seq2Seq.encode (seq2seq.py:101-108). With
+        `src_segments` (packed rows, data/packing.py) attention is confined
+        to each example's own segment and positions restart per example."""
         B, S = src_ids.shape
         lang_ids = expand_langs(src_langs, S)
-        pos = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
+        if src_positions is None:
+            pos = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
+        else:
+            pos = src_positions
         x = self.embeddings(src_ids, pos, lang_ids, deterministic)
-        return self.encoder(x, pad_bias(src_mask), deterministic)
+        from imagetranslate_tpu.models.transformer import segment_bias
+
+        bias = (pad_bias(src_mask) if src_segments is None
+                else segment_bias(src_segments, src_segments))
+        return self.encoder(x, bias, deterministic)
 
     # ---------------- language-switched submodule calls ----------------
 
@@ -169,17 +179,24 @@ class Seq2Seq(nn.Module):
     def __call__(self, src_ids, src_mask, tgt_ids, tgt_mask, src_langs,
                  tgt_langs, tgt_positions=None, proposals=None,
                  proposal_mask=None, deterministic: bool = True,
-                 enc_states=None):
+                 enc_states=None, src_positions=None, src_segments=None,
+                 tgt_segments=None):
         """Teacher-forced forward. Decoder consumes tgt[:, :-1] and the loss
         applies to tgt[:, 1:] under mask tgt_mask[:, 1:] (seq2seq.py:170-178).
 
         tgt_positions: optional [B, T] explicit decoder positions — the MASS
         path (mass_seq2seq.py:47-50 passes the masked-span positions).
+        src_segments/tgt_segments: packed-row segment ids (data/packing.py);
+        self- and cross-attention stay inside each example's segment and the
+        caller masks the cross-boundary loss slots.
         Returns fp32 logits [B, T-1, V].
         """
         B, T = tgt_ids.shape
         if enc_states is None:
-            enc_states = self.encode(src_ids, src_mask, src_langs, deterministic)
+            enc_states = self.encode(src_ids, src_mask, src_langs,
+                                     deterministic,
+                                     src_positions=src_positions,
+                                     src_segments=src_segments)
         lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
 
         dec_in = tgt_ids[:, :-1]
@@ -190,9 +207,17 @@ class Seq2Seq(nn.Module):
         else:
             pos = tgt_positions[:, :-1]
         x = self.embeddings(dec_in, pos, lang_ids, deterministic)
+        if tgt_segments is None:
+            self_bias = causal_pad_bias(dec_mask)
+            cross_bias = pad_bias(src_mask)
+        else:
+            from imagetranslate_tpu.models.transformer import segment_bias
+
+            tseg = tgt_segments[:, :-1]
+            self_bias = segment_bias(tseg, tseg, causal=True)
+            cross_bias = segment_bias(tseg, src_segments)
         hidden = self._run_decoder(lang_idx, x, enc_states,
-                                   causal_pad_bias(dec_mask),
-                                   pad_bias(src_mask), deterministic)
+                                   self_bias, cross_bias, deterministic)
         if self.cfg.use_proposals and proposals is not None:
             pe = self.embeddings.word(proposals)
             hidden = self.proposal_attn(hidden, pe, proposal_mask)

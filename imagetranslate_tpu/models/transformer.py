@@ -394,6 +394,19 @@ def pad_bias(pad_mask: jnp.ndarray) -> jnp.ndarray:
     return make_attention_bias(pad_mask[:, None, None, :])
 
 
+def segment_bias(seg_q: jnp.ndarray, seg_k: jnp.ndarray,
+                 causal: bool = False) -> jnp.ndarray:
+    """Packed-sequence attention bias: [B, Tq] x [B, Tk] segment ids
+    (0 = padding) -> additive [B, 1, Tq, Tk] bias keeping only same-segment
+    pairs (and the causal triangle for decoder self-attention). With one
+    segment per row this reduces exactly to the pad/causal biases."""
+    keep = (seg_q[:, :, None] == seg_k[:, None, :]) & (seg_k[:, None, :] > 0)
+    if causal:
+        T = seg_q.shape[1]
+        keep = keep & jnp.tril(jnp.ones((T, T), jnp.bool_))[None, :, :]
+    return make_attention_bias(keep[:, None, :, :])
+
+
 class Encoder(nn.Module):
     """Embedded input -> contextual states. reference: BertEncoderModel
     (bert_seq2seq.py:94-144). Takes pre-embedded activations so the embedding

@@ -85,15 +85,32 @@ def make_mt_train_step(model, optimizer, label_smoothing: float = 0.1,
     loss_fn_impl = _loss_impl(model)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        packed = "src_seg" in batch  # data/packing.py rows
+
         def loss_fn(params):
-            logits = model.apply(
-                params, batch["src"], batch["src_mask"], batch["dst"],
-                batch["dst_mask"], batch["src_langs"], batch["dst_langs"],
-                tgt_positions=batch.get("tgt_positions"),
-                proposals=batch.get("proposals"),
-                proposal_mask=batch.get("proposal_mask"),
-                deterministic=False, rngs={"dropout": rng})
-            mask = batch["dst_mask"][:, 1:] & batch["row_mask"][:, None]
+            if packed:
+                logits = model.apply(
+                    params, batch["src"], batch["src_seg"] > 0,
+                    batch["dst"], batch["dst_seg"] > 0,
+                    batch["src_langs"], batch["dst_langs"],
+                    tgt_positions=batch["dst_pos"],
+                    src_positions=batch["src_pos"],
+                    src_segments=batch["src_seg"],
+                    tgt_segments=batch["dst_seg"],
+                    deterministic=False, rngs={"dropout": rng})
+                seg = batch["dst_seg"]
+                # Exclude cross-boundary slots: position t is a valid loss
+                # target only when t-1 belongs to the same example.
+                mask = (seg[:, 1:] == seg[:, :-1]) & (seg[:, 1:] > 0)
+            else:
+                logits = model.apply(
+                    params, batch["src"], batch["src_mask"], batch["dst"],
+                    batch["dst_mask"], batch["src_langs"], batch["dst_langs"],
+                    tgt_positions=batch.get("tgt_positions"),
+                    proposals=batch.get("proposals"),
+                    proposal_mask=batch.get("proposal_mask"),
+                    deterministic=False, rngs={"dropout": rng})
+                mask = batch["dst_mask"][:, 1:] & batch["row_mask"][:, None]
             sum_l, n = loss_fn_impl(logits, batch["dst"][:, 1:], mask,
                                     epsilon=label_smoothing)
             n = jnp.maximum(n, 1.0)
@@ -499,6 +516,19 @@ def mt_batch_to_device(b, tgt_positions=None) -> Dict[str, jnp.ndarray]:
         out["proposals"] = jnp.asarray(b.proposals)
         out["proposal_mask"] = jnp.asarray(b.proposal_mask)
     return out
+
+
+def packed_mt_batch_to_device(b) -> Dict[str, jnp.ndarray]:
+    """PackedMTBatch (data/packing.py) -> jnp dict; make_mt_train_step
+    dispatches on the `src_seg` key."""
+    return {
+        "src": jnp.asarray(b.src), "src_seg": jnp.asarray(b.src_seg),
+        "src_pos": jnp.asarray(b.src_pos),
+        "dst": jnp.asarray(b.dst), "dst_seg": jnp.asarray(b.dst_seg),
+        "dst_pos": jnp.asarray(b.dst_pos),
+        "src_langs": jnp.asarray(b.src_langs),
+        "dst_langs": jnp.asarray(b.dst_langs),
+    }
 
 
 def mass_batch_to_device(b) -> Dict[str, jnp.ndarray]:

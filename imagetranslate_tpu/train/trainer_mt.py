@@ -173,7 +173,15 @@ class MTTrainer:
             for kind, b in batches:
                 self.rng, step_rng = jax.random.split(self.rng)
                 if kind == "mt":
-                    batch = self._shard(mt_batch_to_device(b))
+                    from imagetranslate_tpu.data.packing import PackedMTBatch
+                    from imagetranslate_tpu.train.step import (
+                        packed_mt_batch_to_device,
+                    )
+
+                    to_dev = (packed_mt_batch_to_device
+                              if isinstance(b, PackedMTBatch)
+                              else mt_batch_to_device)
+                    batch = self._shard(to_dev(b))
                     self.state, m = self.mt_step(self.state, batch, step_rng)
                 elif kind == "mass" and not fine_tune:
                     batch = self._shard(mass_batch_to_device(b))
