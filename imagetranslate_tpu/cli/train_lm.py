@@ -39,11 +39,17 @@ def get_parser():
     p.add_argument("--size", dest="model_size", type=int, default=2,
                    help="reformer preset 1..3 (reformer_config.py)")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--mesh", dest="mesh_spec", default="",
+                   help="device mesh 'DATAxMODEL' (e.g. 8, 4x2, auto)")
     return p
 
 
 def main(argv=None):
     options = get_parser().parse_args(argv)
+    from imagetranslate_tpu.parallel.mesh import init_distributed, parse_mesh
+
+    init_distributed()
+    mesh = parse_mesh(options.mesh_spec)
 
     from imagetranslate_tpu.data.loader import DocBlockDataset
     from imagetranslate_tpu.models.config import Seq2SeqConfig
@@ -54,7 +60,7 @@ def main(argv=None):
     if options.reformer:
         from imagetranslate_tpu.train.trainer_longdoc import LongDocTrainer
 
-        trainer = LongDocTrainer.from_options(options, tp)
+        trainer = LongDocTrainer.from_options(options, tp, mesh=mesh)
     else:
         from imagetranslate_tpu.train.trainer_lm import LMTrainer
 
@@ -68,7 +74,7 @@ def main(argv=None):
             attention_dropout=options.dropout,
             dtype=options.dtype,
         )
-        trainer = LMTrainer(cfg, tp, lr=options.learning_rate,
+        trainer = LMTrainer(cfg, tp, mesh=mesh, lr=options.learning_rate,
                             warmup=options.warmup, clip=options.clip,
                             mask_prob=options.mask_prob)
 

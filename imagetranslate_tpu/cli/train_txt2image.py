@@ -33,11 +33,17 @@ def get_parser():
                    default=3072)
     p.add_argument("--dropout", type=float, default=0.1)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--mesh", dest="mesh_spec", default="",
+                   help="device mesh 'DATAxMODEL' (e.g. 8, 4x2, auto)")
     return p
 
 
 def main(argv=None):
     options = get_parser().parse_args(argv)
+    from imagetranslate_tpu.parallel.mesh import init_distributed, parse_mesh
+
+    init_distributed()
+    mesh = parse_mesh(options.mesh_spec)
 
     import jax
     import jax.numpy as jnp
@@ -69,7 +75,7 @@ def main(argv=None):
         enc_layers=options.encoder_layer,
         dropout=options.dropout, attention_dropout=options.dropout,
         dtype=options.dtype)
-    trainer = Caption2ImageTrainer(cfg, tp, captioner, cap_vars,
+    trainer = Caption2ImageTrainer(cfg, tp, captioner, cap_vars, mesh=mesh,
                                    lr=options.learning_rate,
                                    warmup=options.warmup, clip=options.clip)
 

@@ -70,6 +70,16 @@ def _rows_for(sb: int, db: int, max_batch: int, capacity_mb: int,
     return rows
 
 
+def _round_up_rows(n: int, row_quantum: int = 8) -> int:
+    """Tail batches pad their ROW count up to the quantum: an XLA program
+    exists per (rows, sb, db) triple, and on this environment's remote
+    compiles an odd-rows tail costs ~30-60 s of compilation to train on a
+    handful of real rows (row_mask covers the padding). Measured on the
+    sample fa-en recipe: unpadded tails held training to 50 steps in 30
+    minutes of mostly compiling."""
+    return -(-n // row_quantum) * row_quantum
+
+
 @dataclasses.dataclass
 class MTBatch:
     src: np.ndarray        # [N, sb] int32
@@ -110,7 +120,7 @@ class MTBatcher:
                 return
             rows = _rows_for(cur_sb, cur_db, max_batch, capacity_mb,
                              min_rows=len(cur))
-            rows = max(rows, len(cur))
+            rows = max(rows, _round_up_rows(len(cur)))
             self.batches.append(self._pack(cur, rows, cur_sb, cur_db,
                                            keep_examples))
             cur, cur_sb, cur_db = [], 0, 0
@@ -185,7 +195,7 @@ class MTBatcher:
                 return
             n = len(idx)
             rows = max(_rows_for(sb, db, max_batch, capacity_mb,
-                                 min_rows=n), n)
+                                 min_rows=n), _round_up_rows(n))
             ii = np.asarray(idx, np.int64)
             src = np.full((rows, sb), pad_id, np.int32)
             dst = np.full((rows, db), pad_id, np.int32)
@@ -352,7 +362,7 @@ class MassBatcher:
             nonlocal cur, cur_s
             if not cur:
                 return
-            rows = max(rows_for(cur_s), len(cur))
+            rows = max(rows_for(cur_s), _round_up_rows(len(cur)))
             self.batches.append(self._pack(cur, rows, cur_s))
             cur, cur_s = [], 0
 
@@ -393,7 +403,7 @@ class MassBatcher:
             if not idx:
                 return
             n = len(idx)
-            rows = max(rows_for(s), n)
+            rows = max(rows_for(s), _round_up_rows(n))
             ii = np.asarray(idx, np.int64)
             src = np.full((rows, s), pad_id, np.int32)
             src[:n] = reader.pack_padded(ii, 0, s, pad_id)

@@ -28,23 +28,34 @@ from flax import serialization
 from imagetranslate_tpu.models.config import Seq2SeqConfig
 
 
+def _atomic_write(path: str, data, mode: str = "wb"):
+    """Write to a sibling temp file and os.replace into place: a run killed
+    mid-save (timeout, preemption, OOM-kill) must never leave a truncated
+    checkpoint behind. Found the hard way — a wall-clock-killed sample run
+    left a 0-byte params.msgpack in the best-BLEU slot."""
+    tmp = path + ".tmp"
+    with open(tmp, mode) as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def save_checkpoint(out_dir: str, cfg: Seq2SeqConfig, params,
                     opt_state=None, step: int = 0,
                     best_metric: Optional[float] = None):
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "config.json"), "w") as f:
-        f.write(cfg.to_json())
+    _atomic_write(os.path.join(out_dir, "config.json"), cfg.to_json(), "w")
     params = jax.device_get(params)
-    with open(os.path.join(out_dir, "params.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(params))
+    _atomic_write(os.path.join(out_dir, "params.msgpack"),
+                  serialization.to_bytes(params))
     if opt_state is not None:
-        with open(os.path.join(out_dir, "opt_state.msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(jax.device_get(opt_state)))
+        _atomic_write(os.path.join(out_dir, "opt_state.msgpack"),
+                      serialization.to_bytes(jax.device_get(opt_state)))
     meta = {"step": int(step)}
     if best_metric is not None:
         meta["best_metric"] = float(best_metric)
-    with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    _atomic_write(os.path.join(out_dir, "meta.json"), json.dumps(meta), "w")
 
 
 def cast_params(params, dtype=jnp.bfloat16):

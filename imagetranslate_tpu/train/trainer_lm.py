@@ -26,10 +26,11 @@ from imagetranslate_tpu.text.processor import TextProcessor
 class LMTrainer:
     def __init__(self, cfg: Seq2SeqConfig, tp: TextProcessor,
                  lr: float = 1e-4, warmup: int = 4000, clip: float = 1.0,
-                 mask_prob: float = 0.15, seed: int = 0):
+                 mask_prob: float = 0.15, mesh=None, seed: int = 0):
         self.cfg = cfg
         self.tp = tp
         self.model = LM(cfg)
+        self.mesh = mesh
         from imagetranslate_tpu.train.step import train_rng
 
         self.rng = train_rng(seed)  # hardware RNG: -20ms/step vs threefry
@@ -41,6 +42,10 @@ class LMTrainer:
         texts = jnp.zeros((B, T), jnp.int32)
         params = self.model.init(init_rng, texts, jnp.ones((B, T), bool),
                                  jnp.zeros((B,), jnp.int32))
+        if mesh is not None:
+            from imagetranslate_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
         self.optimizer = build_optimizer(lr=lr, warmup_updates=warmup,
                                          clip_norm=clip)
         self.state = create_train_state(params, self.optimizer)
@@ -49,6 +54,14 @@ class LMTrainer:
         self.step_fn = make_mlm_train_step(self.model, self.optimizer, cfg,
                                            **kw)
         self.eval_fn = make_mlm_eval_step(self.model, cfg, **kw)
+
+
+    def _shard(self, batch):
+        if self.mesh is None:
+            return batch
+        from imagetranslate_tpu.parallel.mesh import shard_batch_safe
+
+        return shard_batch_safe(batch, self.mesh)
 
     def train_epoch(self, step: int, saving_path: str,
                     train_data: DocBlockDataset,
@@ -61,7 +74,7 @@ class LMTrainer:
         pad = self.tp.pad_token_id()
         for b in train_data.batches(batch_rows, pad_id=pad):
             self.rng, srng = jax.random.split(self.rng)
-            batch = {k: jnp.asarray(v) for k, v in b.items()}
+            batch = self._shard({k: jnp.asarray(v) for k, v in b.items()})
             self.state, m = self.step_fn(self.state, batch, srng)
             step += 1
             meter.update(step, float(m["sum_loss"]), float(m["ntokens"]))

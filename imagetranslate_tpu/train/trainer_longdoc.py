@@ -13,7 +13,7 @@ from imagetranslate_tpu.train.trainer_lm import LMTrainer
 
 class LongDocTrainer(LMTrainer):
     @classmethod
-    def from_options(cls, options, tp):
+    def from_options(cls, options, tp, mesh=None):
         cfg = longdoc_config(tp.vocab_size(),
                              num_languages=max(1, len(tp.languages)),
                              size=options.model_size)
@@ -32,7 +32,10 @@ class LongDocTrainer(LMTrainer):
         self.cfg = cfg
         self.tp = tp
         self.model = LongDocLM(cfg)
-        self.rng = jax.random.PRNGKey(0)
+        self.mesh = mesh
+        from imagetranslate_tpu.train.step import train_rng
+
+        self.rng = train_rng(0)
         self.best_dev_loss = float("inf")
         self.best_train_loss = float("inf")
         B, T = 2, self.model.block
@@ -40,6 +43,10 @@ class LongDocTrainer(LMTrainer):
         self.rng, init_rng = jax.random.split(self.rng)
         params = self.model.init(init_rng, texts, jnp.ones((B, T), bool),
                                  jnp.zeros((B,), jnp.int32))
+        if mesh is not None:
+            from imagetranslate_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
         self.optimizer = build_optimizer(lr=options.learning_rate,
                                          warmup_updates=options.warmup,
                                          clip_norm=options.clip)

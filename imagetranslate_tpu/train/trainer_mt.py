@@ -118,20 +118,35 @@ class MTTrainer:
 
     def _decode_batch(self, src, src_mask, src_langs, first_tokens, tgt_langs,
                       src_sizes, beam_width: int, max_len: Optional[int] = None):
-        enc = apply_jit(self.model, self._variables(), jnp.asarray(src),
-                        jnp.asarray(src_mask), jnp.asarray(src_langs),
+        # Compile discipline (same as cli/translate.py): pad rows to the
+        # next power of two so eval/BT decodes reuse a handful of XLA
+        # programs; padded rows carry src_size 0 and freeze within steps.
+        n = src.shape[0]
+        rows = max(8, 1 << (int(n) - 1).bit_length())
+
+        def pad(a):
+            a = np.asarray(a)
+            if a.shape[0] == rows:
+                return a
+            widths = [(0, rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, widths)
+
+        enc = apply_jit(self.model, self._variables(), jnp.asarray(pad(src)),
+                        jnp.asarray(pad(src_mask)),
+                        jnp.asarray(pad(src_langs)),
                         method=type(self.model).encode)
         L = max_len or max_len_for(src.shape[1], self.max_len_a,
                                    self.max_len_b,
                                    self.cfg.max_position_embeddings)
+        L = min(-(-L // 16) * 16, self.cfg.max_position_embeddings)
         best, lengths = beam_search(
-            self.model, self._variables(), enc, jnp.asarray(src_mask),
-            jnp.asarray(first_tokens), jnp.asarray(tgt_langs),
-            jnp.asarray(src_sizes), beam_width=beam_width, max_len=L,
+            self.model, self._variables(), enc, jnp.asarray(pad(src_mask)),
+            jnp.asarray(pad(first_tokens)), jnp.asarray(pad(tgt_langs)),
+            jnp.asarray(pad(src_sizes)), beam_width=beam_width, max_len=L,
             max_len_a=self.max_len_a, max_len_b=self.max_len_b,
             len_penalty_ratio=self.len_penalty_ratio,
             pad_id=self.tp.pad_token_id(), eos_id=self.tp.sep_token_id())
-        return best, lengths
+        return best[:n], lengths[:n]
 
     # ---------------- train loops ----------------
 

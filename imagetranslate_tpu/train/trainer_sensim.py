@@ -27,8 +27,9 @@ from imagetranslate_tpu.text.processor import TextProcessor
 class SenSimTrainer:
     def __init__(self, cfg: Seq2SeqConfig, tp: TextProcessor,
                  lr: float = 1e-4, warmup: int = 4000, clip: float = 1.0,
-                 seed: int = 0):
+                 mesh=None, seed: int = 0):
         self.cfg = cfg
+        self.mesh = mesh
         self.tp = tp
         self.model = SenSim(cfg)
         from imagetranslate_tpu.train.step import train_rng
@@ -42,10 +43,22 @@ class SenSimTrainer:
         mask = jnp.ones((B, T), bool)
         langs = jnp.zeros((B,), jnp.int32)
         params = self.model.init(init_rng, ids, mask, langs, ids, mask, langs)
+        if mesh is not None:
+            from imagetranslate_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
         self.optimizer = build_optimizer(lr=lr, warmup_updates=warmup,
                                          clip_norm=clip)
         self.state = create_train_state(params, self.optimizer)
         self.step_fn = make_sensim_train_step(self.model, self.optimizer)
+
+
+    def _shard(self, batch):
+        if self.mesh is None:
+            return batch
+        from imagetranslate_tpu.parallel.mesh import shard_batch_safe
+
+        return shard_batch_safe(batch, self.mesh)
 
     def train_epoch(self, step: int, saving_path: str, mt_batcher: MTBatcher,
                     src_neg: Optional[MassBatcher] = None,
@@ -77,7 +90,8 @@ class SenSimTrainer:
                     "tgt_neg_mask": jnp.asarray(dn.src_mask),
                     "tgt_neg_langs": jnp.asarray(dn.langs),
                 })
-            self.state, m = self.step_fn(self.state, batch, srng)
+            self.state, m = self.step_fn(self.state, self._shard(batch),
+                                         srng)
             step += 1
             meter.update(step, float(m["sum_loss"]), float(m["ntokens"]))
             if dev_batcher is not None and step % eval_every == 0:

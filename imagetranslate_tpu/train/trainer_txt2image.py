@@ -27,7 +27,7 @@ class Caption2ImageTrainer:
     def __init__(self, cfg: Seq2SeqConfig, tp: TextProcessor,
                  caption_model: ImageSeq2Seq, caption_variables,
                  lr: float = 1e-4, warmup: int = 4000, clip: float = 1.0,
-                 seed: int = 0):
+                 mesh=None, seed: int = 0):
         self.cfg = cfg
         self.tp = tp
         self.model = Caption2Image(cfg)
@@ -37,11 +37,16 @@ class Caption2ImageTrainer:
 
         self.rng = train_rng(seed)  # hardware RNG: -20ms/step vs threefry
         self.best_loss = float("inf")
+        self.mesh = mesh
 
         self.rng, init_rng = jax.random.split(self.rng)
         ids = jnp.zeros((2, 8), jnp.int32)
         params = self.model.init(init_rng, ids, jnp.ones((2, 8), bool),
                                  jnp.zeros((2,), jnp.int32))
+        if mesh is not None:
+            from imagetranslate_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
         self.optimizer = build_optimizer(lr=lr, warmup_updates=warmup,
                                          clip_norm=clip)
         self.state = create_train_state(params, self.optimizer)
@@ -62,6 +67,14 @@ class Caption2ImageTrainer:
             "row_mask": jnp.asarray(b.row_mask),
         }
 
+
+    def _shard(self, batch):
+        if self.mesh is None:
+            return batch
+        from imagetranslate_tpu.parallel.mesh import shard_batch_safe
+
+        return shard_batch_safe(batch, self.mesh)
+
     def train_epoch(self, step: int, saving_path: str,
                     cap_batcher: CaptionBatcher, image_root: str = "",
                     dev_batcher: Optional[CaptionBatcher] = None,
@@ -72,8 +85,8 @@ class Caption2ImageTrainer:
         meter = StepMeter(log_every=log_every)
         for b in cap_batcher.shuffled(epoch_seed):
             self.rng, srng = jax.random.split(self.rng)
-            self.state, m = self.step_fn(self.state,
-                                         self._batch(b, image_root), srng)
+            self.state, m = self.step_fn(
+                self.state, self._shard(self._batch(b, image_root)), srng)
             step += 1
             meter.update(step, float(m["sum_loss"]), float(m["ntokens"]))
             if dev_batcher is not None and step % eval_every == 0:

@@ -63,10 +63,14 @@ def test_mt_batcher_capacity_budget():
         rows, sb = batch.src.shape
         db = batch.dst.shape[1]
         # capacity rule (dataset.py:118-123): either within token budget or
-        # within cubic capacity (allow the one-extra-row slack the
-        # reference also has).
-        assert (sb + db) * rows <= 500 + (sb + db) or \
-            (sb * sb + db * db) * db * rows <= 1_000_000 * 2
+        # within cubic capacity. Slack: the one extra row the reference also
+        # has, plus up to a row-quantum of padding rows (tail row counts
+        # round UP to 8 for compile discipline — loader._round_up_rows).
+        real = int(batch.row_mask.sum())
+        assert rows - real < 8
+        budget_rows = real + 1
+        assert (sb + db) * budget_rows <= 500 + (sb + db) or \
+            (sb * sb + db * db) * db * budget_rows <= 1_000_000 * 2
 
 
 def test_mass_batcher_drops_long():
