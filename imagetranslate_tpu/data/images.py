@@ -159,18 +159,31 @@ class CaptionBatcher:
         flush()
 
     def _pack(self, rows, t) -> CaptionBatch:
+        from imagetranslate_tpu.data.loader import _round_up_rows
+
         n = len(rows)
-        caps = np.full((n, t), self.pad_id, np.int32)
-        lengths = np.ones((n,), np.int32)
+        # Pad rows to the quantum so every (rows, t) shape comes from a
+        # small set (one XLA program per shape; see loader._round_up_rows).
+        # Padding rows replicate row 0; row_mask zeroes their loss and the
+        # contrastive step drops them from the in-batch negatives.
+        rows_padded = _round_up_rows(n)
+        caps = np.full((rows_padded, t), self.pad_id, np.int32)
+        lengths = np.ones((rows_padded,), np.int32)
+        row_mask = np.zeros((rows_padded,), bool)
         paths = []
         for i, (img_id, ids) in enumerate(rows):
             ids = ids[:t]
             caps[i, :len(ids)] = ids
             lengths[i] = len(ids)
+            row_mask[i] = True
             paths.append(self.unique_images[img_id])
+        if n < rows_padded:
+            caps[n:] = caps[0]
+            lengths[n:] = lengths[0]
+            paths.extend([paths[0]] * (rows_padded - n))
         return CaptionBatch(paths, caps, caps != self.pad_id,
-                            np.full((n,), self.lang, np.int32), lengths,
-                            np.ones((n,), bool))
+                            np.full((rows_padded,), self.lang, np.int32),
+                            lengths, row_mask)
 
     def __len__(self):
         return len(self.batches)

@@ -17,7 +17,7 @@ pads every batch to its max length.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -50,7 +50,10 @@ def pack_mt_examples(
     """examples: (src_ids, dst_ids, src_lang_type, dst_lang_type), assumed
     length-sorted by the binarizer (first-fit over sorted input packs
     near-optimally). One (src_lang, dst_lang) direction per batch."""
-    rows: List[List[Tuple]] = []
+    # Rows and batches are built PER LANGUAGE DIRECTION: every row holds one
+    # direction, and a batch groups rows of the same direction only (the
+    # batch-level src_langs/dst_langs are per-row scalars).
+    rows_by_dir: Dict[Tuple, List[List[Tuple]]] = {}
     cur: List[Tuple] = []
     cur_s = cur_d = 0
     cur_dir = None
@@ -60,18 +63,22 @@ def pack_mt_examples(
         if (cur and (cur_s + len(src) > src_budget
                      or cur_d + len(dst) > dst_budget
                      or direction != cur_dir)):
-            rows.append(cur)
+            rows_by_dir.setdefault(cur_dir, []).append(cur)
             cur, cur_s, cur_d = [], 0, 0
         cur.append((src, dst, ex[2], ex[3]))
         cur_s += len(src)
         cur_d += len(dst)
         cur_dir = direction
     if cur:
-        rows.append(cur)
+        rows_by_dir.setdefault(cur_dir, []).append(cur)
+
+    groups = []
+    for rows in rows_by_dir.values():
+        for start in range(0, len(rows), rows_per_batch):
+            groups.append(rows[start:start + rows_per_batch])
 
     batches: List[PackedMTBatch] = []
-    for start in range(0, len(rows), rows_per_batch):
-        group = rows[start:start + rows_per_batch]
+    for group in groups:
         N = len(group)
         src = np.full((N, src_budget), pad_id, np.int32)
         dst = np.full((N, dst_budget), pad_id, np.int32)

@@ -214,9 +214,12 @@ class ImageSeq2Seq(nn.Module):
 
     def contrastive_loss(self, images, captions, caption_mask, langs,
                          neg_samples, neg_mask, neg_langs,
-                         train: bool = False, deterministic: bool = True):
+                         train: bool = False, deterministic: bool = True,
+                         row_mask=None):
         """InfoNCE between attention-pooled image vectors and caption vectors
-        with extra text negatives (image_model.py:231-264)."""
+        with extra text negatives (image_model.py:231-264). `row_mask` drops
+        padding rows from both the anchors and the in-batch negative columns
+        (batches pad rows to a quantum for compile discipline)."""
         core = self.core
         enc = core.encode(captions, caption_mask, langs, deterministic)
         pos_vec = self.encoder_attention(enc, caption_mask)
@@ -235,9 +238,17 @@ class ImageSeq2Seq(nn.Module):
         text_vecs = l2norm(text_vecs)
         img_vec = l2norm(img_vec)
         cross = img_vec @ text_vecs.T                       # [B, B+N]
+        B = pos_vec.shape[0]
+        if row_mask is not None:
+            col_keep = jnp.concatenate(
+                [row_mask, jnp.ones((neg_vec.shape[0],), bool)])
+            cross = jnp.where(col_keep[None, :], cross, -jnp.inf)
         denom = jnp.log(jnp.sum(jnp.exp(cross), axis=-1) + 1e-4)
-        nom = jnp.diagonal(cross[:, :pos_vec.shape[0]]) + 1e-4
-        return jnp.sum(denom - nom) / pos_vec.shape[0]
+        nom = jnp.diagonal(cross[:, :B]) + 1e-4
+        if row_mask is None:
+            return jnp.sum(denom - nom) / B
+        rm = row_mask.astype(jnp.float32)
+        return jnp.sum((denom - nom) * rm) / jnp.maximum(jnp.sum(rm), 1.0)
 
     # ---------------- MT passthrough (multi-task training) ----------------
 

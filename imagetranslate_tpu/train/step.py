@@ -483,7 +483,7 @@ def make_contrastive_step(model, optimizer, donate: bool = True) -> Callable:
                 batch["images"], batch["captions"], batch["caption_mask"],
                 batch["langs"], batch["neg"], batch["neg_mask"],
                 batch["neg_langs"], train=True, deterministic=False,
-                rngs={"dropout": rng},
+                row_mask=batch.get("row_mask"), rngs={"dropout": rng},
                 method=type(model).contrastive_loss,
                 mutable=["batch_stats"])
             return loss, (loss, updates)

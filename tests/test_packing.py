@@ -152,3 +152,24 @@ def test_trainer_packed_mt_stream(tmp_path):
                 trainer.state, packed_mt_batch_to_device(b), r)
             losses.append(float(m["sum_loss"]) / float(m["ntokens"]))
     assert losses[-1] < losses[0] - 1.0, (losses[0], losses[-1])
+
+
+def test_packing_separates_directions():
+    """Mixed-direction example streams must never share a row OR a batch —
+    the batch-level lang ids are per-row scalars."""
+    rs = np.random.RandomState(3)
+    exs = []
+    for i in range(20):
+        n = int(rs.randint(3, 6))
+        body = [int(x) for x in rs.randint(6, 60, n)]
+        d = (0, 1) if i % 2 == 0 else (1, 0)
+        exs.append(([7] + body + [4], [8] + body + [4], d[0], d[1]))
+    batches = pack_mt_examples(exs, src_budget=64, dst_budget=64,
+                               rows_per_batch=4)
+    n_ex = sum(b.n_examples for b in batches)
+    assert n_ex == 20
+    dirs = {(int(b.src_langs[0]), int(b.dst_langs[0])) for b in batches}
+    assert dirs == {(0, 1), (1, 0)}
+    for b in batches:
+        assert (b.src_langs == b.src_langs[0]).all()
+        assert (b.dst_langs == b.dst_langs[0]).all()
