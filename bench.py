@@ -19,6 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Remote compiles on this environment cost 30-60 s each; the persistent
+# cache makes warm runs start in seconds (must be set before backend init).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

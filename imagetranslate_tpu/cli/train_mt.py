@@ -274,6 +274,10 @@ def main(argv=None):
                                    max_seq_len=options.max_seq_len,
                                    bucket_step=options.bucket_step,
                                    lex_dict=lex_dict)
+        if len(mt_batcher) == 0:
+            raise SystemExit(f"--train_mt {options.mt_train_path!r} matched "
+                             f"no examples — refusing to train on an empty "
+                             f"stream")
         print(f"MT train batches: {len(mt_batcher)}")
 
     def build_mass_batcher(max_batch, capacity_mb, bucket_step=16):
@@ -314,6 +318,12 @@ def main(argv=None):
         mass_batcher = build_mass_batcher(options.batch,
                                           options.total_capacity,
                                           options.bucket_step)
+        if len(mass_batcher) == 0:
+            raise SystemExit(
+                f"--mass_train {options.mass_train_path!r} matched no "
+                f"examples (shards are globbed as '<prefix>*', e.g. "
+                f"out.0, out.1 from create_mt_batches) — refusing to "
+                f"train on an empty stream")
         print(f"MASS train batches: {len(mass_batcher)}")
 
     img_batcher = None
@@ -343,6 +353,7 @@ def main(argv=None):
     step, epoch = 0, 0
     while options.step > 0 and step < options.step:
         print(f"train epoch {epoch}")
+        step_before = step
         step = trainer.train_epoch(
             step, options.model_path, mt_batcher=mt_batcher,
             mass_batcher=mass_batcher, dev_batcher=dev_batcher,
@@ -350,6 +361,10 @@ def main(argv=None):
             max_step=options.step, eval_every=options.eval_every,
             save_every=options.save_every, epoch_seed=epoch,
             profile_dir=options.profile_dir if epoch == 0 else None)
+        if step == step_before:
+            raise SystemExit("an epoch produced zero train steps (all "
+                             "streams empty?) — aborting instead of "
+                             "looping forever")
         epoch += 1
 
     if options.finetune_step > 0:
@@ -368,6 +383,7 @@ def main(argv=None):
                 options.batch // denom, options.total_capacity // denom)
         while step < options.finetune_step + options.step:
             print(f"finetune epoch {fepoch}")
+            step_before = step
             step = trainer.train_epoch(
                 step, options.model_path, mt_batcher=mt_batcher,
                 mass_batcher=mass_batcher, dev_batcher=dev_batcher,
@@ -376,6 +392,10 @@ def main(argv=None):
                 fine_tune=True, lang_directions=lang_directions,
                 eval_every=options.eval_every, save_every=options.save_every,
                 epoch_seed=1000 + fepoch)
+            if step == step_before:
+                raise SystemExit("a fine-tune epoch produced zero train "
+                                 "steps — aborting instead of looping "
+                                 "forever")
             fepoch += 1
 
     print("Finished Training!")
