@@ -72,11 +72,15 @@ def dot_product_attention(
     use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Returns [B, T, H, D]. fp32 softmax regardless of input dtype."""
-    if use_pallas and deterministic:
-        # Flash path only for inference/no-dropout; training uses XLA (which
-        # fuses the dropout into the softmax epilogue anyway). Wrapped in a
-        # custom_vjp (XLA-math backward) so eval-mode applies stay
-        # differentiable — the raw kernel has no JVP rule.
+    if use_pallas and deterministic and k.shape[1] >= 1024:
+        # Flash path only for inference/no-dropout AND long sequences: the
+        # kernel's value is keeping the [T, S] score tile out of HBM, which
+        # only matters once S is large (measured on v5e-1, B=8 H=12 D=64:
+        # S=2048 kernel 3.05 ms vs XLA 6.18; S=64 flagship-encode shape the
+        # kernel LOSES 26.2 vs 21.0 ms — XLA's fused small-S path wins).
+        # Training uses XLA regardless (dropout fused into the epilogue).
+        # Wrapped in a custom_vjp (XLA-math backward) so eval-mode applies
+        # stay differentiable — the raw kernel has no JVP rule.
         from imagetranslate_tpu.ops.flash_attention import flash_supported
 
         if flash_supported(q, k, bias):

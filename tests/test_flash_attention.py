@@ -62,9 +62,10 @@ def test_grad_through_flash_path():
     must work and match the XLA path's gradients — the raw kernel has no
     JVP, so the custom_vjp (XLA-math backward) covers it. Regression for a
     round-2 crash: jax.grad over a deterministic apply raised AssertionError
-    inside pallas_call's jvp rule."""
-    q, k, v = make_qkv()
-    mask = jnp.ones((2, 32), bool).at[1, 20:].set(False)
+    inside pallas_call's jvp rule. S >= 1024 so the length gate actually
+    routes to the kernel."""
+    q, k, v = make_qkv(B=1, T=16, S=1024, H=1, D=16)
+    mask = jnp.ones((1, 1024), bool).at[0, 1000:].set(False)
     bias = make_attention_bias(mask[:, None, None, :])
 
     def f(use_pallas):

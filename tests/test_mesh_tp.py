@@ -112,3 +112,20 @@ def test_replication_fallback_warns():
         param_shardings(params, mesh)
     msgs = [str(x.message) for x in w]
     assert any("fell back to replication" in m for m in msgs), msgs
+
+
+def test_parse_mesh_and_init_distributed():
+    from imagetranslate_tpu.parallel.mesh import init_distributed, parse_mesh
+
+    assert parse_mesh("") is None
+    assert parse_mesh(None) is None
+    m = parse_mesh("4x2")
+    assert m.devices.shape == (4, 2) and m.axis_names == ("data", "model")
+    m8 = parse_mesh("8")
+    assert m8.devices.shape == (8, 1)
+    ma = parse_mesh("auto")
+    assert ma.devices.size == 8  # all virtual devices on the data axis
+    with pytest.raises(ValueError):
+        parse_mesh("4x2x1")
+    # No coordinator env set: single-process no-op.
+    assert init_distributed() is False
