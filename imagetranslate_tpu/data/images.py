@@ -263,13 +263,21 @@ class ImageFolderBatcher:
         return len(self.batches)
 
     def __iter__(self):
+        from imagetranslate_tpu.data.loader import _round_up_rows
+
         for paths in self.batches:
             images = np.stack([load_image(p) for p in paths])
+            # Pad the tail batch's rows to the quantum (replicating image 0)
+            # so the whole folder decodes with at most two XLA programs;
+            # "paths" keeps the real length and the CLI's zip() drops the
+            # padded captions.
+            rows = _round_up_rows(len(paths))
+            if rows > len(paths):
+                pad = np.repeat(images[:1], rows - len(paths), axis=0)
+                images = np.concatenate([images, pad])
             yield {
                 "paths": paths,
                 "images": images,
-                "first_tokens": np.full((len(paths),), self.first_token,
-                                        np.int32),
-                "tgt_langs": np.full((len(paths),), self.target_lang,
-                                     np.int32),
+                "first_tokens": np.full((rows,), self.first_token, np.int32),
+                "tgt_langs": np.full((rows,), self.target_lang, np.int32),
             }
