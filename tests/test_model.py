@@ -194,3 +194,19 @@ def test_remat_variant(cfg):
     logits, _ = model.apply(params, tgt[:, :1], cache, 0, pad_bias(src_mask),
                             langs, method=Seq2Seq.decode_step)
     assert logits.shape == (src.shape[0], cfg2.vocab_size)
+
+
+def test_atomic_checkpoint_write(tmp_path):
+    """Checkpoint files write via temp+rename: no .tmp litter, full content,
+    and an existing file is replaced atomically (regression for a wall-clock
+    kill that left a 0-byte params.msgpack in the best-BLEU slot)."""
+    import os
+
+    from imagetranslate_tpu.train.checkpoint import _atomic_write
+
+    p = str(tmp_path / "params.msgpack")
+    _atomic_write(p, b"first-content")
+    assert open(p, "rb").read() == b"first-content"
+    _atomic_write(p, b"second-content-longer")
+    assert open(p, "rb").read() == b"second-content-longer"
+    assert not any(f.endswith(".tmp") for f in os.listdir(tmp_path))
