@@ -165,11 +165,36 @@ def _consolidate(main, win, rowsel, wanc, t0: int, batch: int, k: int):
     return new_main
 
 
+def _split3_tree(cache, nested: bool):
+    if not nested:
+        return _split3(cache)
+    mains, wins, statics = {}, {}, {}
+    for stream, c in cache.items():
+        mains[stream], wins[stream], statics[stream] = _split3(c)
+    return mains, wins, statics
+
+
+def _merge3_tree(main, win, static, nested: bool):
+    if not nested:
+        return _merge3(main, win, static)
+    return {s: _merge3(main[s], win[s], static[s]) for s in main}
+
+
+def _consolidate_tree(main, win, rowsel, wanc, t0: int, batch: int, k: int,
+                      nested: bool):
+    if not nested:
+        return _consolidate(main, win, rowsel, wanc, t0, batch, k)
+    return {s: _consolidate(main[s], win[s], rowsel, wanc, t0, batch, k)
+            for s in main}
+
+
 def _beam_search_windowed(model, params, enc_states, src_mask, first_tokens,
                           tgt_langs, max_lens, prop_k, pmask_k, *,
                           beam_width: int, max_len: int,
                           len_penalty_ratio: float, pad_id: int, eos_id: int,
-                          window: int, ref_ties: bool = False):
+                          window: int, ref_ties: bool = False,
+                          init_cache_fn=None, step_fn=None,
+                          nested: bool = False):
     """Gather-free beam search: windowed-consolidation cache.
 
     The classic beam loop physically reorders the whole [B*K, L, H, D] K/V
@@ -193,9 +218,18 @@ def _beam_search_windowed(model, params, enc_states, src_mask, first_tokens,
     cross_bias = pad_bias(src_mask)                      # [B, 1, 1, S] dedup
     langs_k = jnp.repeat(tgt_langs, K, axis=0)
 
-    cache = model.apply(params, enc_states, B, K, L, W, lang_idx,
-                        method=type(model).init_cache_windowed)
-    main_kv, win_kv, static_kv = _split3(cache)
+    if init_cache_fn is None:
+        def init_cache_fn():
+            return model.apply(params, enc_states, B, K, L, W, lang_idx,
+                               method=type(model).init_cache_windowed)
+    if step_fn is None:
+        def step_fn(prev, merged, i, j, rowsel, wanc, t0):
+            return model.apply(
+                params, prev, merged, i, j, cross_bias, langs_k, rowsel,
+                wanc, t0, lang_idx, proposals=prop_k, proposal_mask=pmask_k,
+                method=type(model).decode_step_windowed)
+    cache = init_cache_fn()
+    main_kv, win_kv, static_kv = _split3_tree(cache, nested)
 
     tokens = jnp.full((B, K, L), pad_id, jnp.int32)
     tokens = tokens.at[:, :, 0].set(first_tokens[:, None])
@@ -244,12 +278,10 @@ def _beam_search_windowed(model, params, enc_states, src_mask, first_tokens,
             # This step's token K/V lands in its own physical row.
             ident = jnp.broadcast_to(jnp.arange(K)[None, :, None], (B, K, 1))
             wanc = jax.lax.dynamic_update_slice(st.wanc, ident, (0, 0, j))
-            logits, new_cache = model.apply(
-                params, prev, _merge3(_main, st.win, static_kv), i - 1, j,
-                cross_bias, langs_k, st.rowsel, wanc, _t0, lang_idx,
-                proposals=prop_k, proposal_mask=pmask_k,
-                method=type(model).decode_step_windowed)
-            _, new_win, _ = _split3(new_cache)
+            logits, new_cache = step_fn(
+                prev, _merge3_tree(_main, st.win, static_kv, nested),
+                i - 1, j, st.rowsel, wanc, _t0)
+            _, new_win, _ = _split3_tree(new_cache, nested)
 
             logits = logits.astype(jnp.float32)
             lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
@@ -310,7 +342,7 @@ def _beam_search_windowed(model, params, enc_states, src_mask, first_tokens,
         if seg < n_segments - 1:
             def do_fold(ops, _t0=t0):
                 m, w, rs, wa = ops
-                return _consolidate(m, w, rs, wa, _t0, B, K)
+                return _consolidate_tree(m, w, rs, wa, _t0, B, K, nested)
 
             def skip_fold(ops):
                 return ops[0]
@@ -561,7 +593,9 @@ def trim_outputs(best, lengths, remove_first_token: bool = False):
     jax.jit,
     static_argnames=("model", "beam_width", "max_len", "len_penalty_ratio",
                      "pad_id", "eos_id", "max_len_a", "max_len_b",
-                     "init_method", "step_method", "ref_ties"),
+                     "init_method", "step_method", "ref_ties",
+                     "windowed_init_method", "windowed_step_method",
+                     "window", "mode"),
 )
 def beam_search_dual(
     model,
@@ -584,6 +618,10 @@ def beam_search_dual(
     init_method=None,
     step_method=None,
     ref_ties: bool = True,
+    windowed_init_method=None,
+    windowed_step_method=None,
+    window: Optional[int] = None,
+    mode: Optional[str] = None,   # None(auto) | "windowed" | "gather"
 ):
     """Gated dual-stream beam search (reference seq_gen.py:180-188): every
     step decodes against the text encoding AND the image grid, blending the
@@ -609,6 +647,49 @@ def beam_search_dual(
         per_row = jnp.floor(max_len_a * src_sizes.astype(jnp.float32)
                             + max_len_b).astype(jnp.int32)
         max_lens = jnp.minimum(per_row, L)
+
+    # Windowed (gather-free) dual decode: default whenever the model pairs
+    # the chosen init/step methods with windowed variants (the plain dual
+    # and the obj dual both do); same selection semantics, same driver as
+    # the single-stream path with nested {stream: cache} trees.
+    if windowed_init_method is None and windowed_step_method is None:
+        _pairs = {}
+        mt = type(model)
+        if hasattr(mt, "init_dual_cache_windowed"):
+            _pairs[mt.init_dual_cache] = (mt.init_dual_cache_windowed,
+                                          mt.decode_step_dual_windowed)
+        if hasattr(mt, "init_obj_dual_cache_windowed"):
+            _pairs[mt.init_obj_dual_cache] = (
+                mt.init_obj_dual_cache_windowed,
+                mt.decode_step_obj_dual_windowed)
+        if init_method in _pairs:
+            windowed_init_method, windowed_step_method = _pairs[init_method]
+    if (mode in (None, "windowed") and K > 1
+            and windowed_init_method is not None):
+        W = window
+        if W is None:
+            W = max(8, min(64, int(round(4.7 * L ** 0.5))))
+        W = min(W, max(1, L - 1))
+        cbt = pad_bias(text_mask)
+        cbi = (pad_bias(jnp.ones(grid.shape[:2], bool)) if grid_mask is None
+               else pad_bias(grid_mask))
+        langs_kd = jnp.repeat(tgt_langs, K, axis=0)
+
+        def init_cache_fn():
+            return model.apply(params, enc_text, grid, B, K, L, W, lang_idx,
+                               method=windowed_init_method)
+
+        def step_fn(prev, merged, i, j, rowsel, wanc, t0):
+            return model.apply(params, prev, merged, i, j, cbt, cbi,
+                               langs_kd, rowsel, wanc, t0, lang_idx,
+                               method=windowed_step_method)
+
+        return _beam_search_windowed(
+            model, params, enc_text, text_mask, first_tokens, tgt_langs,
+            max_lens, None, None, beam_width=K, max_len=L,
+            len_penalty_ratio=len_penalty_ratio, pad_id=pad_id,
+            eos_id=eos_id, window=W, ref_ties=ref_ties,
+            init_cache_fn=init_cache_fn, step_fn=step_fn, nested=True)
 
     text_k = jnp.repeat(enc_text, K, axis=0)
     mask_k = jnp.repeat(text_mask, K, axis=0)

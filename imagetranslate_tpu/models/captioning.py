@@ -325,6 +325,44 @@ class ImageSeq2Seq(nn.Module):
         logits = core.project(blended, lang_idx)
         return logits[:, 0, :], {"text": c_text, "img": c_img}
 
+    def init_dual_cache_windowed(self, enc_text, grid, batch: int,
+                                 beams: int, max_len: int, window: int,
+                                 lang_idx=0):
+        """Windowed (gather-free) variant of init_dual_cache: both streams
+        keep consolidated + window K/V buffers; enc_text/grid arrive
+        UNREPEATED [B, *, E] (cross-attn K/V shared across beams)."""
+        return {
+            "text": self.core.init_cache_windowed(enc_text, batch, beams,
+                                                  max_len, window, lang_idx),
+            "img": self.core.init_cache_windowed(grid, batch, beams,
+                                                 max_len, window, lang_idx),
+        }
+
+    def decode_step_dual_windowed(self, prev_token, cache, index, j,
+                                  cross_bias_text, cross_bias_img, tgt_langs,
+                                  rowsel, wanc, t0: int, lang_idx=None):
+        """decode_step_dual over windowed caches (Decoder.step_windowed per
+        stream, shared rowsel/wanc — the beam selection is common)."""
+        core = self.core
+        if lang_idx is None:
+            lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
+        B = prev_token.shape[0]
+        positions = jnp.full((B, 1), index, jnp.int32)
+        lang_ids = expand_langs(tgt_langs, 1)
+        x = core.embeddings(prev_token, positions, lang_ids, True)
+        if len(core.decoders) != 1:
+            raise NotImplementedError(
+                "dual-stream decode with per-language decoders")
+        h_text, c_text = core.decoders[0].step_windowed(
+            x, cache["text"], j, cross_bias_text, rowsel, wanc, t0)
+        h_img, c_img = core.decoders[0].step_windowed(
+            x, cache["img"], j, cross_bias_img, rowsel, wanc, t0)
+        gate = jax.nn.sigmoid(self.multimodal_attention_gate + 1e-7)
+        blended = gate.astype(h_text.dtype) * h_text \
+            + (1.0 - gate).astype(h_img.dtype) * h_img
+        logits = core.project(blended, lang_idx)
+        return logits[:, 0, :], {"text": c_text, "img": c_img}
+
     # ---------------- object-stream decoding (--obj captioning,
     # seq_gen.py:167-179): grid decoder + object decoder blended by
     # sigmoid(multistream gate) every step, each with its own KV cache.
@@ -352,6 +390,41 @@ class ImageSeq2Seq(nn.Module):
                                              cross_bias_img)
         h_obj, c_obj = self.obj_decoder.step(x, cache["obj"], index,
                                              cross_bias_obj)
+        gate = jax.nn.sigmoid(self.multistream_attention_gate + 1e-7)
+        blended = gate.astype(h_img.dtype) * h_img \
+            + (1.0 - gate).astype(h_obj.dtype) * h_obj
+        logits = core.project(blended, lang_idx)
+        return logits[:, 0, :], {"img": c_img, "obj": c_obj}
+
+    def init_obj_dual_cache_windowed(self, grid, obj_states, batch: int,
+                                     beams: int, max_len: int, window: int,
+                                     lang_idx=0):
+        return {
+            "img": self.core.init_cache_windowed(grid, batch, beams,
+                                                 max_len, window, lang_idx),
+            "obj": self.obj_decoder.init_cache_windowed(obj_states, batch,
+                                                        beams, max_len,
+                                                        window),
+        }
+
+    def decode_step_obj_dual_windowed(self, prev_token, cache, index, j,
+                                      cross_bias_img, cross_bias_obj,
+                                      tgt_langs, rowsel, wanc, t0: int,
+                                      lang_idx=None):
+        core = self.core
+        if lang_idx is None:
+            lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
+        B = prev_token.shape[0]
+        positions = jnp.full((B, 1), index, jnp.int32)
+        lang_ids = expand_langs(tgt_langs, 1)
+        x = core.embeddings(prev_token, positions, lang_ids, True)
+        if len(core.decoders) != 1:
+            raise NotImplementedError(
+                "object-stream decode with per-language decoders")
+        h_img, c_img = core.decoders[0].step_windowed(
+            x, cache["img"], j, cross_bias_img, rowsel, wanc, t0)
+        h_obj, c_obj = self.obj_decoder.step_windowed(
+            x, cache["obj"], j, cross_bias_obj, rowsel, wanc, t0)
         gate = jax.nn.sigmoid(self.multistream_attention_gate + 1e-7)
         blended = gate.astype(h_img.dtype) * h_img \
             + (1.0 - gate).astype(h_obj.dtype) * h_obj

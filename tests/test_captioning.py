@@ -193,3 +193,55 @@ def test_dual_stream_beam(setup):
     logits2, _ = model.apply(variables, prev, cache2, 0, cb_t, cb_i, langs,
                              method=ImageSeq2Seq.decode_step_dual)
     assert not np.allclose(np.asarray(logits1), np.asarray(logits2))
+
+
+def test_windowed_dual_beam_matches_gather():
+    """The gather-free windowed decode now also covers BOTH dual streams
+    (text+grid multimodal and grid+object --obj): token-for-token parity
+    with the classic gather path, shared rowsel/wanc across streams."""
+    from imagetranslate_tpu.decoding.beam import beam_search_dual
+
+    cfg = tiny_config(vocab_size=48, use_obj=True)
+    model = ImageSeq2Seq(cfg)
+    rng = jax.random.PRNGKey(0)
+    B, T, IMG = 3, 8, 32
+    images = jax.random.uniform(rng, (B, IMG, IMG, 3))
+    caps = jax.random.randint(rng, (B, T), 5, cfg.vocab_size)
+    variables = model.init(rng, images, caps, jnp.ones((B, T), bool),
+                           jnp.zeros((B,), jnp.int32),
+                           method=ImageSeq2Seq.init_everything)
+    enc_text = model.apply(variables, caps, jnp.ones((B, T), bool),
+                           jnp.zeros((B,), jnp.int32),
+                           method=ImageSeq2Seq.encode)
+    grid = model.apply(variables, images, method=ImageSeq2Seq.encode_images)
+    first = jnp.full((B,), 6, jnp.int32)
+    tl = jnp.zeros((B,), jnp.int32)
+    common = dict(beam_width=3, max_len=12, pad_id=0, eos_id=4)
+
+    bg, lg = beam_search_dual(model, variables, enc_text,
+                              jnp.ones((B, T), bool), grid, first, tl, None,
+                              mode="gather", **common)
+    bw, lw = beam_search_dual(model, variables, enc_text,
+                              jnp.ones((B, T), bool), grid, first, tl, None,
+                              mode="windowed", window=4, **common)
+    np.testing.assert_array_equal(np.asarray(bg), np.asarray(bw))
+    np.testing.assert_array_equal(np.asarray(lg), np.asarray(lw))
+
+    box_feats = jax.random.uniform(rng, (B, 4, 1031))
+    labels = jnp.asarray(np.array([[1, 2, 0, 0], [3, 0, 0, 0],
+                                   [2, 5, 7, 0]], np.int32))
+    obj_states, obj_keep = model.apply(variables, box_feats, labels,
+                                       method=ImageSeq2Seq.encode_objects)
+    kw = dict(grid_mask=obj_keep,
+              init_method=ImageSeq2Seq.init_obj_dual_cache,
+              step_method=ImageSeq2Seq.decode_step_obj_dual)
+    bg2, lg2 = beam_search_dual(model, variables, grid,
+                                jnp.ones(grid.shape[:2], bool), obj_states,
+                                first, tl, None, mode="gather", **kw,
+                                **common)
+    bw2, lw2 = beam_search_dual(model, variables, grid,
+                                jnp.ones(grid.shape[:2], bool), obj_states,
+                                first, tl, None, mode="windowed", window=4,
+                                **kw, **common)
+    np.testing.assert_array_equal(np.asarray(bg2), np.asarray(bw2))
+    np.testing.assert_array_equal(np.asarray(lg2), np.asarray(lw2))
