@@ -79,7 +79,14 @@ def pack_mt_examples(
 
     batches: List[PackedMTBatch] = []
     for group in groups:
-        N = len(group)
+        # Pad the tail group's row count up to rows_per_batch: XLA compiles
+        # one program per (rows, sb, db) shape, so a ragged tail per
+        # direction reintroduces the compile cost the batchers' row quantum
+        # eliminates, and odd row counts defeat data-axis sharding under
+        # --mesh (shard_batch_safe falls back to replication). Padding rows
+        # carry all-zero segment ids: excluded from attention (segment_bias
+        # keeps seg_k > 0 only) and from the loss (dst_seg > 0 mask).
+        N = rows_per_batch if len(group) < rows_per_batch else len(group)
         src = np.full((N, src_budget), pad_id, np.int32)
         dst = np.full((N, dst_budget), pad_id, np.int32)
         src_seg = np.zeros((N, src_budget), np.int32)

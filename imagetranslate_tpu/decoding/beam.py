@@ -39,6 +39,7 @@ language token, padded after EOS; `lengths` gives the index of the first EOS
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -424,6 +425,15 @@ def beam_search(
             len_penalty_ratio=len_penalty_ratio, pad_id=pad_id,
             eos_id=eos_id, window=min(window, max(1, L - 1)),
             ref_ties=ref_ties)
+    if mode == "windowed":
+        # Outputs are identical either way, but someone explicitly asking for
+        # the windowed implementation (benchmarking, debugging) should not
+        # silently get the gather path.
+        warnings.warn(
+            "mode='windowed' requested but the windowed decode path is "
+            "unavailable (model lacks decode_step_windowed, or beam_width "
+            "== 1); falling back to the gather implementation.",
+            stacklevel=2)
 
     # Lazy beam permutation: instead of physically reordering the K/V cache
     # every step, carry a [B, K, L] ancestry index and apply the permutation
@@ -690,6 +700,12 @@ def beam_search_dual(
             len_penalty_ratio=len_penalty_ratio, pad_id=pad_id,
             eos_id=eos_id, window=W, ref_ties=ref_ties,
             init_cache_fn=init_cache_fn, step_fn=step_fn, nested=True)
+    if mode == "windowed":
+        warnings.warn(
+            "mode='windowed' requested for the dual-stream decode but no "
+            "windowed init/step pairing exists for the chosen init_method "
+            "(or beam_width == 1); falling back to the gather "
+            "implementation.", stacklevel=2)
 
     text_k = jnp.repeat(enc_text, K, axis=0)
     mask_k = jnp.repeat(text_mask, K, axis=0)

@@ -240,15 +240,21 @@ class ImageSeq2Seq(nn.Module):
         cross = img_vec @ text_vecs.T                       # [B, B+N]
         B = pos_vec.shape[0]
         if row_mask is not None:
+            # Mask with a large finite negative, not -inf: a padded row's own
+            # diagonal is among the masked columns, and -inf there makes
+            # (denom - nom) = inf, whose 0-weighted product is NaN and poisons
+            # the whole loss/grad. exp(-1e9) == 0 exactly in f32, so the
+            # softmax denominator is unchanged.
             col_keep = jnp.concatenate(
                 [row_mask, jnp.ones((neg_vec.shape[0],), bool)])
-            cross = jnp.where(col_keep[None, :], cross, -jnp.inf)
+            cross = jnp.where(col_keep[None, :], cross, -1e9)
         denom = jnp.log(jnp.sum(jnp.exp(cross), axis=-1) + 1e-4)
         nom = jnp.diagonal(cross[:, :B]) + 1e-4
         if row_mask is None:
             return jnp.sum(denom - nom) / B
         rm = row_mask.astype(jnp.float32)
-        return jnp.sum((denom - nom) * rm) / jnp.maximum(jnp.sum(rm), 1.0)
+        per = jnp.where(row_mask, denom - nom, 0.0)
+        return jnp.sum(per) / jnp.maximum(jnp.sum(rm), 1.0)
 
     # ---------------- MT passthrough (multi-task training) ----------------
 

@@ -148,7 +148,10 @@ def fpn_levels(boxes: jnp.ndarray) -> jnp.ndarray:
     [N, 4] xyxy -> [N] index into the P2..P5 pyramid list (0-based)."""
     areas = jnp.clip((boxes[:, 2] - boxes[:, 0])
                      * (boxes[:, 3] - boxes[:, 1]), 1.0)
-    lvl = jnp.floor(4 + jnp.log2(jnp.sqrt(areas) / 224.0 + 1e-6))
+    # torchvision's LevelMapper adds eps=1e-6 OUTSIDE the log2 (to the level
+    # value, not the scale), which matters for boxes exactly on an octave
+    # boundary (e.g. 448x448 must floor to the higher level).
+    lvl = jnp.floor(4 + jnp.log2(jnp.sqrt(areas) / 224.0) + 1e-6)
     return (jnp.clip(lvl, 2, 5) - 2).astype(jnp.int32)
 
 

@@ -89,6 +89,46 @@ def test_contrastive_loss_scalar(setup):
     assert np.isfinite(float(loss))
 
 
+def test_contrastive_loss_finite_and_row_invariant_with_padding(setup):
+    """Padding rows (row_mask False) must neither NaN the loss (the padded
+    diagonal is among the masked columns) nor change its value vs the
+    unpadded batch — CaptionBatcher pads every tail batch to the row
+    quantum, so any non-multiple batch count hits this path."""
+    cfg, model, variables, images, caps, mask, langs = setup
+    negs = jnp.roll(caps, 1, axis=0)
+    nmask = jnp.ones_like(negs, bool)
+
+    base = model.apply(variables, images, caps, mask, langs, negs, nmask,
+                       langs, method=ImageSeq2Seq.contrastive_loss,
+                       row_mask=jnp.ones((2,), bool))
+
+    # Pad the batch to 4 rows by repeating it; mask the 2 padded rows off.
+    images_p = jnp.concatenate([images, images], axis=0)
+    caps_p = jnp.concatenate([caps, caps], axis=0)
+    mask_p = jnp.concatenate([mask, mask], axis=0)
+    langs_p = jnp.concatenate([langs, langs], axis=0)
+    row_mask = jnp.array([True, True, False, False])
+    padded = model.apply(variables, images_p, caps_p, mask_p, langs_p, negs,
+                         nmask, langs, method=ImageSeq2Seq.contrastive_loss,
+                         row_mask=row_mask)
+
+    assert np.isfinite(float(base))
+    assert np.isfinite(float(padded)), "padded contrastive loss is not finite"
+    np.testing.assert_allclose(float(padded), float(base), rtol=1e-5)
+
+    # And the gradient through padded rows must be finite too.
+    def loss_fn(v):
+        return model.apply(v, images_p, caps_p, mask_p, langs_p, negs,
+                           nmask, langs,
+                           method=ImageSeq2Seq.contrastive_loss,
+                           row_mask=row_mask)
+
+    g = jax.grad(loss_fn)({"params": variables["params"],
+                           "batch_stats": variables["batch_stats"]})
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
 def test_beam_decode_over_image_grid(setup):
     """Captions decode through the SAME beam_search as text (caption.py path)."""
     from imagetranslate_tpu.decoding.beam import beam_search

@@ -98,9 +98,15 @@ def test_packing_efficiency_and_batcher():
     batcher = PackedMTBatcher(exs, src_budget=32, dst_budget=32,
                               rows_per_batch=4)
     eff = packing_efficiency(batcher.batches)
-    assert eff > 0.7, f"packing efficiency only {eff:.2f}"
+    # Tail batches pad rows to rows_per_batch (one XLA shape per direction),
+    # which costs a little efficiency on this toy set; real corpora amortize
+    # the single padded tail batch away.
+    assert eff > 0.6, f"packing efficiency only {eff:.2f}"
     n_ex = sum(b.n_examples for b in batcher.batches)
     assert n_ex == 40
+    # Compile discipline: every batch, including the tail, carries exactly
+    # rows_per_batch rows so one program shape serves the whole stream.
+    assert all(b.src.shape[0] == 4 for b in batcher.batches)
     # Every segment's tokens are contiguous and positions restart at 0.
     for b in batcher.batches:
         for r in range(b.src.shape[0]):
