@@ -8,7 +8,6 @@ import argparse
 import sys
 
 import jax.numpy as jnp
-import numpy as np
 
 
 def get_parser():
@@ -69,7 +68,7 @@ def build_object_extractor(detector_path: str):
 def main(argv=None):
     options = get_parser().parse_args(argv)
 
-    from imagetranslate_tpu.data.images import ImageFolderBatcher, load_image
+    from imagetranslate_tpu.data.images import ImageFolderBatcher
     from imagetranslate_tpu.decoding.beam import (
         apply_jit,
         beam_search,
@@ -105,18 +104,35 @@ def main(argv=None):
                                  tp.languages[target_lang_tok],
                                  tp.token_id(target_lang_tok))
 
+    # Prefetch: the folder batcher's thread-pool JPEG decode for batch N+1
+    # (plus its H2D staging) runs while batch N beam-decodes on device.
+    from imagetranslate_tpu.data.prefetch import PrefetchIterator
+
+    def stage(batch):
+        batch["images"] = jnp.asarray(batch["images"])
+        if extract is not None:
+            from imagetranslate_tpu.data.prefetch import default_image_pool
+
+            # Pad the detector input to the (quantum-padded) grid row count
+            # so the dual decode sees matching batch dims on tail batches.
+            rows = batch["images"].shape[0]
+            paths = list(batch["paths"])
+            while len(paths) < rows:
+                paths.append(paths[0])
+            batch["det_images"] = jnp.asarray(default_image_pool().decode(
+                paths, size=800, resize_min=800))
+        return batch
+
     n = 0
-    with open(options.output_path, "w") as writer:
-        for batch in batcher:
-            grid = apply_jit(model, variables, jnp.asarray(batch["images"]),
+    with open(options.output_path, "w") as writer, \
+            PrefetchIterator(batcher, stage, depth=2) as batches:
+        for batch in batches:
+            grid = apply_jit(model, variables, batch["images"],
                              method=ImageSeq2Seq.encode_images)
             img_mask = jnp.ones(grid.shape[:2], bool)
             L = min(options.max_len, cfg.max_position_embeddings)
             if extract is not None:
-                det_imgs = np.stack(
-                    [load_image(p, 800, resize_min=800)
-                     for p in batch["paths"]])
-                box_feats, labels = extract(jnp.asarray(det_imgs))
+                box_feats, labels = extract(batch["det_images"])
                 obj_states, obj_keep = apply_jit(
                     model, variables, box_feats, labels,
                     method=ImageSeq2Seq.encode_objects)

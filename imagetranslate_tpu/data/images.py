@@ -62,14 +62,13 @@ class CaptionBatch:
     row_mask: np.ndarray         # [N]
 
     def images(self, root_dir: str = "", size: int = 224) -> np.ndarray:
-        import os
+        from imagetranslate_tpu.data.prefetch import default_image_pool
 
         paths = list(self.image_paths)
         # Dummy rows reuse image 0 (their loss weight is zero).
         while len(paths) < self.captions.shape[0]:
             paths.append(paths[0])
-        return np.stack([load_image(os.path.join(root_dir, p), size=size)
-                         for p in paths])
+        return default_image_pool().decode(paths, root=root_dir, size=size)
 
 
 def load_caption_bin(data_bin_file: str):
@@ -264,9 +263,10 @@ class ImageFolderBatcher:
 
     def __iter__(self):
         from imagetranslate_tpu.data.loader import _round_up_rows
+        from imagetranslate_tpu.data.prefetch import default_image_pool
 
         for paths in self.batches:
-            images = np.stack([load_image(p) for p in paths])
+            images = default_image_pool().decode(paths)
             # Pad the tail batch's rows to the quantum (replicating image 0)
             # so the whole folder decodes with at most two XLA programs;
             # "paths" keeps the real length and the CLI's zip() drops the

@@ -1,0 +1,165 @@
+"""Asynchronous host input pipeline.
+
+The reference's torch DataLoader at least offered `num_workers`
+(train_image_mt.py:240-246 pattern); round 2 of this rebuild had nothing —
+every batch was staged to the device and every image PIL-decoded while the
+TPU sat idle, and every step synced its metrics back to the host. On this
+environment's tunneled TPU a single device->host sync costs ~25 ms, so the
+synchronous loop held real-corpus training to ~40% of the synthetic-batch
+bench. This module closes that gap with three pieces:
+
+- `PrefetchIterator`: a bounded-queue background producer. A worker thread
+  pulls items from the source iterator and runs a `transform` on each
+  (batch assembly + `jax.device_put`), so host staging and the H2D copy of
+  batch N+1 overlap the device compute of batch N. JAX dispatch is
+  thread-safe; `device_put`/`jnp.asarray` of numpy arrays never trace.
+- `ImageDecodePool`: a shared thread pool for `load_image` — PIL releases
+  the GIL inside its C decode/resize paths, so threads give real
+  parallelism for the JPEG work that dominates caption-batch staging.
+- the trainers pair this with `utils.metrics.AsyncStepMeter`, which keeps
+  per-step metric scalars ON DEVICE and syncs once per log window.
+
+No reference counterpart (the reference relies on torch DataLoader
+workers); the semantics of every batch are unchanged — this is purely a
+scheduling layer.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional, Sequence
+
+import numpy as np
+
+_SENTINEL = object()
+
+
+class PrefetchIterator:
+    """Iterate `source` through a background thread, applying `transform`
+    to each item in the worker so the consumer receives ready-to-use
+    (typically device-resident) items.
+
+    depth bounds the number of finished items waiting in the queue, which
+    in turn bounds host memory and keeps at most `depth` batches of device
+    buffers alive ahead of the consumer.
+
+    Exceptions in the worker propagate to the consumer at the next
+    `__next__`. Call `close()` (or exhaust the iterator, or use it as a
+    context manager) to shut the worker down; early `break` without close()
+    is also safe — the worker parks on the bounded queue and the daemon
+    thread dies with the process — but close() releases the buffers
+    deterministically.
+    """
+
+    def __init__(self, source: Iterable, transform: Optional[Callable] = None,
+                 depth: int = 3, name: str = "prefetch"):
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._source = iter(source)
+        self._transform = transform
+        self._thread = threading.Thread(target=self._run, name=name,
+                                        daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            for item in self._source:
+                if self._stop.is_set():
+                    return
+                if self._transform is not None:
+                    item = self._transform(item)
+                # Bounded put that stays responsive to close().
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+            self._put_final(_SENTINEL)
+        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+            self._put_final(e)
+
+    def _put_final(self, item):
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return
+            except queue.Full:
+                continue
+
+    def __iter__(self) -> Iterator:
+        return self
+
+    def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
+        item = self._q.get()
+        if item is _SENTINEL:
+            self._stop.set()
+            raise StopIteration
+        if isinstance(item, BaseException):
+            self._stop.set()
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+        # Drain so a worker blocked on put() can observe the stop flag.
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+class ImageDecodePool:
+    """Thread pool over data.images.load_image with order-preserving batch
+    decode. One shared instance per process is plenty (see
+    `default_image_pool`)."""
+
+    def __init__(self, workers: Optional[int] = None):
+        from concurrent.futures import ThreadPoolExecutor
+
+        if workers is None:
+            workers = min(16, max(2, (os.cpu_count() or 4) - 1))
+        self.workers = workers
+        self._pool = ThreadPoolExecutor(max_workers=workers,
+                                        thread_name_prefix="imgdec")
+
+    def decode(self, paths: Sequence[str], root: str = "",
+               size: int = 224,
+               resize_min: Optional[int] = None) -> np.ndarray:
+        """Decode/resize/normalize `paths` in parallel -> [N, size, size, 3]
+        float32 (same per-image math as data.images.load_image)."""
+        from imagetranslate_tpu.data.images import load_image
+
+        full = [os.path.join(root, p) if root else p for p in paths]
+        futs = [self._pool.submit(load_image, p, size, resize_min)
+                for p in full]
+        return np.stack([f.result() for f in futs])
+
+    def shutdown(self):
+        self._pool.shutdown(wait=False)
+
+
+_default_pool: Optional[ImageDecodePool] = None
+_default_pool_lock = threading.Lock()
+
+
+def default_image_pool() -> ImageDecodePool:
+    global _default_pool
+    if _default_pool is None:
+        with _default_pool_lock:
+            if _default_pool is None:
+                _default_pool = ImageDecodePool()
+    return _default_pool

@@ -137,25 +137,48 @@ class CaptionTrainer:
                     max_step: int = 300_000, eval_every: int = 5000,
                     save_every: int = 10_000, epoch_seed: int = 0,
                     log_every: int = 50) -> int:
-        from imagetranslate_tpu.utils.metrics import StepMeter
+        from imagetranslate_tpu.data.prefetch import (
+            PrefetchIterator,
+            default_image_pool,
+        )
+        from imagetranslate_tpu.utils.metrics import AsyncStepMeter
 
-        meter = StepMeter(log_every=log_every)
+        meter = AsyncStepMeter(log_every=log_every)
         streams = [("cap", cap_batcher.shuffled(epoch_seed))]
         if mt_batcher is not None:
             streams.append(("mt", mt_batcher.shuffled(epoch_seed)))
 
-        while True:
-            batches = []
-            try:
-                for kind, it in streams:
-                    batches.append((kind, next(it)))
-            except StopIteration:
-                break
-            for kind, b in batches:
+        def interleaved():
+            while True:
+                tick = []
+                try:
+                    for kind, it in streams:
+                        tick.append((kind, next(it)))
+                except StopIteration:
+                    return
+                yield from tick
+
+        def stage(item):
+            # Prefetch worker: thread-pool image decode + H2D staging of
+            # batch N+1 overlaps the device step on batch N.
+            kind, b = item
+            if kind == "cap":
+                paths = list(b.image_paths)
+                while len(paths) < b.captions.shape[0]:
+                    paths.append(paths[0])
+                imgs = default_image_pool().decode(paths, root=image_root,
+                                                   size=self.img_size)
+                return kind, b, jnp.asarray(
+                    self._shard({"images": imgs})["images"])
+            return kind, b, self._shard(mt_batch_to_device(b))
+
+        prefetcher = PrefetchIterator(interleaved(), stage, depth=3)
+        try:
+            for kind, b, staged in prefetcher:
                 self.rng, srng = jax.random.split(self.rng)
                 if kind == "cap":
                     batch = {
-                        "images": jnp.asarray(b.images(image_root)),
+                        "images": staged,
                         "captions": jnp.asarray(b.captions),
                         "caption_mask": jnp.asarray(b.caption_mask),
                         "langs": jnp.asarray(b.langs),
@@ -199,10 +222,10 @@ class CaptionTrainer:
                         self.state, m = self.cap_step(self.state,
                                                       self._shard(batch), srng)
                 else:
-                    self.state, m = self.mt_step(
-                        self.state, self._shard(mt_batch_to_device(b)), srng)
+                    self.state, m = self.mt_step(self.state, staged, srng)
                 step += 1
-                meter.update(step, float(m["sum_loss"]), float(m["ntokens"]))
+                # Device scalars: the meter syncs once per log window.
+                meter.update(step, m["sum_loss"], m["ntokens"])
                 if eval_set is not None and step % eval_every == 0:
                     bleu = self.eval_caption_bleu(eval_set, image_root,
                                                   saving_path,
@@ -212,9 +235,10 @@ class CaptionTrainer:
                     self._save(saving_path + ".latest", step)
                 if step >= max_step:
                     break
-            if step >= max_step:
-                break
+        finally:
+            prefetcher.close()
 
+        meter.finish(step)
         print(f"Total loss in this epoch: {meter.epoch_loss():.4f}", flush=True)
         self._save(saving_path + ".latest", step)
         if eval_set is not None:
@@ -274,7 +298,7 @@ class CaptionTrainer:
         """Multi-reference caption BLEU (train_captioning.py:143-192)."""
         import sacrebleu
 
-        from imagetranslate_tpu.data.images import load_image
+        from imagetranslate_tpu.data.prefetch import default_image_pool
 
         if not self.caption_reference:
             self._build_reference(eval_set)
@@ -282,9 +306,8 @@ class CaptionTrainer:
         # Pad the decode length to a bucket so eval reuses few compilations.
         L = max(16, ((eval_set.max_len + 15) // 16) * 16)
         for group in eval_set.batches():
-            images = np.stack([load_image(os.path.join(image_root,
-                                                       g.image_path))
-                               for g in group])
+            images = default_image_pool().decode(
+                [g.image_path for g in group], root=image_root)
             first = np.array([g.first_token for g in group], np.int32)
             langs = np.full((len(group),), eval_set.lang, np.int32)
             feats = labels = None

@@ -142,9 +142,24 @@ class ImageMTTrainer(MTTrainer):
 
     # ---------------- image batch dispatch ----------------
 
-    def _img_step(self, b, image_root: str, rng):
+    def _stage_img(self, b, image_root: str):
+        """Prefetch-worker hook: thread-pool PIL decode + H2D staging of the
+        image tensor (by far the heaviest host work per caption batch)."""
+        from imagetranslate_tpu.data.prefetch import default_image_pool
+
+        paths = list(b.image_paths)
+        # Dummy rows reuse image 0 (their loss weight is zero).
+        while len(paths) < b.captions.shape[0]:
+            paths.append(paths[0])
+        imgs = default_image_pool().decode(paths, root=image_root,
+                                           size=self.img_size)
+        return jnp.asarray(self._shard({"images": imgs})["images"])
+
+    def _img_step(self, b, image_root: str, rng, images=None):
+        if images is None:
+            images = self._stage_img(b, image_root)
         batch = {
-            "images": jnp.asarray(b.images(image_root, size=self.img_size)),
+            "images": images,
             "captions": jnp.asarray(b.captions),
             "caption_mask": jnp.asarray(b.caption_mask),
             "langs": jnp.asarray(b.langs),

@@ -68,21 +68,32 @@ class LMTrainer:
                     dev_data: Optional[DocBlockDataset],
                     batch_rows: int, max_step: int,
                     eval_every: int = 500, log_every: int = 50) -> int:
-        from imagetranslate_tpu.utils.metrics import StepMeter
+        from imagetranslate_tpu.data.prefetch import PrefetchIterator
+        from imagetranslate_tpu.utils.metrics import AsyncStepMeter
 
-        meter = StepMeter(log_every=log_every)
+        meter = AsyncStepMeter(log_every=log_every)
         pad = self.tp.pad_token_id()
-        for b in train_data.batches(batch_rows, pad_id=pad):
-            self.rng, srng = jax.random.split(self.rng)
-            batch = self._shard({k: jnp.asarray(v) for k, v in b.items()})
-            self.state, m = self.step_fn(self.state, batch, srng)
-            step += 1
-            meter.update(step, float(m["sum_loss"]), float(m["ntokens"]))
-            if dev_data is not None and step % eval_every == 0:
-                self.validate_and_save(saving_path, dev_data, batch_rows)
-            if step >= max_step:
-                break
 
+        def stage(b):
+            return self._shard({k: jnp.asarray(v) for k, v in b.items()})
+
+        prefetcher = PrefetchIterator(train_data.batches(batch_rows,
+                                                         pad_id=pad),
+                                      stage, depth=3)
+        try:
+            for batch in prefetcher:
+                self.rng, srng = jax.random.split(self.rng)
+                self.state, m = self.step_fn(self.state, batch, srng)
+                step += 1
+                meter.update(step, m["sum_loss"], m["ntokens"])
+                if dev_data is not None and step % eval_every == 0:
+                    self.validate_and_save(saving_path, dev_data, batch_rows)
+                if step >= max_step:
+                    break
+        finally:
+            prefetcher.close()
+
+        meter.finish(step)
         train_loss = meter.epoch_loss()
         print(f"Total loss in this epoch: {train_loss:.4f}", flush=True)
         if train_loss < self.best_train_loss:

@@ -160,10 +160,11 @@ class MTTrainer:
                     eval_every: int = 5000, save_every: int = 10_000,
                     log_every: int = 50, epoch_seed: int = 0,
                     profile_dir: Optional[str] = None) -> int:
-        from imagetranslate_tpu.utils.metrics import StepMeter
+        from imagetranslate_tpu.data.prefetch import PrefetchIterator
+        from imagetranslate_tpu.utils.metrics import AsyncStepMeter
         from imagetranslate_tpu.utils.profiling import StepProfiler
 
-        meter = StepMeter(log_every=log_every)
+        meter = AsyncStepMeter(log_every=log_every)
         profiler = StepProfiler(profile_dir, start=step + 10, stop=step + 15)
         streams = []
         # Reference zips (img, mass, mt) loaders in that order
@@ -178,38 +179,58 @@ class MTTrainer:
         if not streams:
             return step
 
-        while True:
-            batches = []
-            try:
-                for kind, it in streams:
-                    batches.append((kind, next(it)))
-            except StopIteration:
-                break
-            for kind, b in batches:
+        def interleaved():
+            # One batch from every stream per tick, in reference order.
+            while True:
+                tick = []
+                try:
+                    for kind, it in streams:
+                        tick.append((kind, next(it)))
+                except StopIteration:
+                    return
+                yield from tick
+
+        def stage(item):
+            # Runs in the prefetch worker: batch->device staging (and image
+            # decode) for batch N+1 overlaps the device step on batch N.
+            # BT batches (mass stream in fine_tune) stay host-side — their
+            # step starts with a decode of the batch itself.
+            kind, b = item
+            if kind == "mt":
+                from imagetranslate_tpu.data.packing import PackedMTBatch
+                from imagetranslate_tpu.train.step import (
+                    packed_mt_batch_to_device,
+                )
+
+                to_dev = (packed_mt_batch_to_device
+                          if isinstance(b, PackedMTBatch)
+                          else mt_batch_to_device)
+                return kind, b, self._shard(to_dev(b))
+            if kind == "mass" and not fine_tune:
+                return kind, b, self._shard(mass_batch_to_device(b))
+            if kind == "img":
+                return kind, b, self._stage_img(b, image_root)
+            return kind, b, None
+
+        prefetcher = PrefetchIterator(interleaved(), stage, depth=3)
+        try:
+            for kind, b, staged in prefetcher:
                 self.rng, step_rng = jax.random.split(self.rng)
                 if kind == "mt":
-                    from imagetranslate_tpu.data.packing import PackedMTBatch
-                    from imagetranslate_tpu.train.step import (
-                        packed_mt_batch_to_device,
-                    )
-
-                    to_dev = (packed_mt_batch_to_device
-                              if isinstance(b, PackedMTBatch)
-                              else mt_batch_to_device)
-                    batch = self._shard(to_dev(b))
-                    self.state, m = self.mt_step(self.state, batch, step_rng)
+                    self.state, m = self.mt_step(self.state, staged, step_rng)
                 elif kind == "mass" and not fine_tune:
-                    batch = self._shard(mass_batch_to_device(b))
-                    self.state, m = self.mass_step(self.state, batch, step_rng)
+                    self.state, m = self.mass_step(self.state, staged,
+                                                   step_rng)
                 elif kind == "mass" and fine_tune:
                     m = self._bt_step(b, lang_directions, step_rng)
                     if m is None:
                         continue
                 elif kind == "img":
-                    m = self._img_step(b, image_root, step_rng)
+                    m = self._img_step(b, image_root, step_rng, images=staged)
                 step += 1
                 profiler.tick(step)
-                meter.update(step, float(m["sum_loss"]), float(m["ntokens"]))
+                # Device scalars: the meter syncs once per log window.
+                meter.update(step, m["sum_loss"], m["ntokens"])
                 if dev_batcher is not None and step % eval_every == 0:
                     try:
                         bleu = self.eval_bleu(dev_batcher, saving_path)
@@ -225,10 +246,11 @@ class MTTrainer:
                     self._save(saving_path + ".latest", step)
                 if step >= max_step:
                     break
-            if step >= max_step:
-                break
+        finally:
+            prefetcher.close()
 
         profiler.close()
+        meter.finish(step)
         print(f"Total loss in this epoch: {meter.epoch_loss():.4f}", flush=True)
         self._save(saving_path + ".latest", step)
         if dev_batcher is not None:
@@ -241,9 +263,14 @@ class MTTrainer:
                 traceback.print_exc()
         return step
 
-    def _img_step(self, b, image_root: str, rng):
+    def _img_step(self, b, image_root: str, rng, images=None):
         raise NotImplementedError(
             "image streams need ImageMTTrainer (train/trainer_image_mt.py)")
+
+    def _stage_img(self, b, image_root: str):
+        """Prefetch-worker hook: decode an image batch ahead of its step
+        (overridden by ImageMTTrainer)."""
+        return None
 
     def _bt_step(self, b, lang_directions: Dict[int, int], rng):
         """Back-translation: greedy/beam generate in the *reverse* direction

@@ -66,13 +66,14 @@ class SenSimTrainer:
                     dev_batcher: Optional[MTBatcher] = None,
                     max_step: int = 300_000, eval_every: int = 5000,
                     log_every: int = 50, epoch_seed: int = 0) -> int:
-        from imagetranslate_tpu.utils.metrics import StepMeter
+        from imagetranslate_tpu.data.prefetch import PrefetchIterator
+        from imagetranslate_tpu.utils.metrics import AsyncStepMeter
 
-        meter = StepMeter(log_every=log_every)
+        meter = AsyncStepMeter(log_every=log_every)
         src_neg_it = itertools.cycle(src_neg.batches) if src_neg else None
         dst_neg_it = itertools.cycle(dst_neg.batches) if dst_neg else None
-        for b in mt_batcher.shuffled(epoch_seed):
-            self.rng, srng = jax.random.split(self.rng)
+
+        def stage(b):
             batch = {
                 "src": jnp.asarray(b.src), "src_mask": jnp.asarray(b.src_mask),
                 "dst": jnp.asarray(b.dst), "dst_mask": jnp.asarray(b.dst_mask),
@@ -90,16 +91,25 @@ class SenSimTrainer:
                     "tgt_neg_mask": jnp.asarray(dn.src_mask),
                     "tgt_neg_langs": jnp.asarray(dn.langs),
                 })
-            self.state, m = self.step_fn(self.state, self._shard(batch),
-                                         srng)
-            step += 1
-            meter.update(step, float(m["sum_loss"]), float(m["ntokens"]))
-            if dev_batcher is not None and step % eval_every == 0:
-                dev = self.eval(dev_batcher, saving_path)
-                print(f"Dev Loss: {dev:.4f}", flush=True)
-            if step >= max_step:
-                break
+            return self._shard(batch)
 
+        prefetcher = PrefetchIterator(mt_batcher.shuffled(epoch_seed), stage,
+                                      depth=3)
+        try:
+            for batch in prefetcher:
+                self.rng, srng = jax.random.split(self.rng)
+                self.state, m = self.step_fn(self.state, batch, srng)
+                step += 1
+                meter.update(step, m["sum_loss"], m["ntokens"])
+                if dev_batcher is not None and step % eval_every == 0:
+                    dev = self.eval(dev_batcher, saving_path)
+                    print(f"Dev Loss: {dev:.4f}", flush=True)
+                if step >= max_step:
+                    break
+        finally:
+            prefetcher.close()
+
+        meter.finish(step)
         print(f"Total loss in this epoch: {meter.epoch_loss():.4f}", flush=True)
         self._save(saving_path + ".latest", step)
         if dev_batcher is not None:

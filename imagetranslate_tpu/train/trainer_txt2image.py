@@ -80,20 +80,30 @@ class Caption2ImageTrainer:
                     dev_batcher: Optional[CaptionBatcher] = None,
                     max_step: int = 300_000, eval_every: int = 5000,
                     log_every: int = 50, epoch_seed: int = 0) -> int:
-        from imagetranslate_tpu.utils.metrics import StepMeter
+        from imagetranslate_tpu.data.prefetch import PrefetchIterator
+        from imagetranslate_tpu.utils.metrics import AsyncStepMeter
 
-        meter = StepMeter(log_every=log_every)
-        for b in cap_batcher.shuffled(epoch_seed):
-            self.rng, srng = jax.random.split(self.rng)
-            self.state, m = self.step_fn(
-                self.state, self._shard(self._batch(b, image_root)), srng)
-            step += 1
-            meter.update(step, float(m["sum_loss"]), float(m["ntokens"]))
-            if dev_batcher is not None and step % eval_every == 0:
-                dev = self.eval(dev_batcher, image_root, saving_path)
-                print(f"Dev Loss: {dev:.4f}", flush=True)
-            if step >= max_step:
-                break
+        meter = AsyncStepMeter(log_every=log_every)
+        # _batch decodes the image batch (thread pool inside b.images) and
+        # runs the frozen captioner's grid encode; staging it in the
+        # prefetch worker overlaps all of that with the regression step.
+        prefetcher = PrefetchIterator(
+            cap_batcher.shuffled(epoch_seed),
+            lambda b: self._shard(self._batch(b, image_root)), depth=3)
+        try:
+            for batch in prefetcher:
+                self.rng, srng = jax.random.split(self.rng)
+                self.state, m = self.step_fn(self.state, batch, srng)
+                step += 1
+                meter.update(step, m["sum_loss"], m["ntokens"])
+                if dev_batcher is not None and step % eval_every == 0:
+                    dev = self.eval(dev_batcher, image_root, saving_path)
+                    print(f"Dev Loss: {dev:.4f}", flush=True)
+                if step >= max_step:
+                    break
+        finally:
+            prefetcher.close()
+        meter.finish(step)
         self._save(saving_path + ".latest", step)
         if dev_batcher is not None:
             dev = self.eval(dev_batcher, image_root, saving_path)
