@@ -51,6 +51,10 @@ class Seq2SeqConfig:
     dtype: str = "bfloat16"  # activation/compute dtype
     remat: bool = False      # jax.checkpoint each layer to trade FLOPs for HBM
     use_pallas_attention: bool = True   # Pallas flash-attention on TPU
+    # Fused attention+dropout Pallas kernel for TRAINING (in-kernel rbg
+    # mask, recompute backward — ops/train_attention.py); adoption gated on
+    # the measured A/B in docs/PERF.md.
+    fused_attn_dropout: bool = False
     # Decode-time self-attn KV cache dtype. "float8_e4m3fn" halves the
     # cache's HBM footprint (serving capacity / longer contexts) at reduced
     # K/V precision. Measured speed-neutral on v5e (11.9k vs 12.0k tok/s):

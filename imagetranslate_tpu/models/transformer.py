@@ -129,6 +129,7 @@ class Attention(nn.Module):
             deterministic=deterministic,
             dropout_rng=(None if deterministic else self.make_rng("dropout")),
             use_pallas=cfg.use_pallas_attention,
+            use_fused_dropout=cfg.fused_attn_dropout,
         )
         out = self.out(ctx)
         out = self.drop(out, deterministic=deterministic)

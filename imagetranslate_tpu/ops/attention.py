@@ -70,6 +70,7 @@ def dot_product_attention(
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
     use_pallas: bool = False,
+    use_fused_dropout: bool = False,
 ) -> jnp.ndarray:
     """Returns [B, T, H, D]. fp32 softmax regardless of input dtype."""
     if use_pallas and deterministic and k.shape[1] >= 1024:
@@ -87,6 +88,24 @@ def dot_product_attention(
             b = (bias if bias is not None
                  else jnp.zeros((q.shape[0], 1, 1, k.shape[1]), jnp.float32))
             return _flash_with_vjp(q, k, v, b)
+
+    if (dropout_rate > 0.0 and not deterministic and use_fused_dropout
+            and jax.default_backend() == "tpu"):
+        # Fused QK^T+bias+softmax+dropout+PV Pallas kernel: the probs, the
+        # random bits and the mask never touch HBM, and backward recomputes
+        # the identical mask from the seed (ops/train_attention.py).
+        from imagetranslate_tpu.ops.train_attention import (
+            fused_attention_supported,
+            fused_dropout_attention,
+        )
+
+        if fused_attention_supported(q, k, bias):
+            b = (bias if bias is not None
+                 else jnp.zeros((q.shape[0], 1, 1, k.shape[1]), jnp.float32))
+            seed = jax.random.randint(dropout_rng, (), 0, 2_147_483_647,
+                                      dtype=jnp.int32)
+            return fused_dropout_attention(q, k, v, b,
+                                           float(dropout_rate), seed)
 
     depth = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(depth, jnp.float32))
