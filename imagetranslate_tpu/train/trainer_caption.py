@@ -201,8 +201,10 @@ class CaptionTrainer:
                         self.state, m = self.mm_mass_step(
                             self.state, self._shard(batch), srng)
                     elif mode == "contrastive":
+                        # Seed from the HOST step counter: int(state.step)
+                        # is a device sync (~25 ms on this tunneled TPU).
                         negs = cap_batcher.sample_negatives(
-                            b.captions.shape[0], int(self.state.step))
+                            b.captions.shape[0], step + 1)
                         batch["neg"] = jnp.asarray(negs)
                         batch["neg_mask"] = jnp.asarray(
                             negs != self.tp.pad_token_id())

@@ -70,6 +70,7 @@ class ImageMTTrainer(MTTrainer):
         self.mask_prob = mask_prob
         self.img_size = img_size
         self._cur_img_batcher = None
+        self._host_step = 0
 
         self.rng, init_rng = jax.random.split(self.rng)
         B, T = 2, 8
@@ -171,8 +172,10 @@ class ImageMTTrainer(MTTrainer):
 
             mode = "masked" if _random.random() <= 0.5 else "contrastive"
         if mode == "contrastive":
+            # Host step counter, not int(state.step): that is a device sync
+            # (~25 ms on this tunneled TPU) in the middle of the hot loop.
             negs = self._cur_img_batcher.sample_negatives(
-                b.captions.shape[0], int(self.state.step))
+                b.captions.shape[0], self._host_step)
             batch["neg"] = jnp.asarray(negs)
             batch["neg_mask"] = jnp.asarray(negs != self.tp.pad_token_id())
             batch["neg_langs"] = jnp.full((negs.shape[0],), int(b.langs[0]),

@@ -215,6 +215,7 @@ class MTTrainer:
         prefetcher = PrefetchIterator(interleaved(), stage, depth=3)
         try:
             for kind, b, staged in prefetcher:
+                self._host_step = step + 1  # sync-free step id for hooks
                 self.rng, step_rng = jax.random.split(self.rng)
                 if kind == "mt":
                     self.state, m = self.mt_step(self.state, staged, step_rng)
