@@ -120,7 +120,7 @@ def main(argv=None):
             while len(paths) < rows:
                 paths.append(paths[0])
             batch["det_images"] = jnp.asarray(default_image_pool().decode(
-                paths, size=800, resize_min=800))
+                paths, size=800, resize_min=800, raw=True))
         return batch
 
     n = 0

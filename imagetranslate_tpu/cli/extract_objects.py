@@ -42,7 +42,7 @@ def main(argv=None):
     import numpy as np
 
     from imagetranslate_tpu.cli.caption import build_object_extractor
-    from imagetranslate_tpu.data.images import load_image
+    from imagetranslate_tpu.data.prefetch import default_image_pool
 
     extract = build_object_extractor(options.detector_path)
 
@@ -50,7 +50,9 @@ def main(argv=None):
     paths = list(iter_paths(options.input_path))
     for i in range(0, len(paths), options.batch):
         chunk = paths[i:i + options.batch]
-        imgs = np.stack([load_image(p_, 800, resize_min=800) for p_ in chunk])
+        # pooled decode + raw uint8 (device-side normalize, 4x less H2D)
+        imgs = default_image_pool().decode(chunk, size=800, resize_min=800,
+                                           raw=True)
         feats, labels = extract(jnp.asarray(imgs))
         feats, labels = np.asarray(feats), np.asarray(labels)
         for j, p_ in enumerate(chunk):

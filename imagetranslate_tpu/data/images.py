@@ -26,8 +26,13 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def load_image(path: str, size: int = 224,
-               resize_min: Optional[int] = None) -> np.ndarray:
-    """Decode/resize/crop/normalize one image -> [size, size, 3] float32.
+               resize_min: Optional[int] = None,
+               raw: bool = False) -> np.ndarray:
+    """Decode/resize/crop one image. Default: normalized [size, size, 3]
+    float32 (the reference transform). raw=True returns uint8 WITHOUT
+    normalization — 4x smaller host->device transfers; the models
+    normalize uint8 input on device with identical math
+    (captioning.py::encode_images, detector.py::FasterRCNN).
     resize_min defaults to 256 (the reference transform); pass e.g. 800 for
     the detector's fixed-shape input (torchvision's min-side-800 resize,
     center-cropped square to stay static-shape)."""
@@ -45,11 +50,13 @@ def load_image(path: str, size: int = 224,
             w, h = img.size
             left, top = (w - size) // 2, (h - size) // 2
             img = img.crop((left, top, left + size, top + size))
-            arr = np.asarray(img, np.float32) / 255.0
+            u8 = np.asarray(img, np.uint8)
     except Exception:
         print(f"Corrupted image {path}")
-        arr = np.zeros((size, size, 3), np.float32)
-    return (arr - IMAGENET_MEAN) / IMAGENET_STD
+        u8 = np.zeros((size, size, 3), np.uint8)
+    if raw:
+        return u8
+    return (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
 
 @dataclasses.dataclass
@@ -61,14 +68,16 @@ class CaptionBatch:
     lengths: np.ndarray          # [N] first-pad index
     row_mask: np.ndarray         # [N]
 
-    def images(self, root_dir: str = "", size: int = 224) -> np.ndarray:
+    def images(self, root_dir: str = "", size: int = 224,
+               raw: bool = False) -> np.ndarray:
         from imagetranslate_tpu.data.prefetch import default_image_pool
 
         paths = list(self.image_paths)
         # Dummy rows reuse image 0 (their loss weight is zero).
         while len(paths) < self.captions.shape[0]:
             paths.append(paths[0])
-        return default_image_pool().decode(paths, root=root_dir, size=size)
+        return default_image_pool().decode(paths, root=root_dir, size=size,
+                                           raw=raw)
 
 
 def load_caption_bin(data_bin_file: str):
@@ -266,7 +275,8 @@ class ImageFolderBatcher:
         from imagetranslate_tpu.data.prefetch import default_image_pool
 
         for paths in self.batches:
-            images = default_image_pool().decode(paths)
+            # raw uint8: 4x less H2D; the grid encoder normalizes on device.
+            images = default_image_pool().decode(paths, raw=True)
             # Pad the tail batch's rows to the quantum (replicating image 0)
             # so the whole folder decodes with at most two XLA programs;
             # "paths" keeps the real length and the CLI's zip() drops the

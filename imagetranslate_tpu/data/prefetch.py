@@ -137,14 +137,16 @@ class ImageDecodePool:
                                         thread_name_prefix="imgdec")
 
     def decode(self, paths: Sequence[str], root: str = "",
-               size: int = 224,
-               resize_min: Optional[int] = None) -> np.ndarray:
-        """Decode/resize/normalize `paths` in parallel -> [N, size, size, 3]
-        float32 (same per-image math as data.images.load_image)."""
+               size: int = 224, resize_min: Optional[int] = None,
+               raw: bool = False) -> np.ndarray:
+        """Decode/resize `paths` in parallel -> [N, size, size, 3].
+        Default float32 normalized; raw=True gives uint8 (4x smaller H2D —
+        the models normalize uint8 on device, see
+        data.images.load_image)."""
         from imagetranslate_tpu.data.images import load_image
 
         full = [os.path.join(root, p) if root else p for p in paths]
-        futs = [self._pool.submit(load_image, p, size, resize_min)
+        futs = [self._pool.submit(load_image, p, size, resize_min, raw)
                 for p in full]
         return np.stack([f.result() for f in futs])
 

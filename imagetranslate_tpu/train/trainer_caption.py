@@ -167,7 +167,8 @@ class CaptionTrainer:
                 while len(paths) < b.captions.shape[0]:
                     paths.append(paths[0])
                 imgs = default_image_pool().decode(paths, root=image_root,
-                                                   size=self.img_size)
+                                                   size=self.img_size,
+                                                   raw=True)
                 return kind, b, jnp.asarray(
                     self._shard({"images": imgs})["images"])
             return kind, b, self._shard(mt_batch_to_device(b))
@@ -309,7 +310,7 @@ class CaptionTrainer:
         L = max(16, ((eval_set.max_len + 15) // 16) * 16)
         for group in eval_set.batches():
             images = default_image_pool().decode(
-                [g.image_path for g in group], root=image_root)
+                [g.image_path for g in group], root=image_root, raw=True)
             first = np.array([g.first_token for g in group], np.int32)
             langs = np.full((len(group),), eval_set.lang, np.int32)
             feats = labels = None

@@ -153,7 +153,7 @@ class ImageMTTrainer(MTTrainer):
         while len(paths) < b.captions.shape[0]:
             paths.append(paths[0])
         imgs = default_image_pool().decode(paths, root=image_root,
-                                           size=self.img_size)
+                                           size=self.img_size, raw=True)
         return jnp.asarray(self._shard({"images": imgs})["images"])
 
     def _img_step(self, b, image_root: str, rng, images=None):

@@ -57,8 +57,9 @@ class Caption2ImageTrainer:
                 v, imgs, method=ImageSeq2Seq.encode_images))
 
     def _batch(self, b, image_root: str):
-        target = self._encode_images(self.caption_variables,
-                                     jnp.asarray(b.images(image_root)))
+        target = self._encode_images(
+            self.caption_variables,
+            jnp.asarray(b.images(image_root, raw=True)))
         return {
             "src": jnp.asarray(b.captions),
             "src_mask": jnp.asarray(b.caption_mask),

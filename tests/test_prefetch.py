@@ -100,6 +100,14 @@ def test_image_decode_pool_matches_sequential(tmp_path):
     for i, p in enumerate(paths):
         ref = load_image(str(tmp_path / p))
         np.testing.assert_array_equal(batch[i], ref)
+    # raw uint8 decode carries exactly the pre-normalization pixels.
+    raw = pool.decode(paths, root=str(tmp_path), raw=True)
+    assert raw.dtype == np.uint8
+    from imagetranslate_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
+
+    np.testing.assert_array_equal(
+        (raw.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD,
+        batch)
     pool.shutdown()
 
 
