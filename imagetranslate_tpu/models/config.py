@@ -52,9 +52,13 @@ class Seq2SeqConfig:
     remat: bool = False      # jax.checkpoint each layer to trade FLOPs for HBM
     use_pallas_attention: bool = True   # Pallas flash-attention on TPU
     # Fused attention+dropout Pallas kernel for TRAINING (in-kernel rbg
-    # mask, recompute backward — ops/train_attention.py); adoption gated on
-    # the measured A/B in docs/PERF.md.
-    fused_attn_dropout: bool = False
+    # mask, recompute backward — ops/train_attention.py). Default ON after
+    # the round-3 A/B: +1.0% at the flagship bucketed shape (S=64) and
+    # +11.2% at the packed shape (S=256) over XLA attention + bernoulli
+    # masks (docs/PERF.md). Dispatch additionally gates on TPU backend,
+    # training-with-dropout, and supported shapes (S % 8 == 0 etc. — the
+    # 49-slot caption grid falls back to XLA).
+    fused_attn_dropout: bool = True
     # Decode-time self-attn KV cache dtype. "float8_e4m3fn" halves the
     # cache's HBM footprint (serving capacity / longer contexts) at reduced
     # K/V precision. Measured speed-neutral on v5e (11.9k vs 12.0k tok/s):

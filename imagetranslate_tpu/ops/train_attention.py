@@ -58,65 +58,77 @@ def _softmax_tile(q, kT, bias_tile, scale):
 
 def _fwd_kernel(seed_ref, q_ref, kT_ref, v_ref, bias_ref, o_ref, *,
                 scale: float, rate: float):
-    bias = bias_ref[0, 0].astype(jnp.float32)      # [T, S] or [1, S]
-    p = _softmax_tile(q_ref[0, 0], kT_ref[0, 0], bias, scale)
+    # q_ref [G, 1, T, D]: G batch rows per program (fewer, fatter programs
+    # — a (B, H) grid is 3072 tiny programs at the flagship config and
+    # program overhead dominates). PRNG: one seed per program, G draws in
+    # a fixed order — the backward replays the identical sequence.
+    G = q_ref.shape[0]
     if rate > 0.0:
         # PRNG calls stay inside the rate-gate: the CPU interpreter (used
         # by tests for the rate=0 parity path) has no prng primitives.
-        b, h = pl.program_id(0), pl.program_id(1)
-        pltpu.prng_seed(seed_ref[0], b, h)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
-        keep = bits >= jnp.uint32(_keep_threshold(rate))
-        p = jnp.where(keep, p / (1.0 - rate), 0.0)
-    v = v_ref[0, 0]
-    o_ref[0, 0] = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        # Mosaic caps prng_seed at two values: mix (b, h) into one.
+        bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0], bh)
+    for g in range(G):  # static unroll
+        bias = bias_ref[g, 0].astype(jnp.float32)  # [T, S] or [1, S]
+        p = _softmax_tile(q_ref[g, 0], kT_ref[g, 0], bias, scale)
+        if rate > 0.0:
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
+            keep = bits >= jnp.uint32(_keep_threshold(rate))
+            p = jnp.where(keep, p / (1.0 - rate), 0.0)
+        v = v_ref[g, 0]
+        o_ref[g, 0] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, kT_ref, v_ref, bias_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float, rate: float):
-    bias = bias_ref[0, 0].astype(jnp.float32)
-    q = q_ref[0, 0]
-    kT32 = kT_ref[0, 0].astype(jnp.float32)         # [D, S]
-    v32 = v_ref[0, 0].astype(jnp.float32)           # [S, D]
-    g = g_ref[0, 0].astype(jnp.float32)             # [T, D]
-
-    p = _softmax_tile(q, kT_ref[0, 0], bias, scale)  # [T, S] fp32
+    G = q_ref.shape[0]
     if rate > 0.0:
-        b, h = pl.program_id(0), pl.program_id(1)
-        pltpu.prng_seed(seed_ref[0], b, h)          # SAME mask as forward
-        bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
-        keep = bits >= jnp.uint32(_keep_threshold(rate))
-        p_drop = jnp.where(keep, p / (1.0 - rate), 0.0)
-    else:
-        p_drop = p
+        bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0], bh)            # SAME stream as forward
+    for gi in range(G):  # static unroll, same draw order as forward
+        bias = bias_ref[gi, 0].astype(jnp.float32)
+        q = q_ref[gi, 0]
+        kT32 = kT_ref[gi, 0].astype(jnp.float32)    # [D, S]
+        v32 = v_ref[gi, 0].astype(jnp.float32)      # [S, D]
+        g = g_ref[gi, 0].astype(jnp.float32)        # [T, D]
 
-    # dv = drop(p)^T @ g                       [S, D]
-    dv_ref[0, 0] = jax.lax.dot_general(
-        p_drop, g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        p = _softmax_tile(q, kT_ref[gi, 0], bias, scale)  # [T, S] fp32
+        if rate > 0.0:
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32)
+            keep = bits >= jnp.uint32(_keep_threshold(rate))
+            p_drop = jnp.where(keep, p / (1.0 - rate), 0.0)
+        else:
+            p_drop = p
 
-    # dp_drop = g @ v^T                        [T, S]
-    dp_drop = jax.lax.dot_general(
-        g, v32, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    if rate > 0.0:
-        dp = jnp.where(keep, dp_drop / (1.0 - rate), 0.0)
-    else:
-        dp = dp_drop
+        # dv = drop(p)^T @ g                       [S, D]
+        dv_ref[gi, 0] = jax.lax.dot_general(
+            p_drop, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
 
-    # softmax vjp: ds = p * (dp - sum(dp * p, -1))
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # [T, S] fp32
+        # dp_drop = g @ v^T                        [T, S]
+        dp_drop = jax.lax.dot_general(
+            g, v32, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            dp = jnp.where(keep, dp_drop / (1.0 - rate), 0.0)
+        else:
+            dp = dp_drop
 
-    # dq = ds @ k * scale; k^T is kT           [T, D]
-    dq_ref[0, 0] = (jax.lax.dot_general(
-        ds, kT32, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
-    # dk = ds^T @ q * scale                    [S, D]
-    dk_ref[0, 0] = (jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+        # softmax vjp: ds = p * (dp - sum(dp * p, -1))
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+        # dq = ds @ k * scale; k^T is kT           [T, D]
+        dq_ref[gi, 0] = (jax.lax.dot_general(
+            ds, kT32, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+        # dk = ds^T @ q * scale                    [S, D]
+        dk_ref[gi, 0] = (jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
 
 
 def fused_attention_supported(q: jnp.ndarray, k: jnp.ndarray,
@@ -134,20 +146,27 @@ def fused_attention_supported(q: jnp.ndarray, k: jnp.ndarray,
     return T <= 512 and S <= 512 and D <= 256
 
 
-def _specs(T, D, S, bias_rows, n_td_extra):
+def _batch_block(B: int) -> int:
+    for g in (8, 4, 2):
+        if B % g == 0:
+            return g
+    return 1
+
+
+def _specs(G, T, D, S, bias_rows, n_td_extra):
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # seed [1]
-        pl.BlockSpec((1, 1, T, D), lambda b, h: (b, h, 0, 0),
+        pl.BlockSpec((G, 1, T, D), lambda b, h: (b, h, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, D, S), lambda b, h: (b, h, 0, 0),
+        pl.BlockSpec((G, 1, D, S), lambda b, h: (b, h, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h, 0, 0),
+        pl.BlockSpec((G, 1, S, D), lambda b, h: (b, h, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, T if bias_rows else 1, S),
+        pl.BlockSpec((G, 1, T if bias_rows else 1, S),
                      lambda b, h: (b, 0, 0, 0), memory_space=pltpu.VMEM),
     ]
     for _ in range(n_td_extra):
-        in_specs.append(pl.BlockSpec((1, 1, T, D),
+        in_specs.append(pl.BlockSpec((G, 1, T, D),
                                      lambda b, h: (b, h, 0, 0),
                                      memory_space=pltpu.VMEM))
     return in_specs
@@ -163,12 +182,13 @@ def _run_fwd(q, k, v, bias, rate, seed):
     vt = v.transpose(0, 2, 1, 3)
     kern = functools.partial(_fwd_kernel, scale=scale, rate=float(rate))
     interpret = jax.default_backend() != "tpu"
+    G = _batch_block(B)
     out = pl.pallas_call(
         kern,
-        grid=(B, H),
+        grid=(B // G, H),
         interpret=interpret,
-        in_specs=_specs(T, D, S, bias_rows, 0),
-        out_specs=pl.BlockSpec((1, 1, T, D), lambda b, h: (b, h, 0, 0),
+        in_specs=_specs(G, T, D, S, bias_rows, 0),
+        out_specs=pl.BlockSpec((G, 1, T, D), lambda b, h: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
         cost_estimate=pl.CostEstimate(
@@ -207,17 +227,18 @@ def _bwd_rule(rate, res, g):
     gt = g.transpose(0, 2, 1, 3)
     kern = functools.partial(_bwd_kernel, scale=scale, rate=float(rate))
     interpret = jax.default_backend() != "tpu"
+    G = _batch_block(B)
     dq, dk, dv = pl.pallas_call(
         kern,
-        grid=(B, H),
+        grid=(B // G, H),
         interpret=interpret,
-        in_specs=_specs(T, D, S, bias_rows, 1),
+        in_specs=_specs(G, T, D, S, bias_rows, 1),
         out_specs=(
-            pl.BlockSpec((1, 1, T, D), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((G, 1, T, D), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((G, 1, S, D), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((G, 1, S, D), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
