@@ -182,11 +182,14 @@ def run_umt(options, tp, results):
     def mass_probe_loss():
         import jax.numpy as jnp
 
+        # The train steps DONATE their input state; probing must run on a
+        # sacrificial copy, or the second probe batch reads donated (dead)
+        # buffers — surfaces as an opaque INVALID_ARGUMENT at sync time.
+        st = jax.tree.map(jnp.array, trainer.state)
         total = n = 0.0
         rng = jax.random.PRNGKey(0)
         for b in probe:
-            st, m = trainer.mass_step(trainer.state,
-                                      mass_batch_to_device(b), rng)
+            st, m = trainer.mass_step(st, mass_batch_to_device(b), rng)
             total += float(m["sum_loss"])
             n += float(m["ntokens"])
         return total / max(n, 1.0)
@@ -254,6 +257,8 @@ def run_caption(options, tp, results):
     import jax.numpy as jnp
 
     def cap_probe_loss():
+        # Sacrificial state copy — cap_step donates its input state.
+        st = jax.tree.map(jnp.array, trainer.state)
         total = n = 0.0
         rng = jax.random.PRNGKey(0)
         for b in batcher.batches[:4]:
@@ -264,7 +269,7 @@ def run_caption(options, tp, results):
                 "langs": jnp.asarray(b.langs),
                 "row_mask": jnp.asarray(b.row_mask),
             }
-            st, m = trainer.cap_step(trainer.state, batch, rng)
+            st, m = trainer.cap_step(st, batch, rng)
             total += float(m["sum_loss"])
             n += float(m["ntokens"])
         return total / max(n, 1.0)
@@ -324,9 +329,13 @@ def main(argv=None):
         print(f"[recipes] umt OK: {results['umt']}", flush=True)
         run_caption(options, tp, results)
         print(f"[recipes] caption OK: {results['caption']}", flush=True)
-    except AssertionError as e:
+    except Exception as e:  # any failure = red ladder, recorded in the ledger
         ok = False
-        results.setdefault("failure", {})["message"] = str(e)
+        results.setdefault("failure", {})["message"] = (
+            f"{type(e).__name__}: {e}")
+        import traceback
+
+        traceback.print_exc()
         print(f"[recipes] FAILED: {e}", file=sys.stderr, flush=True)
     if options.ledger:
         append_ledger(options.ledger, results, ok)

@@ -130,9 +130,7 @@ def translate_batches(model, cfg, params, tp, batcher, options,
         x = jnp.asarray(x)
         return jax.device_put(x, sharding) if sharding is not None else x
 
-    sen_count = 0
-    for b in batcher:
-        n_real = int(b.row_mask.sum())
+    def stage(b):
         # Compile-count discipline: every distinct (rows, S, L) triple is a
         # fresh XLA compilation, and on this environment's remote compiles a
         # mixed-length corpus could spend its wall-clock compiling. Rows pad
@@ -141,36 +139,30 @@ def translate_batches(model, cfg, params, tp, batcher, options,
         # bucketed by the loader, and the decode *buffer* length L rounds up
         # to a multiple of 16 — output-invariant because every row's actual
         # limit is min(a*src_size+b, L), and a*src_size+b <= L always holds
-        # before rounding.
+        # before rounding. Runs in the prefetch worker so padding and the
+        # H2D copies of batch N+1 overlap the device decode of batch N.
         rows = max(8, 1 << (int(b.src.shape[0]) - 1).bit_length())
-        src = _pad_rows(b.src, rows)
-        src_mask = _pad_rows(b.src_mask, rows)
-        src_langs = _pad_rows(b.src_langs, rows)
-        first = _pad_rows(b.dst[:, 0], rows)
-        dst_langs = _pad_rows(b.dst_langs, rows)
-        src_sizes = _pad_rows(b.src_sizes, rows)
-        props = _pad_rows(b.proposals, rows) if b.proposals is not None else None
-        pmask = (_pad_rows(b.proposal_mask, rows)
-                 if b.proposal_mask is not None else None)
-        # Under --dp, batch-dim-sharded inputs make jit propagate the
-        # sharding through encode and the whole beam loop — XLA inserts the
-        # collectives; no replica code needed (contrast parallel.py).
-        enc = apply_jit(model, params, dev(src), dev(src_mask),
-                        dev(src_langs), method=Seq2Seq.encode)
-        L = max_len_for(src.shape[1], options.max_len_a, options.max_len_b,
-                        cfg.max_position_embeddings)
-        L = min(-(-L // 16) * 16, cfg.max_position_embeddings)
-        props = dev(props) if props is not None else None
-        pmask = dev(pmask) if pmask is not None else None
-        best, lengths = beam_search(
-            model, params, enc, dev(src_mask),
-            dev(first), dev(dst_langs),
-            dev(src_sizes), props, pmask,
-            beam_width=options.beam_width,
-            max_len=L, max_len_a=options.max_len_a,
-            max_len_b=options.max_len_b,
-            len_penalty_ratio=options.len_penalty_ratio,
-            pad_id=tp.pad_token_id(), eos_id=tp.sep_token_id())
+        s = {
+            "src": dev(_pad_rows(b.src, rows)),
+            "src_mask": dev(_pad_rows(b.src_mask, rows)),
+            "src_langs": dev(_pad_rows(b.src_langs, rows)),
+            "first": dev(_pad_rows(b.dst[:, 0], rows)),
+            "dst_langs": dev(_pad_rows(b.dst_langs, rows)),
+            "src_sizes": dev(_pad_rows(b.src_sizes, rows)),
+            "props": (dev(_pad_rows(b.proposals, rows))
+                      if b.proposals is not None else None),
+            "pmask": (dev(_pad_rows(b.proposal_mask, rows))
+                      if b.proposal_mask is not None else None),
+        }
+        return b, int(b.row_mask.sum()), s
+
+    sen_count = 0
+
+    def flush(item):
+        # Sync + detokenize + write the PREVIOUS batch while the device
+        # decodes the current one.
+        nonlocal sen_count
+        b, n_real, best, lengths = item
         outs = trim_outputs(best, lengths, remove_first_token=True)
         lines = []
         for i in range(n_real):
@@ -186,6 +178,34 @@ def translate_batches(model, cfg, params, tp, batcher, options,
         writer.write("\n".join(lines) + "\n")
         sen_count += n_real
         print(f"Translated {sen_count} sentences", end="\r", file=sys.stderr)
+
+    from imagetranslate_tpu.data.prefetch import PrefetchIterator
+
+    pending = None
+    with PrefetchIterator(batcher, stage, depth=2) as staged:
+        for b, n_real, s in staged:
+            # Under --dp, batch-dim-sharded inputs make jit propagate the
+            # sharding through encode and the whole beam loop — XLA inserts
+            # the collectives; no replica code needed (contrast parallel.py).
+            enc = apply_jit(model, params, s["src"], s["src_mask"],
+                            s["src_langs"], method=Seq2Seq.encode)
+            L = max_len_for(s["src"].shape[1], options.max_len_a,
+                            options.max_len_b, cfg.max_position_embeddings)
+            L = min(-(-L // 16) * 16, cfg.max_position_embeddings)
+            best, lengths = beam_search(
+                model, params, enc, s["src_mask"],
+                s["first"], s["dst_langs"],
+                s["src_sizes"], s["props"], s["pmask"],
+                beam_width=options.beam_width,
+                max_len=L, max_len_a=options.max_len_a,
+                max_len_b=options.max_len_b,
+                len_penalty_ratio=options.len_penalty_ratio,
+                pad_id=tp.pad_token_id(), eos_id=tp.sep_token_id())
+            if pending is not None:
+                flush(pending)
+            pending = (b, n_real, best, lengths)
+    if pending is not None:
+        flush(pending)
     print(f"\nTranslated {sen_count} sentences", file=sys.stderr)
 
 
