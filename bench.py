@@ -35,6 +35,12 @@ def _sync(x):
     return np.asarray(x)
 
 
+def _prog(msg):
+    """Progress marker on stderr (stdout carries only the JSON contract);
+    makes registration/compile hangs diagnosable from the log tail."""
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     from imagetranslate_tpu.models.config import Seq2SeqConfig
     from imagetranslate_tpu.models.seq2seq import Seq2Seq
@@ -97,6 +103,7 @@ def main():
         dt = (time.perf_counter() - t0) / iters
         return float(jnp.sum(lengths)) / dt
 
+    _prog(f"device up: {jax.devices()[0]}; measuring decode")
     per_batch = {b: measure_decode(b) for b in (B, 256)}
     decode_B = max(per_batch, key=per_batch.get)
     decode_tps = per_batch[decode_B]
@@ -140,6 +147,7 @@ def main():
         dt = (time.perf_counter() - t0) / iters
         return batch_size / dt
 
+    _prog("measuring caption (synthetic)")
     caption_ips = measure_caption()
 
     # ---- train step throughput (B=64 and the capacity-sized B=256),
@@ -177,6 +185,7 @@ def main():
         train_dt = (time.perf_counter() - t0) / iters
         return float(m["ntokens"]) / train_dt
 
+    _prog("measuring train (synthetic)")
     train_per_batch = {b: measure_train(b) for b in (B, 256)}
     train_tps = max(train_per_batch.values())
     # MFU, honestly accounted (two denominators, see docs/PERF.md):
@@ -253,6 +262,7 @@ def main():
             it.close()
         return total / dt
 
+    _prog("measuring train (real input path)")
     train_tps_real = measure_train_real_pipeline()
 
     # ---- REAL image-path captioning: JPEGs on disk -> folder batcher
@@ -312,6 +322,7 @@ def main():
             dt = time.perf_counter() - t0
         return done / dt
 
+    _prog("measuring caption (real input path)")
     caption_ips_real = measure_caption_real_pipeline()
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
