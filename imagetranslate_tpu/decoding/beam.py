@@ -228,7 +228,7 @@ def _beam_search_windowed(model, params, enc_states, src_mask, first_tokens,
             return model.apply(
                 params, prev, merged, i, j, cross_bias, langs_k, rowsel,
                 wanc, t0, lang_idx, proposals=prop_k, proposal_mask=pmask_k,
-                method=type(model).decode_step_windowed)
+                topk=K, method=type(model).decode_step_windowed)
     cache = init_cache_fn()
     main_kv, win_kv, static_kv = _split3_tree(cache, nested)
 
@@ -279,15 +279,17 @@ def _beam_search_windowed(model, params, enc_states, src_mask, first_tokens,
             # This step's token K/V lands in its own physical row.
             ident = jnp.broadcast_to(jnp.arange(K)[None, :, None], (B, K, 1))
             wanc = jax.lax.dynamic_update_slice(st.wanc, ident, (0, 0, j))
-            logits, new_cache = step_fn(
+            # The step returns the fused (top_val, top_idx, lse) selection
+            # triple (Seq2Seq.project_topk): on TPU the vocab projection,
+            # exact top-k and logsumexp run in one Pallas program and the
+            # [B*K, V] logits never reach HBM; elsewhere the same triple
+            # comes from the XLA path with identical selection order.
+            (top_val, top_word, lse), new_cache = step_fn(
                 prev, _merge3_tree(_main, st.win, static_kv, nested),
                 i - 1, j, st.rowsel, wanc, _t0)
             _, new_win, _ = _split3_tree(new_cache, nested)
 
-            logits = logits.astype(jnp.float32)
-            lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
-            top_val, top_word = jax.lax.top_k(logits, K)
-            top_logp = (top_val - lse).reshape(B, K, K)
+            top_logp = (top_val - lse[:, None]).reshape(B, K, K)
             top_word = top_word.reshape(B, K, K).astype(jnp.int32)
 
             row_done = (max_lens < i + 1)[:, None]
@@ -491,22 +493,27 @@ def beam_search(
                 cross_bias, langs_k, anc,
                 method=type(model).decode_step_beams)
         else:
-            logits, new_cache = model.apply(
+            # Two-stage selection: per-beam top-K over the vocab first
+            # (cheap), then top-K over the K*K surviving candidates. Only
+            # the K best continuations of a beam can enter the next beam
+            # set, so this is exactly equivalent to the reference's topk
+            # over beam*vocab (seq_gen.py:203) at a fraction of the TopK
+            # cost. log_softmax is applied AFTER the top-k as
+            # logits - logsumexp (identical values, monotonic, never
+            # materializes the [B*K, V] fp32 array). The per-beam stage
+            # comes fused with the projection (Seq2Seq.project_topk — a
+            # Pallas kernel on TPU, the same XLA math elsewhere).
+            (top_val, top_word, lse), new_cache = model.apply(
                 params, prev, _merge_cache(st.cache, static_cache), i - 1,
                 cross_bias, langs_k, lang_idx, proposals=prop_k,
-                proposal_mask=pmask_k, method=type(model).decode_step)
+                proposal_mask=pmask_k, topk=K,
+                method=type(model).decode_step)
         new_cache, _ = _split_cache(new_cache)
-        # Two-stage selection: per-beam top-K over the vocab first (cheap),
-        # then top-K over the K*K surviving candidates. Only the K best
-        # continuations of a beam can enter the next beam set, so this is
-        # exactly equivalent to the reference's topk over beam*vocab
-        # (seq_gen.py:203) at a fraction of the TopK cost. log_softmax is
-        # applied AFTER the top-k as logits - logsumexp (identical values,
-        # monotonic, and skips materializing the [B*K, V] fp32 array).
-        logits = logits.astype(jnp.float32)
-        lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
-        top_val, top_word = jax.lax.top_k(logits, K)      # [B*K, K]
-        top_logp = (top_val - lse).reshape(B, K, K)
+        if use_lazy:
+            logits = logits.astype(jnp.float32)
+            lse = jax.scipy.special.logsumexp(logits, axis=-1)
+            top_val, top_word = jax.lax.top_k(logits, K)  # [B*K, K]
+        top_logp = (top_val - lse[:, None]).reshape(B, K, K)
         top_word = top_word.reshape(B, K, K).astype(jnp.int32)
 
         row_done = (max_lens < i + 1)[:, None]            # [B, 1]
@@ -692,7 +699,7 @@ def beam_search_dual(
         def step_fn(prev, merged, i, j, rowsel, wanc, t0):
             return model.apply(params, prev, merged, i, j, cbt, cbi,
                                langs_kd, rowsel, wanc, t0, lang_idx,
-                               method=windowed_step_method)
+                               topk=K, method=windowed_step_method)
 
         return _beam_search_windowed(
             model, params, enc_text, text_mask, first_tokens, tgt_langs,
@@ -737,15 +744,12 @@ def beam_search_dual(
         i = st.i
         prev = jax.lax.dynamic_slice_in_dim(st.tokens, i - 1, 1, axis=2)
         prev = prev.reshape(B * K, 1)
-        logits, new_cache = model.apply(
+        (top_val, top_word, lse), new_cache = model.apply(
             params, prev, _merge_cache_nested(st.cache, static_cache), i - 1,
-            cb_text, cb_img, langs_k, lang_idx,
+            cb_text, cb_img, langs_k, lang_idx, topk=K,
             method=step_method)
         new_cache, _ = _split_cache_nested(new_cache)
-        logits = logits.astype(jnp.float32)
-        lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
-        top_val, top_word = jax.lax.top_k(logits, K)
-        top_logp = (top_val - lse).reshape(B, K, K)
+        top_logp = (top_val - lse[:, None]).reshape(B, K, K)
         top_word = top_word.reshape(B, K, K).astype(jnp.int32)
 
         row_done = (max_lens < i + 1)[:, None]

@@ -288,10 +288,10 @@ class ImageSeq2Seq(nn.Module):
 
     def decode_step(self, prev_token, cache, index, cross_bias, tgt_langs,
                     lang_idx=None, positions=None, proposals=None,
-                    proposal_mask=None):
+                    proposal_mask=None, topk=None):
         return self.core.decode_step(prev_token, cache, index, cross_bias,
                                      tgt_langs, lang_idx=lang_idx,
-                                     positions=positions)
+                                     positions=positions, topk=topk)
 
     def decode_step_beams(self, prev_token, cache, index, cross_bias,
                           tgt_langs, ancestry, lang_idx=None):
@@ -306,10 +306,10 @@ class ImageSeq2Seq(nn.Module):
 
     def decode_step_windowed(self, prev_token, cache, index, j, cross_bias,
                              tgt_langs, rowsel, wanc, t0: int, lang_idx=None,
-                             proposals=None, proposal_mask=None):
+                             proposals=None, proposal_mask=None, topk=None):
         return self.core.decode_step_windowed(
             prev_token, cache, index, j, cross_bias, tgt_langs, rowsel,
-            wanc, t0, lang_idx=lang_idx)
+            wanc, t0, lang_idx=lang_idx, topk=topk)
 
     # ---------------- gated dual-stream decoding (seq_gen.py:180-188):
     # run the decoder against the text encoding AND the image grid with
@@ -323,7 +323,7 @@ class ImageSeq2Seq(nn.Module):
         }
 
     def decode_step_dual(self, prev_token, cache, index, cross_bias_text,
-                         cross_bias_img, tgt_langs, lang_idx=None):
+                         cross_bias_img, tgt_langs, lang_idx=None, topk=None):
         """The two streams share token embeddings but diverge from the first
         cross-attention on, so each keeps its own self-attn cache (the
         reference re-decodes both streams fully per step)."""
@@ -344,8 +344,11 @@ class ImageSeq2Seq(nn.Module):
         gate = jax.nn.sigmoid(self.multimodal_attention_gate + 1e-7)
         blended = gate.astype(h_text.dtype) * h_text \
             + (1.0 - gate).astype(h_img.dtype) * h_img
+        new_cache = {"text": c_text, "img": c_img}
+        if topk is not None:
+            return core.project_topk(blended, topk, lang_idx), new_cache
         logits = core.project(blended, lang_idx)
-        return logits[:, 0, :], {"text": c_text, "img": c_img}
+        return logits[:, 0, :], new_cache
 
     def init_dual_cache_windowed(self, enc_text, grid, batch: int,
                                  beams: int, max_len: int, window: int,
@@ -362,7 +365,8 @@ class ImageSeq2Seq(nn.Module):
 
     def decode_step_dual_windowed(self, prev_token, cache, index, j,
                                   cross_bias_text, cross_bias_img, tgt_langs,
-                                  rowsel, wanc, t0: int, lang_idx=None):
+                                  rowsel, wanc, t0: int, lang_idx=None,
+                                  topk=None):
         """decode_step_dual over windowed caches (Decoder.step_windowed per
         stream, shared rowsel/wanc — the beam selection is common)."""
         core = self.core
@@ -382,8 +386,11 @@ class ImageSeq2Seq(nn.Module):
         gate = jax.nn.sigmoid(self.multimodal_attention_gate + 1e-7)
         blended = gate.astype(h_text.dtype) * h_text \
             + (1.0 - gate).astype(h_img.dtype) * h_img
+        new_cache = {"text": c_text, "img": c_img}
+        if topk is not None:
+            return core.project_topk(blended, topk, lang_idx), new_cache
         logits = core.project(blended, lang_idx)
-        return logits[:, 0, :], {"text": c_text, "img": c_img}
+        return logits[:, 0, :], new_cache
 
     # ---------------- object-stream decoding (--obj captioning,
     # seq_gen.py:167-179): grid decoder + object decoder blended by
@@ -397,7 +404,8 @@ class ImageSeq2Seq(nn.Module):
         }
 
     def decode_step_obj_dual(self, prev_token, cache, index, cross_bias_img,
-                             cross_bias_obj, tgt_langs, lang_idx=None):
+                             cross_bias_obj, tgt_langs, lang_idx=None,
+                             topk=None):
         core = self.core
         if lang_idx is None:
             lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
@@ -415,8 +423,11 @@ class ImageSeq2Seq(nn.Module):
         gate = jax.nn.sigmoid(self.multistream_attention_gate + 1e-7)
         blended = gate.astype(h_img.dtype) * h_img \
             + (1.0 - gate).astype(h_obj.dtype) * h_obj
+        new_cache = {"img": c_img, "obj": c_obj}
+        if topk is not None:
+            return core.project_topk(blended, topk, lang_idx), new_cache
         logits = core.project(blended, lang_idx)
-        return logits[:, 0, :], {"img": c_img, "obj": c_obj}
+        return logits[:, 0, :], new_cache
 
     def init_obj_dual_cache_windowed(self, grid, obj_states, batch: int,
                                      beams: int, max_len: int, window: int,
@@ -432,7 +443,7 @@ class ImageSeq2Seq(nn.Module):
     def decode_step_obj_dual_windowed(self, prev_token, cache, index, j,
                                       cross_bias_img, cross_bias_obj,
                                       tgt_langs, rowsel, wanc, t0: int,
-                                      lang_idx=None):
+                                      lang_idx=None, topk=None):
         core = self.core
         if lang_idx is None:
             lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
@@ -450,5 +461,8 @@ class ImageSeq2Seq(nn.Module):
         gate = jax.nn.sigmoid(self.multistream_attention_gate + 1e-7)
         blended = gate.astype(h_img.dtype) * h_img \
             + (1.0 - gate).astype(h_obj.dtype) * h_obj
+        new_cache = {"img": c_img, "obj": c_obj}
+        if topk is not None:
+            return core.project_topk(blended, topk, lang_idx), new_cache
         logits = core.project(blended, lang_idx)
-        return logits[:, 0, :], {"img": c_img, "obj": c_obj}
+        return logits[:, 0, :], new_cache

@@ -70,6 +70,14 @@ class Seq2SeqConfig:
     # projection and the loss (2 GB at B=256/S=64/V=32k); the loss's
     # logsumexp/statistics still run fp32 (ops/losses.py upcasts).
     fp32_logits: bool = True
+    # Fused vocab-projection + exact top-k + logsumexp for the beam-decode
+    # selection stage (ops/topk_project.py): streams the projection weight
+    # through VMEM keeping a running top-k, so the [B*K, V] fp32 logits
+    # (131 MB at the flagship decode shape) never round-trip HBM. Dispatch
+    # additionally gates on TPU backend, a single output head, and
+    # supported shapes; elsewhere the XLA project + lax.top_k path runs
+    # with identical numerics.
+    fused_project_topk: bool = True
     # Pallas fused label-smoothed xent: measured SLOWER than XLA's own
     # fusion for the training step on v5e (74.9k vs 88.7k tok/s at
     # B=256 S=64 BERT-base) — XLA already fuses the softmax/log into the

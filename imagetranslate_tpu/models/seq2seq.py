@@ -174,6 +174,46 @@ class Seq2Seq(nn.Module):
         ]
         return nn.switch(lang_idx, branches, self, hidden)
 
+    def project_topk(self, hidden, k: int, lang_idx=0):
+        """Vocab projection + exact top-k + logsumexp for the decode loop.
+
+        On TPU (cfg.fused_project_topk, single output head, supported
+        shapes) a fused Pallas kernel streams the projection weight through
+        VMEM with a running top-k, so the [M, V] fp32 logits never exist in
+        HBM (ops/topk_project.py — measured +5.3% end-to-end beam-4 decode,
+        docs/PERF.md round 3). Everywhere else the XLA path computes the
+        same triple from project() with identical numerics. Returns (top_val [M, k] fp32,
+        top_idx [M, k] int32, lse [M] fp32), ties broken on the lowest
+        vocab index exactly like lax.top_k (seq_gen.py:195-227 parity
+        depends on this — see decoding/beam.py)."""
+        from imagetranslate_tpu.ops import topk_project as tkp
+
+        cfg = self.cfg
+        h = hidden[:, 0, :] if hidden.ndim == 3 else hidden
+        m, e = h.shape
+        single_head = ((cfg.tie_embed and len(self.out_bias) >= 1)
+                       or (not cfg.tie_embed and len(self.output_layers) == 1))
+        if (cfg.fused_project_topk and single_head
+                and not self.is_initializing()
+                and jax.default_backend() == "tpu"
+                and tkp.supported(m, e, cfg.vocab_size, k)):
+            cd = cfg.compute_dtype
+            if cfg.tie_embed:
+                bias = (self.out_bias[0] if len(self.out_bias) == 1
+                        else jnp.stack(self.out_bias)[lang_idx])
+                return tkp.project_topk(
+                    h.astype(cd), self.embeddings.word.embedding.astype(cd),
+                    bias.astype(jnp.float32), k, w_layout="ve")
+            pv = self.output_layers[0].proj.variables["params"]
+            return tkp.project_topk(
+                h.astype(cd), pv["kernel"].astype(cd), pv["bias"], k,
+                w_layout="ev")
+        logits = self.project(h[:, None, :], lang_idx)[:, 0, :]
+        logits = logits.astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        val, idx = jax.lax.top_k(logits, k)
+        return val, idx.astype(jnp.int32), lse
+
     # ---------------- training forward ----------------
 
     def __call__(self, src_ids, src_mask, tgt_ids, tgt_mask, src_langs,
@@ -240,9 +280,10 @@ class Seq2Seq(nn.Module):
 
     def decode_step(self, prev_token, cache: Cache, index, cross_bias,
                     tgt_langs, lang_idx=None, positions=None,
-                    proposals=None, proposal_mask=None):
+                    proposals=None, proposal_mask=None, topk=None):
         """prev_token: [B, 1] ids; index: scalar write position. Returns
-        (fp32 logits [B, V], new_cache)."""
+        (fp32 logits [B, V], new_cache); with `topk=k` the selection fuses
+        into the projection and the return is the project_topk triple."""
         B = prev_token.shape[0]
         if lang_idx is None:
             lang_idx = tgt_langs.reshape(-1)[0].astype(jnp.int32)
@@ -265,6 +306,8 @@ class Seq2Seq(nn.Module):
         if self.cfg.use_proposals and proposals is not None:
             pe = self.embeddings.word(proposals)
             hidden = self.proposal_attn(hidden, pe, proposal_mask)
+        if topk is not None:
+            return self.project_topk(hidden, topk, lang_idx), cache
         logits = self.project(hidden, lang_idx)
         return logits[:, 0, :], cache
 
@@ -290,7 +333,7 @@ class Seq2Seq(nn.Module):
     def decode_step_windowed(self, prev_token, cache: Cache, index, j,
                              cross_bias, tgt_langs, rowsel, wanc, t0: int,
                              lang_idx=None, proposals=None,
-                             proposal_mask=None):
+                             proposal_mask=None, topk=None):
         """Windowed beam decode step (Decoder.step_windowed): no per-step
         cache gather; the beam permutation is carried as the tiny
         rowsel/wanc index maps instead. `index` is the absolute position
@@ -318,6 +361,8 @@ class Seq2Seq(nn.Module):
         if self.cfg.use_proposals and proposals is not None:
             pe = self.embeddings.word(proposals)
             hidden = self.proposal_attn(hidden, pe, proposal_mask)
+        if topk is not None:
+            return self.project_topk(hidden, topk, lang_idx), cache
         logits = self.project(hidden, lang_idx)
         return logits[:, 0, :], cache
 
