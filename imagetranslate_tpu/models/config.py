@@ -70,6 +70,14 @@ class Seq2SeqConfig:
     # projection and the loss (2 GB at B=256/S=64/V=32k); the loss's
     # logsumexp/statistics still run fp32 (ops/losses.py upcasts).
     fp32_logits: bool = True
+    # Fused windowed beam-decode self-attention (ops/decode_attention.py):
+    # the XLA lowering of the one-hot-select attention measured 66% of the
+    # flagship decode step (round 3); the Pallas kernel computes it as
+    # dense GEMM-shaped dots per batch group with in-VMEM ancestry
+    # selection. Dispatch additionally gates on TPU backend and supported
+    # shapes; elsewhere the XLA einsum path runs. Default OFF until the
+    # end-to-end decode A/B on hardware proves it (standalone: 1.5x).
+    fused_decode_attention: bool = False
     # Fused vocab-projection + exact top-k + logsumexp for the beam-decode
     # selection stage (ops/topk_project.py): streams the projection weight
     # through VMEM keeping a running top-k, so the [B*K, V] fp32 logits

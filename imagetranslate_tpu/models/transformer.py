@@ -168,8 +168,8 @@ class Attention(nn.Module):
         out = self.out(ctx.reshape(B * K, 1, H, D))
         return self.ln(out + x).astype(cfg.compute_dtype)
 
-    def step_windowed(self, x, main_k, main_v, win_k, win_v, j, rowsel_oh,
-                      wanc_oh, t0: int):
+    def step_windowed(self, x, main_k, main_v, win_k, win_v, j, rowsel,
+                      wanc, t0: int):
         """Self-attention decode step over a consolidated-prefix + ancestry-
         window beam cache — no per-step cache gather.
 
@@ -179,23 +179,30 @@ class Attention(nn.Module):
         consolidated at window boundaries (every W steps, see
         decoding/beam.py): positions < t0 of physical row p hold the full
         history of the beam that was logical p at the last consolidation, and
-        `rowsel_oh[b, q, p]` says which physical row holds logical beam q's
+        `rowsel[b, q]` says which physical row holds logical beam q's
         prefix NOW. Positions inside the window live in small win_k/win_v
         buffers written at the emitting beam's own physical slot, with
-        per-position ancestry `wanc_oh[b, q, w, p]`.
+        per-position ancestry `wanc[b, q, w]`.
 
-        Scores are computed against ALL K physical rows and selected with the
-        one-hot maps — K× extra attention FLOPs (VPU-cheap) in exchange for
-        eliminating the per-step gather's read+write of the cache.
+        On TPU (cfg.fused_decode_attention) the whole stage runs as one
+        Pallas program per batch group with dense GEMM-shaped dots and
+        in-VMEM ancestry selection (ops/decode_attention.py) — measured
+        66% of the flagship decode step under the XLA lowering, round 3.
+        The XLA path computes scores against ALL K physical rows and
+        selects with one-hot maps folded into the einsums.
 
         x: [B*K, 1, E]; main_k/v: [B*K, L, H, D]; win_k/v: [B*K, W, H, D];
-        j: dynamic slot in the window (cache position t0+j); t0: STATIC
-        consolidated prefix length. Returns (out, new_win_k, new_win_v).
+        rowsel: [B, K] int32; wanc: [B, K, W] int32; j: dynamic slot in
+        the window (cache position t0+j); t0: STATIC consolidated prefix
+        length. Returns (out, new_win_k, new_win_v).
         """
+        from imagetranslate_tpu.ops import decode_attention as dca
+
         cfg = self.cfg
         BK, L, H, D = main_k.shape
         W = win_k.shape[1]
-        B, Kq, Kp = rowsel_oh.shape
+        B, Kq = rowsel.shape
+        Kp = Kq
         scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
 
         q = self.query(x)                                  # [BK, 1, H, D]
@@ -203,6 +210,23 @@ class Attention(nn.Module):
             win_k, self.key(x).astype(win_k.dtype), (0, j, 0, 0))
         win_v = jax.lax.dynamic_update_slice(
             win_v, self.value(x).astype(win_v.dtype), (0, j, 0, 0))
+
+        if (cfg.fused_decode_attention
+                and jax.default_backend() == "tpu"
+                and not self.is_initializing()
+                and dca.supported(BK, Kq, W, H, D, t0)):
+            ctx = dca.windowed_decode_attention(
+                q.reshape(BK, H, D),
+                main_k[:, :t0] if t0 > 0 else None,
+                main_v[:, :t0] if t0 > 0 else None,
+                win_k, win_v, rowsel, wanc, j,
+                scale=float(1.0 / D ** 0.5))
+            out = self.out(ctx.reshape(BK, 1, H, D))
+            out = self.ln(out + x).astype(cfg.compute_dtype)
+            return out, (win_k, win_v)
+
+        rowsel_oh = jax.nn.one_hot(rowsel, Kq, dtype=jnp.float32)
+        wanc_oh = jax.nn.one_hot(wanc, Kq, dtype=jnp.float32)
 
         qb = q.reshape(B, Kq, H, D)
         kw = win_k.reshape(B, Kp, W, H, D).astype(cfg.compute_dtype)
@@ -364,14 +388,14 @@ class DecoderLayer(nn.Module):
         x = self.ffn(x, True)
         return x, {**cache, "k": k, "v": v}
 
-    def step_windowed(self, x, cache: Cache, j, cross_bias, rowsel_oh,
-                      wanc_oh, t0: int):
+    def step_windowed(self, x, cache: Cache, j, cross_bias, rowsel,
+                      wanc, t0: int):
         """Windowed beam decode step (no per-step cache gather; see
         Attention.step_windowed). Cross-attention uses beam-deduplicated
         encoder K/V ([B, S, H, D], not repeated per beam)."""
         x, (wk, wv) = self.self_attn.step_windowed(
             x, cache["k"], cache["v"], cache["wk"], cache["wv"], j,
-            rowsel_oh, wanc_oh, t0)
+            rowsel, wanc, t0)
         x = self.cross_attn.cross_step_dedup(x, cache["ek"], cache["ev"],
                                              cross_bias)
         x = self.ffn(x, True)
@@ -519,13 +543,12 @@ class Decoder(nn.Module):
         beam -> physical row holding its consolidated prefix), `wanc` is
         [B, K, W] int32 (logical beam, window slot -> physical row), `t0` is
         the STATIC consolidated prefix length, `j` the dynamic window slot."""
-        K = rowsel.shape[1]
-        rowsel_oh = jax.nn.one_hot(rowsel, K, dtype=jnp.float32)
-        wanc_oh = jax.nn.one_hot(wanc, K, dtype=jnp.float32)
         new_cache = {}
+        rowsel = rowsel.astype(jnp.int32)
+        wanc = wanc.astype(jnp.int32)
         for i, layer in enumerate(self.layers):
             x, nc = layer.step_windowed(x, cache[f"layer_{i}"], j, cross_bias,
-                                        rowsel_oh, wanc_oh, t0)
+                                        rowsel, wanc, t0)
             new_cache[f"layer_{i}"] = nc
         return x, new_cache
 

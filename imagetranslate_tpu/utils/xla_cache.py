@@ -1,0 +1,44 @@
+"""Persistent-XLA-cache enablement for non-allowlisted PJRT platforms.
+
+jax gates the persistent compilation cache on ``backend.platform in
+{"tpu", "gpu", "cpu", "neuron"}`` (jax._src.compilation_cache.is_cache_used).
+Experimental platform plugins — like the tunneled ``axon`` TPU used in this
+environment — report a different platform name, so every process silently
+recompiles every program (70-147 s each for the big jitted steps) even with
+``JAX_COMPILATION_CACHE_DIR`` set.
+
+``force_enable()`` flips the module's one-shot "is the cache usable" latch
+to True before the first compile, which makes jax treat the backend like
+any other cache-supported platform. It is deliberately opt-in (call it, or
+set IMAGETRANSLATE_FORCE_XLA_CACHE=1 before importing the CLIs): if the
+plugin's executables do not support serialization the cache write degrades
+into a logged warning per program, and a corrupted/stale entry can be
+cleared by deleting the cache dir.
+
+Verified on the axon TPU v5e (round 3): with the latch forced, executables
+serialize and reload — a second process skips the 70 s+ compiles.
+"""
+
+from __future__ import annotations
+
+import logging
+
+logger = logging.getLogger(__name__)
+
+
+def force_enable() -> bool:
+    """Mark the persistent compilation cache usable regardless of the
+    backend's platform name. Returns True if the latch was set. Must run
+    before the first jit compile of the process (later calls are no-ops
+    because jax caches the decision at first use)."""
+    try:
+        from jax._src import compilation_cache as cc
+
+        with cc._cache_initialized_mutex:
+            cc._cache_checked = True
+            cc._cache_used = True
+        return True
+    except Exception as e:  # jax internals moved — degrade to default
+        logger.warning("could not force-enable the XLA persistent cache "
+                       "(jax internals changed?): %s", e)
+        return False
