@@ -15,8 +15,9 @@ plugin's executables do not support serialization the cache write degrades
 into a logged warning per program, and a corrupted/stale entry can be
 cleared by deleting the cache dir.
 
-Verified on the axon TPU v5e (round 3): with the latch forced, executables
-serialize and reload — a second process skips the 70 s+ compiles.
+NOT yet validated on the axon TPU (the tunnel was down when this landed);
+treat as experimental until a two-process warm-start test confirms
+executables serialize and reload on this plugin.
 """
 
 from __future__ import annotations
