@@ -166,3 +166,69 @@ def test_attention_step_windowed_xla_path_unchanged():
         method=lambda m, x, c: m.ln(m.out(c.reshape(BK, 1, H, D)) + x))
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_dense_cross_step_matches_module_path():
+    """dense_cross_step (batched-GEMM reformulation) == Attention.
+    cross_step_dedup's einsum path, through the same module params."""
+    from imagetranslate_tpu.models.config import Seq2SeqConfig
+    from imagetranslate_tpu.models import transformer as T
+
+    cfg = Seq2SeqConfig(vocab_size=64, hidden_size=128, num_heads=2,
+                        intermediate_size=64, enc_layers=1, dec_layers=1,
+                        max_position_embeddings=32, dropout=0.0,
+                        attention_dropout=0.0, dtype="float32",
+                        use_pallas_attention=False)
+    attn = T.Attention(cfg)
+    rng = jax.random.PRNGKey(0)
+    B, K, S = 2, 4, 8
+    BK = B * K
+    H, D = cfg.num_heads, cfg.head_dim
+    x = jax.random.normal(rng, (BK, 1, cfg.hidden_size))
+    params = attn.init(rng, x, x, jnp.zeros((BK, 1, 1, 1)))
+    ek = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D))
+    ev = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, D))
+    mask = jax.random.bernoulli(jax.random.PRNGKey(3), 0.8, (B, S))
+    bias = T.make_attention_bias(mask[:, None, None, :])
+
+    out_ref = attn.apply(params, x, ek, ev, bias,
+                         method=T.Attention.cross_step_dedup)
+    q = attn.apply(params, x,
+                   method=lambda m, x: m.query(x)).reshape(BK, H, D)
+    ctx = da.dense_cross_step(q, ek, ev, bias, compute_dtype=jnp.float32)
+    out_dense = attn.apply(
+        params, x, ctx,
+        method=lambda m, x, c: m.ln(
+            m.out(c.reshape(BK, 1, H, D).astype(m.cfg.compute_dtype)) + x)
+        .astype(m.cfg.compute_dtype))
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_dense),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_dense_windowed_matches_reference():
+    """dense_windowed_decode_attention (the Mosaic-free dense-dot arm) ==
+    the extracted XLA reference, including a non-8-aligned t0."""
+    rng = np.random.RandomState(11)
+    for t0 in (0, 8, 11):
+        B, K, W, H, D, j = 2, 4, 5, 2, 64, 3
+        BK = B * K
+        q = jnp.asarray(rng.randn(BK, H, D), jnp.float32)
+        mk = jnp.asarray(rng.randn(BK, max(t0, 1), H, D),
+                         jnp.float32)[:, :t0] if t0 else None
+        mv = jnp.asarray(rng.randn(BK, max(t0, 1), H, D),
+                         jnp.float32)[:, :t0] if t0 else None
+        wk = jnp.asarray(rng.randn(BK, W, H, D), jnp.float32)
+        wv = jnp.asarray(rng.randn(BK, W, H, D), jnp.float32)
+        rowsel = jnp.asarray(rng.randint(0, K, (B, K)), jnp.int32)
+        wanc = jnp.asarray(rng.randint(0, K, (B, K, W)), jnp.int32)
+        scale = 1.0 / np.sqrt(D)
+        out = da.dense_windowed_decode_attention(
+            q, mk, mv, wk, wv, rowsel, wanc, j, scale=scale,
+            compute_dtype=jnp.float32)
+        ref = da.reference_windowed_decode_attention(
+            q, mk, mv, wk, wv,
+            jax.nn.one_hot(rowsel, K, dtype=jnp.float32),
+            jax.nn.one_hot(wanc, K, dtype=jnp.float32), j, scale=scale,
+            compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-4, rtol=1e-3)
