@@ -70,14 +70,22 @@ class Seq2SeqConfig:
     # projection and the loss (2 GB at B=256/S=64/V=32k); the loss's
     # logsumexp/statistics still run fp32 (ops/losses.py upcasts).
     fp32_logits: bool = True
-    # Fused windowed beam-decode self-attention (ops/decode_attention.py):
-    # the XLA lowering of the one-hot-select attention measured 66% of the
-    # flagship decode step (round 3); the Pallas kernel computes it as
-    # dense GEMM-shaped dots per batch group with in-VMEM ancestry
-    # selection. Dispatch additionally gates on TPU backend and supported
-    # shapes; elsewhere the XLA einsum path runs. Default OFF until the
-    # end-to-end decode A/B on hardware proves it (standalone: 1.5x).
-    fused_decode_attention: bool = False
+    # Windowed beam-decode self-attention implementation
+    # (ops/decode_attention.py). The XLA lowering of the original one-hot
+    # einsums measured 66% of the flagship decode step (round 3) — 5-D
+    # contractions at K=4/H=12 are MXU slivers. Choices:
+    #   "onehot" — the original einsum path (reference formulation);
+    #   "dense"  — same math as batched GEMMs + take_along_axis selects;
+    #   "fused"  — Pallas kernel (dense dots per batch group, in-VMEM
+    #              ancestry selection); gates on TPU + supported shapes,
+    #              falling back to "dense".
+    # Default pending the on-hardware end-to-end A/B (standalone: fused
+    # 1.5x onehot).
+    decode_attention_impl: str = "onehot"
+    # Batched-GEMM reformulation of the beam-dedup cross-attention decode
+    # step (7.8% of the decode step under the sliver einsums). Same
+    # numerics, parity-tested; default pending the same A/B.
+    dense_decode_cross: bool = False
     # Fused vocab-projection + exact top-k + logsumexp for the beam-decode
     # selection stage (ops/topk_project.py): streams the projection weight
     # through VMEM keeping a running top-k, so the [B*K, V] fp32 logits

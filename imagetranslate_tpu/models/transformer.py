@@ -158,6 +158,17 @@ class Attention(nn.Module):
         cfg = self.cfg
         B, S, H, D = ek.shape
         K = x.shape[0] // B
+        if cfg.dense_decode_cross and not self.is_initializing():
+            # Batched-GEMM reformulation (ops/decode_attention.py) — the
+            # per-(b,h) M=K einsums below are MXU slivers.
+            from imagetranslate_tpu.ops import decode_attention as dca
+            BK = x.shape[0]
+            qd = self.query(x).reshape(BK, H, D)
+            ctx = dca.dense_cross_step(qd, ek, ev, bias,
+                                       compute_dtype=cfg.compute_dtype)
+            out = self.out(ctx.reshape(BK, 1, H, D)
+                           .astype(cfg.compute_dtype))
+            return self.ln(out + x).astype(cfg.compute_dtype)
         q = self.query(x).reshape(B, K, H, D)
         s = jnp.einsum("bqhd,bshd->bqhs", q, ek,
                        preferred_element_type=jnp.float32)
@@ -184,12 +195,13 @@ class Attention(nn.Module):
         buffers written at the emitting beam's own physical slot, with
         per-position ancestry `wanc[b, q, w]`.
 
-        On TPU (cfg.fused_decode_attention) the whole stage runs as one
-        Pallas program per batch group with dense GEMM-shaped dots and
-        in-VMEM ancestry selection (ops/decode_attention.py) — measured
-        66% of the flagship decode step under the XLA lowering, round 3.
-        The XLA path computes scores against ALL K physical rows and
-        selects with one-hot maps folded into the einsums.
+        cfg.decode_attention_impl selects the implementation (the one-hot
+        einsum stage measured 66% of the flagship decode step, round 3):
+        "fused" runs one Pallas program per batch group with dense
+        GEMM-shaped dots and in-VMEM ancestry selection
+        (ops/decode_attention.py), "dense" the same math as batched XLA
+        GEMMs, "onehot" the original formulation (scores against ALL K
+        physical rows, one-hot selects folded into the einsums).
 
         x: [B*K, 1, E]; main_k/v: [B*K, L, H, D]; win_k/v: [B*K, W, H, D];
         rowsel: [B, K] int32; wanc: [B, K, W] int32; j: dynamic slot in
@@ -211,17 +223,28 @@ class Attention(nn.Module):
         win_v = jax.lax.dynamic_update_slice(
             win_v, self.value(x).astype(win_v.dtype), (0, j, 0, 0))
 
-        if (cfg.fused_decode_attention
-                and jax.default_backend() == "tpu"
-                and not self.is_initializing()
-                and dca.supported(BK, Kq, W, H, D, t0)):
-            ctx = dca.windowed_decode_attention(
-                q.reshape(BK, H, D),
-                main_k[:, :t0] if t0 > 0 else None,
-                main_v[:, :t0] if t0 > 0 else None,
-                win_k, win_v, rowsel, wanc, j,
-                scale=float(1.0 / D ** 0.5))
-            out = self.out(ctx.reshape(BK, 1, H, D))
+        impl = cfg.decode_attention_impl
+        if impl == "fused" and (self.is_initializing()
+                                or jax.default_backend() != "tpu"
+                                or not dca.supported(BK, Kq, W, H, D, t0)):
+            impl = "dense"
+        if impl in ("fused", "dense") and not self.is_initializing():
+            if impl == "fused":
+                ctx = dca.windowed_decode_attention(
+                    q.reshape(BK, H, D),
+                    main_k[:, :t0] if t0 > 0 else None,
+                    main_v[:, :t0] if t0 > 0 else None,
+                    win_k, win_v, rowsel, wanc, j,
+                    scale=float(1.0 / D ** 0.5))
+            else:
+                ctx = dca.dense_windowed_decode_attention(
+                    q.reshape(BK, H, D),
+                    main_k[:, :t0] if t0 > 0 else None,
+                    main_v[:, :t0] if t0 > 0 else None,
+                    win_k, win_v, rowsel, wanc, j,
+                    scale=float(1.0 / D ** 0.5),
+                    compute_dtype=cfg.compute_dtype)
+            out = self.out(ctx.reshape(BK, 1, H, D).astype(cfg.compute_dtype))
             out = self.ln(out + x).astype(cfg.compute_dtype)
             return out, (win_k, win_v)
 

@@ -232,3 +232,42 @@ def test_dense_windowed_matches_reference():
             compute_dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_beam_decode_dense_impl_matches_default():
+    """Full tiny beam decode with decode_attention_impl='dense' +
+    dense_decode_cross=True must produce the same tokens as the default
+    one-hot path (f32 on CPU — exact math, different op order)."""
+    from imagetranslate_tpu.models.config import Seq2SeqConfig
+    from imagetranslate_tpu.models.seq2seq import Seq2Seq
+    from imagetranslate_tpu.decoding.beam import beam_search
+
+    def decode(impl, dense_cross):
+        cfg = Seq2SeqConfig(vocab_size=97, hidden_size=128, num_heads=2,
+                            intermediate_size=64, enc_layers=1,
+                            dec_layers=1, max_position_embeddings=64,
+                            dropout=0.0, attention_dropout=0.0,
+                            dtype="float32", use_pallas_attention=False,
+                            decode_attention_impl=impl,
+                            dense_decode_cross=dense_cross)
+        model = Seq2Seq(cfg)
+        rng = jax.random.PRNGKey(0)
+        B, S = 4, 10
+        src = jax.random.randint(rng, (B, S), 5, cfg.vocab_size)
+        mask = jnp.ones((B, S), bool)
+        langs = jnp.zeros((B,), jnp.int32)
+        params = model.init(rng, src, mask, src, mask, langs, langs)
+        enc = model.apply(params, src, mask, langs,
+                          method=Seq2Seq.encode)
+        first = jnp.full((B,), 6, jnp.int32)
+        sizes = jnp.full((B,), S, jnp.int32)
+        best, lengths = beam_search(
+            model, params, enc, mask, first, langs, sizes, beam_width=4,
+            max_len=24, len_penalty_ratio=0.8, pad_id=cfg.pad_id,
+            eos_id=-1, mode="windowed", window=6)
+        return np.asarray(best), np.asarray(lengths)
+
+    t_ref, l_ref = decode("onehot", False)
+    t_dense, l_dense = decode("dense", True)
+    np.testing.assert_array_equal(t_ref, t_dense)
+    np.testing.assert_array_equal(l_ref, l_dense)
