@@ -35,3 +35,12 @@ _os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     _os.path.join(_os.path.expanduser("~"), ".cache", "imagetranslate_tpu_xla"),
 )
+
+# Opt-in persistent-cache enablement for non-allowlisted PJRT platforms
+# (IMAGETRANSLATE_FORCE_XLA_CACHE=1; no-op — and no jax import — otherwise).
+if _os.environ.get("IMAGETRANSLATE_FORCE_XLA_CACHE") == "1":
+    from imagetranslate_tpu.utils.xla_cache import (  # noqa: E402
+        maybe_force_enable_from_env as _mfe,
+    )
+
+    _mfe()

@@ -291,7 +291,9 @@ class ImageSeq2Seq(nn.Module):
                     proposal_mask=None, topk=None):
         return self.core.decode_step(prev_token, cache, index, cross_bias,
                                      tgt_langs, lang_idx=lang_idx,
-                                     positions=positions, topk=topk)
+                                     positions=positions,
+                                     proposals=proposals,
+                                     proposal_mask=proposal_mask, topk=topk)
 
     def decode_step_beams(self, prev_token, cache, index, cross_bias,
                           tgt_langs, ancestry, lang_idx=None):
@@ -309,7 +311,8 @@ class ImageSeq2Seq(nn.Module):
                              proposals=None, proposal_mask=None, topk=None):
         return self.core.decode_step_windowed(
             prev_token, cache, index, j, cross_bias, tgt_langs, rowsel,
-            wanc, t0, lang_idx=lang_idx, topk=topk)
+            wanc, t0, lang_idx=lang_idx, proposals=proposals,
+            proposal_mask=proposal_mask, topk=topk)
 
     # ---------------- gated dual-stream decoding (seq_gen.py:180-188):
     # run the decoder against the text encoding AND the image grid with

@@ -101,6 +101,12 @@ class Seq2SeqConfig:
     # freedom. Kept opt-in for shapes where XLA fails to fuse.
     use_pallas_xent: bool = False
 
+    def __post_init__(self):
+        if self.decode_attention_impl not in ("onehot", "dense", "fused"):
+            raise ValueError(
+                "decode_attention_impl must be 'onehot', 'dense' or "
+                f"'fused', got {self.decode_attention_impl!r}")
+
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads

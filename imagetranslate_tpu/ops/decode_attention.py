@@ -47,15 +47,28 @@ from jax.experimental.pallas import tpu as pltpu
 from imagetranslate_tpu.ops.attention import NEG_INF
 
 
+_VMEM_BUDGET = 12 * 1024 * 1024   # leave headroom below the ~16 MB core
+
+
 def supported(BK: int, K: int, W: int, H: int, D: int, t0: int,
-              group: int = 8) -> bool:
+              group: int = 8, itemsize: int = 2) -> bool:
     if K < 1 or BK % K != 0 or W < 1 or t0 < 0:
         return False
     if group % K != 0 or BK % group != 0:
         return False
     # flat head dim must be lane-aligned; per-batch stacks must be sublane
     # sliceable at dynamic offsets
-    return (H * D) % 128 == 0 and H >= 1 and D % 8 == 0
+    if (H * D) % 128 != 0 or H < 1 or D % 8 != 0:
+        return False
+    # VMEM bound: block inputs are double-buffered by the pipeline; the
+    # score/prob scratches are single. Past the budget the caller must
+    # fall back (long decodes grow t0 linearly).
+    HD, KH = H * D, K * H
+    mt = max(t0, 1)
+    blocks = (2 * group * mt * HD + 2 * group * W * HD
+              + group * HD) * itemsize * 2
+    scratch = K * mt * KH * 4 + (K * mt + K * W) * KH * itemsize
+    return blocks + scratch <= _VMEM_BUDGET
 
 
 def _kernel(rs_ref, jj_ref, wanc_ref, q_ref, wk_ref, wv_ref,
@@ -112,8 +125,9 @@ def _kernel(rs_ref, jj_ref, wanc_ref, q_ref, wk_ref, wv_ref,
                 preferred_element_type=f32).reshape(K, t0, KH)
             mv_b = mv_ref[pl.ds(r0, K)].astype(cd).reshape(K * t0, HD)
             pp_ref[:] = jnp.zeros_like(pp_ref)
+        # (pw_ref needs no zeroing: the q-loop writes every column stripe
+        # over all K*W rows, fully overwriting it before the PV dot.)
         wv_b = wv_ref[pl.ds(r0, K)].astype(cd).reshape(K * W, HD)
-        pw_ref[:] = jnp.zeros_like(pw_ref)
 
         for q in range(K):
             r = r0 + q
@@ -244,6 +258,19 @@ def windowed_decode_attention(q, main_k, main_v, win_k, win_v, rowsel,
     return out.reshape(BK, H, D)
 
 
+def _q3t_masks(K: int, H: int, D: int, dtype):
+    """Constant masks for the dense formulations: e4 [K*H, K] expands the
+    batch's K query rows into the K*H score columns; cht [K*H, H*D] keeps
+    only the matching head's lanes; hm [H, H*D] selects a query's head
+    block-diagonal from the [K*H, H*D] PV output."""
+    HD, KH = H * D, K * H
+    e4 = (jnp.arange(KH)[:, None] // H == jnp.arange(K)[None, :])
+    cht = (jnp.arange(KH)[:, None] % H
+           == jnp.arange(HD)[None, :] // D).astype(dtype)
+    hm = (jnp.arange(H)[:, None] == jnp.arange(HD)[None, :] // D)
+    return e4.astype(dtype), cht, hm
+
+
 def dense_windowed_decode_attention(q, main_k, main_v, win_k, win_v,
                                     rowsel, wanc, j, *, scale: float,
                                     compute_dtype=jnp.bfloat16):
@@ -265,11 +292,8 @@ def dense_windowed_decode_attention(q, main_k, main_v, win_k, win_v,
     f32 = jnp.float32
 
     # q3t [B, K*H, HD]: row q*H+h = query q masked to head h.
-    e4 = (jnp.arange(KH)[:, None] // H == jnp.arange(K)[None, :])
-    cht = (jnp.arange(KH)[:, None] % H
-           == jnp.arange(HD)[None, :] // D).astype(cd)
-    q3t = jnp.einsum("bkc,nk->bnc", q.reshape(B, K, HD),
-                     e4.astype(cd)) * cht[None]
+    e4, cht, hm = _q3t_masks(K, H, D, cd)
+    q3t = jnp.einsum("bkc,nk->bnc", q.reshape(B, K, HD), e4) * cht[None]
 
     kw = win_k.reshape(B, K * W, HD).astype(cd)
     vw = win_v.reshape(B, K * W, HD).astype(cd)
@@ -300,7 +324,6 @@ def dense_windowed_decode_attention(q, main_k, main_v, win_k, win_v,
     w = jax.nn.softmax(s, axis=2)                      # [B, K, T, H]
 
     # PV: scatter probs into the dense layout, one batched dot per stage.
-    hm = (jnp.arange(H)[:, None] == jnp.arange(HD)[None, :] // D)
     w_win = (w[:, :, t0:] if t0 > 0 else w)
     pw = jnp.einsum("bqwh,bpwq->bpwqh", w_win.astype(f32),
                     oh.astype(f32)).astype(cd)         # [B, K, W, K, H]
@@ -333,11 +356,8 @@ def dense_cross_step(q, ek, ev, bias, *, compute_dtype=jnp.bfloat16):
     cd = compute_dtype
     f32 = jnp.float32
 
-    e4 = (jnp.arange(KH)[:, None] // H == jnp.arange(K)[None, :])
-    cht = (jnp.arange(KH)[:, None] % H
-           == jnp.arange(HD)[None, :] // D).astype(cd)
-    q3t = jnp.einsum("bkc,nk->bnc", q.reshape(B, K, HD),
-                     e4.astype(cd)) * cht[None]
+    e4, cht, hm = _q3t_masks(K, H, D, cd)
+    q3t = jnp.einsum("bkc,nk->bnc", q.reshape(B, K, HD), e4) * cht[None]
 
     ekf = ek.reshape(B, S, HD).astype(cd)
     evf = ev.reshape(B, S, HD).astype(cd)
@@ -348,7 +368,6 @@ def dense_cross_step(q, ek, ev, bias, *, compute_dtype=jnp.bfloat16):
     w = jax.nn.softmax(s, axis=1)
     ctx_all = jnp.einsum("bsn,bsc->bnc", w.astype(cd), evf,
                          preferred_element_type=f32)    # [B, KH, HD]
-    hm = (jnp.arange(H)[:, None] == jnp.arange(HD)[None, :] // D)
     ctx = jnp.einsum("bqhc,hc->bqc", ctx_all.reshape(B, K, H, HD),
                      hm.astype(f32))
     return ctx.reshape(BK, H, D)

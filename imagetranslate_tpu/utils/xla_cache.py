@@ -9,11 +9,12 @@ recompiles every program (70-147 s each for the big jitted steps) even with
 
 ``force_enable()`` flips the module's one-shot "is the cache usable" latch
 to True before the first compile, which makes jax treat the backend like
-any other cache-supported platform. It is deliberately opt-in (call it, or
-set IMAGETRANSLATE_FORCE_XLA_CACHE=1 before importing the CLIs): if the
-plugin's executables do not support serialization the cache write degrades
-into a logged warning per program, and a corrupted/stale entry can be
-cleared by deleting the cache dir.
+any other cache-supported platform. It is deliberately opt-in — call it
+directly, or set ``IMAGETRANSLATE_FORCE_XLA_CACHE=1`` in the environment
+(checked by ``maybe_force_enable_from_env()``, which the package
+``__init__`` invokes). If the plugin's executables do not support
+serialization the cache write degrades into a logged warning per program,
+and a corrupted/stale entry can be cleared by deleting the cache dir.
 
 NOT yet validated on the axon TPU (the tunnel was down when this landed);
 treat as experimental until a two-process warm-start test confirms
@@ -35,6 +36,13 @@ def force_enable() -> bool:
     try:
         from jax._src import compilation_cache as cc
 
+        # Attribute assignment can't fail, so verify the latch variables
+        # actually exist — a jax rename would otherwise create orphan
+        # attributes and falsely report success.
+        if not (hasattr(cc, "_cache_checked") and hasattr(cc, "_cache_used")
+                and hasattr(cc, "_cache_initialized_mutex")):
+            raise AttributeError(
+                "compilation_cache latch variables not found")
         with cc._cache_initialized_mutex:
             cc._cache_checked = True
             cc._cache_used = True
@@ -43,3 +51,12 @@ def force_enable() -> bool:
         logger.warning("could not force-enable the XLA persistent cache "
                        "(jax internals changed?): %s", e)
         return False
+
+
+def maybe_force_enable_from_env() -> bool:
+    """force_enable() iff IMAGETRANSLATE_FORCE_XLA_CACHE=1 is set."""
+    import os
+
+    if os.environ.get("IMAGETRANSLATE_FORCE_XLA_CACHE") == "1":
+        return force_enable()
+    return False
