@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from imagetranslate_tpu.ops.attention import NEG_INF
 
+from imagetranslate_tpu.ops import runtime
 
 _VMEM_BUDGET = 12 * 1024 * 1024   # leave headroom below the ~16 MB core
 
@@ -116,10 +117,14 @@ def _kernel(rs_ref, jj_ref, wanc_ref, q_ref, wk_ref, wv_ref,
                                      preferred_element_type=f32)  # [KW,KH]
         if t0 > 0:
             mk_b = mk_ref[pl.ds(r0, K)].astype(cd).reshape(K * t0, HD)
-            # sp/pp scratch are 3-D [K, t0, K*H] so per-physical-row access
-            # is a leading-dim dynamic index (a flat [K*t0, ·] layout would
-            # need dynamic sublane offsets p*t0, which Mosaic only allows
-            # when provably 8-aligned — t0=44 is not).
+            # sp/pp scratch are 3-D [K, t0, K*H], but Mosaic collapses the
+            # leading dims to [K*t0, lanes], so a dynamic index on dim 0
+            # becomes a sublane offset p*t0 it must prove 8-aligned —
+            # t0=44 (the first in-loop consolidation) is not, and the
+            # failed Mosaic compile wedged the device tunnel in round 3.
+            # The q-loop below therefore never indexes by p: it selects and
+            # scatters through a one-hot over the K physical rows (static
+            # full-block accesses; K·t0·H ≈ 2k elements of VPU work).
             sp_ref[:] = jax.lax.dot_general(
                 mk_b, q3t, (((1,), (1,)), ((), ())),
                 preferred_element_type=f32).reshape(K, t0, KH)
@@ -140,7 +145,10 @@ def _kernel(rs_ref, jj_ref, wanc_ref, q_ref, wk_ref, wv_ref,
 
             if t0 > 0:
                 p = rs_ref[i * G + r] - (i * G + r0)           # in [0, K)
-                s_pre = sp_ref[p, :, q * H:(q + 1) * H] * scale  # [t0, H]
+                p_oh = (jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
+                        == p).astype(f32)                      # [K, 1, 1]
+                s_pre = jnp.sum(sp_ref[:, :, q * H:(q + 1) * H] * p_oh,
+                                axis=0) * scale                # [t0, H]
                 s = jnp.concatenate([s_pre, s_win], axis=0)
             else:
                 s = s_win
@@ -155,7 +163,8 @@ def _kernel(rs_ref, jj_ref, wanc_ref, q_ref, wk_ref, wv_ref,
             # clash). Probs cast to the compute dtype for the PV dots,
             # exactly like the XLA path.
             if t0 > 0:
-                pp_ref[p, :, q * H:(q + 1) * H] = probs[:t0].astype(cd)
+                pp_ref[:, :, q * H:(q + 1) * H] = (
+                    p_oh * probs[:t0][None]).astype(cd)
             pw_q = jnp.broadcast_to(probs[t0:][None], (K, W, H)) \
                 * oh[:, :, None]                               # [K, W, H]
             pw_ref[:, q * H:(q + 1) * H] = pw_q.reshape(K * W, H).astype(cd)
@@ -212,7 +221,7 @@ def windowed_decode_attention(q, main_k, main_v, win_k, win_v, rowsel,
         mv2 = jnp.zeros((BK, 1, HD), win_v.dtype)
 
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not runtime.tpu_lowering()
 
     kernel = functools.partial(_kernel, t0=t0, K=K, W=W, H=H, D=D, G=G,
                                scale=scale)
