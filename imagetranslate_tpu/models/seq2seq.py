@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from imagetranslate_tpu.models.config import Seq2SeqConfig
+from imagetranslate_tpu.ops import runtime
 from imagetranslate_tpu.models.transformer import (
     Cache,
     Decoder,
@@ -195,7 +196,7 @@ class Seq2Seq(nn.Module):
                        or (not cfg.tie_embed and len(self.output_layers) == 1))
         if (cfg.fused_project_topk and single_head
                 and not self.is_initializing()
-                and jax.default_backend() == "tpu"
+                and runtime.tpu_lowering()
                 and tkp.supported(m, e, cfg.vocab_size, k)):
             cd = cfg.compute_dtype
             if cfg.tie_embed:

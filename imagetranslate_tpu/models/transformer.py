@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from imagetranslate_tpu.models.config import Seq2SeqConfig
+from imagetranslate_tpu.ops import runtime
 from imagetranslate_tpu.ops.attention import (
     NEG_INF,
     dot_product_attention,
@@ -225,7 +226,7 @@ class Attention(nn.Module):
 
         impl = cfg.decode_attention_impl
         if impl == "fused" and (self.is_initializing()
-                                or jax.default_backend() != "tpu"
+                                or not runtime.tpu_lowering()
                                 or not dca.supported(BK, Kq, W, H, D, t0)):
             impl = "dense"
         if impl in ("fused", "dense") and not self.is_initializing():

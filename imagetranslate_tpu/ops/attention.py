@@ -14,6 +14,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from imagetranslate_tpu.ops import runtime
 
 NEG_INF = -10000.0  # reference's additive mask value (bert_seq2seq.py:37)
 
@@ -90,7 +91,7 @@ def dot_product_attention(
             return _flash_with_vjp(q, k, v, b)
 
     if (dropout_rate > 0.0 and not deterministic and use_fused_dropout
-            and jax.default_backend() == "tpu"):
+            and runtime.tpu_lowering()):
         # Fused QK^T+bias+softmax+dropout+PV Pallas kernel: the probs, the
         # random bits and the mask never touch HBM, and backward recomputes
         # the identical mask from the seed (ops/train_attention.py).

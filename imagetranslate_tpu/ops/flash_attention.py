@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from imagetranslate_tpu.ops import runtime
+
 
 def _pick_block(n: int, candidates=(256, 128, 64, 32, 16, 8)) -> int:
     for c in candidates:
@@ -135,7 +137,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         args.append(jnp.zeros((1, 1, 1, 1), jnp.float32))
 
     kernel = functools.partial(_kernel, scale=scale, has_bias=has_bias)
-    interpret = jax.default_backend() != "tpu"  # CPU tests: interpreter mode
+    interpret = not runtime.tpu_lowering()  # CPU tests: interpreter mode
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -61,6 +61,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from imagetranslate_tpu.ops import runtime
 
 _NEG = float("-inf")
 
@@ -217,7 +218,7 @@ def project_topk(
     kernel = functools.partial(
         _kernel, k=k, v_tile=v_tile, w_layout=w_layout)
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not runtime.tpu_lowering()
     fout, iout = pl.pallas_call(
         kernel,
         grid=grid,

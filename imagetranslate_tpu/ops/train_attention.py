@@ -39,6 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from imagetranslate_tpu.ops import runtime
 
 def _keep_threshold(rate: float) -> int:
     """uint32 threshold t: keep iff bits >= t, so P(keep) = 1 - rate exactly
@@ -181,7 +182,7 @@ def _run_fwd(q, k, v, bias, rate, seed):
     kT = k.transpose(0, 2, 3, 1)
     vt = v.transpose(0, 2, 1, 3)
     kern = functools.partial(_fwd_kernel, scale=scale, rate=float(rate))
-    interpret = jax.default_backend() != "tpu"
+    interpret = not runtime.tpu_lowering()
     G = _batch_block(B)
     out = pl.pallas_call(
         kern,
@@ -226,7 +227,7 @@ def _bwd_rule(rate, res, g):
     vt = v.transpose(0, 2, 1, 3)
     gt = g.transpose(0, 2, 1, 3)
     kern = functools.partial(_bwd_kernel, scale=scale, rate=float(rate))
-    interpret = jax.default_backend() != "tpu"
+    interpret = not runtime.tpu_lowering()
     G = _batch_block(B)
     dq, dk, dv = pl.pallas_call(
         kern,

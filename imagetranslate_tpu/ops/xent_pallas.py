@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from imagetranslate_tpu.ops import runtime
 
 def _pick_block(n, candidates=(512, 256, 128, 64, 32, 16, 8)):
     for c in candidates:
@@ -87,7 +88,7 @@ def _fwd_impl(logits, targets, eps):
     Vb = _pick_block(V, (2048, 1024, 512, 256, 128))
     if Nb == 0 or Vb == 0:
         return None
-    interpret = jax.default_backend() != "tpu"
+    interpret = not runtime.tpu_lowering()
     t2 = targets.astype(jnp.int32).reshape(N, 1)
     kernel = functools.partial(_fwd_kernel, eps=eps, vocab=V, vb=Vb)
     loss = pl.pallas_call(
@@ -147,7 +148,7 @@ def _vjp_bwd(epsilon, res, g):
         onehot = jax.nn.one_hot(targets, V, dtype=jnp.float32)
         dx = g[:, None] * (p - (1.0 - epsilon) * onehot - epsilon / V)
         return dx.astype(logits.dtype), None
-    interpret = jax.default_backend() != "tpu"
+    interpret = not runtime.tpu_lowering()
     kernel = functools.partial(_bwd_kernel, eps=epsilon, vocab=V, vb=Vb)
     dx = pl.pallas_call(
         kernel,
