@@ -194,3 +194,46 @@ def test_flagship_decode_program_compiles_all_arms():
                 _spec((Bd,), jnp.int32), _spec((Bd,), jnp.int32),
                 beam_width=4, max_len=L, len_penalty_ratio=0.8,
                 pad_id=cfg.pad_id, eos_id=-1).compile()
+
+
+def test_flagship_train_program_compiles():
+    """The flagship MT train step (BERT-base, B=256, fused attention-dropout
+    engaged, rbg hardware RNG) AOT-compiles — exactly the program bench.py
+    times on hardware. jax.eval_shape keeps the big init compute-free."""
+    from imagetranslate_tpu.models.config import Seq2SeqConfig
+    from imagetranslate_tpu.models.seq2seq import Seq2Seq
+    from imagetranslate_tpu.train.optimizer import build_optimizer
+    from imagetranslate_tpu.train.step import (
+        create_train_state,
+        make_mt_train_step,
+        train_rng,
+    )
+
+    cfg = Seq2SeqConfig(vocab_size=32000, num_languages=2)
+    model = Seq2Seq(cfg)
+    Bt, S = 256, 64
+    sh = aot.replicated_sharding()
+
+    def respec(tree):
+        return jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh),
+            tree)
+
+    r = jax.random.PRNGKey(0)
+    ids = jax.ShapeDtypeStruct((Bt, S), jnp.int32)
+    msk = jax.ShapeDtypeStruct((Bt, S), jnp.dtype(bool))
+    lng = jax.ShapeDtypeStruct((Bt,), jnp.int32)
+    params = jax.eval_shape(model.init, r, ids, msk, ids, msk, lng, lng)
+    optimizer = build_optimizer(lr=1e-4)
+    st = respec(jax.eval_shape(lambda p: create_train_state(p, optimizer),
+                               params))
+    batch = respec({
+        "src": ids, "src_mask": msk, "dst": ids, "dst_mask": msk,
+        "src_langs": lng, "dst_langs": lng,
+        "row_mask": jax.ShapeDtypeStruct((Bt,), jnp.dtype(bool)),
+    })
+    key = train_rng(0)
+    key_spec = jax.ShapeDtypeStruct(key.shape, key.dtype, sharding=sh)
+    step_fn = make_mt_train_step(model, optimizer, donate=False)
+    with runtime.force_tpu_lowering():
+        step_fn.lower(st, batch, key_spec).compile()
