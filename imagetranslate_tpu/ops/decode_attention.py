@@ -129,9 +129,9 @@ def _kernel(rs_ref, jj_ref, wanc_ref, q_ref, wk_ref, wv_ref,
                 mk_b, q3t, (((1,), (1,)), ((), ())),
                 preferred_element_type=f32).reshape(K, t0, KH)
             mv_b = mv_ref[pl.ds(r0, K)].astype(cd).reshape(K * t0, HD)
-            pp_ref[:] = jnp.zeros_like(pp_ref)
-        # (pw_ref needs no zeroing: the q-loop writes every column stripe
-        # over all K*W rows, fully overwriting it before the PV dot.)
+        # (pp_ref/pw_ref need no zeroing: the q-loop writes every column
+        # stripe over ALL rows — the one-hot scatter stores zeros on the
+        # non-selected rows — fully overwriting both before the PV dots.)
         wv_b = wv_ref[pl.ds(r0, K)].astype(cd).reshape(K * W, HD)
 
         for q in range(K):

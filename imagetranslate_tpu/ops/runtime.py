@@ -28,7 +28,13 @@ def tpu_lowering() -> bool:
 @contextlib.contextmanager
 def force_tpu_lowering():
     """Treat the lowering target as TPU regardless of the process backend
-    (device-free AOT compiles). Affects trace-time decisions only."""
+    (device-free AOT compiles). Affects trace-time decisions only.
+
+    CAVEAT: the flag is consulted at trace time but is NOT part of any
+    jit trace-cache key. Traces of module-level jitted functions created
+    inside this context bake the TPU paths in; call `.clear_cache()` on
+    any such function before it can be re-entered by normal CPU execution
+    in the same process (see tests/test_aot_mosaic.py)."""
     global _FORCE_TPU
     prev = _FORCE_TPU
     _FORCE_TPU = True

@@ -28,10 +28,30 @@ import jax
 _TOPOLOGY_NAME = "v5e:1x1x1"
 
 
+def _cpu_only_process() -> bool:
+    """True when this process is pinned to the CPU backend (JAX_PLATFORMS
+    / jax_platforms == cpu). Checked WITHOUT initializing any backend:
+    touching jax.default_backend() here could register a real device
+    plugin (e.g. claim the tunneled axon TPU) — the exact side effect
+    this module exists to avoid."""
+    try:
+        platforms = jax.config.jax_platforms
+    except AttributeError:
+        import os
+
+        platforms = os.environ.get("JAX_PLATFORMS")
+    return platforms is not None and \
+        [p.strip() for p in platforms.split(",") if p.strip()] == ["cpu"]
+
+
 @functools.lru_cache(maxsize=None)
 def get_tpu_topology(topology_name: str = _TOPOLOGY_NAME):
     """A local PJRT TPU topology descriptor, or None if unavailable
-    (no libtpu in the image, or the plugin refuses topology-only init)."""
+    (no libtpu in the image, the plugin refuses topology-only init, or
+    the process is not pinned to the CPU backend — initializing the tpu
+    plugin in a device-attached process could claim the device)."""
+    if not _cpu_only_process():
+        return None
     try:
         from jax.experimental import topologies
 
@@ -42,9 +62,11 @@ def get_tpu_topology(topology_name: str = _TOPOLOGY_NAME):
         return None
 
 
+@functools.lru_cache(maxsize=None)
 def replicated_sharding(topology_name: str = _TOPOLOGY_NAME):
     """A fully-replicated NamedSharding over the topology's (single)
-    device, for building jax.ShapeDtypeStruct compile-only arguments."""
+    device, for building jax.ShapeDtypeStruct compile-only arguments.
+    Cached: callers build one of these per argument leaf."""
     topo = get_tpu_topology(topology_name)
     if topo is None:
         return None
@@ -67,8 +89,14 @@ def aot_compile(fn, *args, static_argnames=(), **kwargs):
     (build them with shape_spec / jax.tree.map(shape_spec, tree)), or
     static python values. Returns the jax Compiled object; raises
     XlaRuntimeError on any XLA/Mosaic compile failure. `fn` may already
-    be a jitted callable (its .lower is used directly)."""
+    be a jitted callable (its .lower is used directly; pass statics the
+    way its own jit declared them — static_argnames is rejected there
+    rather than silently dropped)."""
     if hasattr(fn, "lower"):
+        if static_argnames:
+            raise ValueError(
+                "fn is already jitted; its own static_argnames apply — "
+                "passing static_argnames here would be silently ignored")
         return fn.lower(*args, **kwargs).compile()
     jitted = jax.jit(fn, static_argnames=static_argnames)
     return jitted.lower(*args, **kwargs).compile()

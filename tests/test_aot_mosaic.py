@@ -167,33 +167,49 @@ def test_flagship_decode_program_compiles_all_arms():
     arms = [
         dict(),
         dict(decode_attention_impl="fused"),
+        dict(decode_attention_impl="dense"),
+        dict(dense_decode_cross=True),
+        dict(decode_attention_impl="fused", dense_decode_cross=True),
         dict(decode_attention_impl="dense", dense_decode_cross=True),
     ]
     Bd, S = 64, 64
-    for over in arms:
+    sh = aot.replicated_sharding()
+    try:
+        for over in arms:
+            beam_search.clear_cache()
+            # tiny-but-real config keeps per-arm compile well under 1 min;
+            # the fused kernel still engages (H*D=768 lane-aligned, t0=44
+            # reached).
+            cfg = Seq2SeqConfig(vocab_size=8192, num_languages=2,
+                                enc_layers=2, dec_layers=2, dropout=0.1,
+                                **over)
+            model = Seq2Seq(cfg)
+            r = jax.random.PRNGKey(0)
+            src = jax.random.randint(r, (4, S), 5, cfg.vocab_size)
+            m1 = jnp.ones((4, S), bool)
+            l1 = jnp.zeros((4,), jnp.int32)
+            params = model.init(r, src, m1, src, m1, l1, l1)
+            ip = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(
+                    x.shape,
+                    jnp.bfloat16 if jnp.issubdtype(x.dtype, jnp.floating)
+                    else x.dtype, sharding=sh), params)
+            L = max_len_for(S, 1.3, 5, cfg.max_position_embeddings)
+            enc = _spec((Bd, S, cfg.hidden_size), jnp.bfloat16)
+            with runtime.force_tpu_lowering():
+                beam_search.lower(
+                    model, ip, enc, _spec((Bd, S), bool),
+                    _spec((Bd,), jnp.int32), _spec((Bd,), jnp.int32),
+                    _spec((Bd,), jnp.int32),
+                    beam_width=4, max_len=L, len_penalty_ratio=0.8,
+                    pad_id=cfg.pad_id, eos_id=-1).compile()
+    finally:
+        # beam_search is a module-level jitted fn: traces created under
+        # force_tpu_lowering bake in interpret=False Pallas calls, and the
+        # _FORCE_TPU flag is NOT part of the trace-cache key — drop them so
+        # a later CPU test with an identical config can't hit a TPU-path
+        # jaxpr.
         beam_search.clear_cache()
-        # tiny-but-real config keeps per-arm compile ~1 min; the fused
-        # kernel still engages (H*D=768 lane-aligned, t0=44 reached).
-        cfg = Seq2SeqConfig(vocab_size=8192, num_languages=2, enc_layers=2,
-                            dec_layers=2, dropout=0.1, **over)
-        model = Seq2Seq(cfg)
-        r = jax.random.PRNGKey(0)
-        src = jax.random.randint(r, (4, S), 5, cfg.vocab_size)
-        m1 = jnp.ones((4, S), bool)
-        l1 = jnp.zeros((4,), jnp.int32)
-        params = model.init(r, src, m1, src, m1, l1, l1)
-        ip = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(
-                x.shape, jnp.bfloat16 if jnp.issubdtype(x.dtype, jnp.floating)
-                else x.dtype, sharding=aot.replicated_sharding()), params)
-        L = max_len_for(S, 1.3, 5, cfg.max_position_embeddings)
-        enc = _spec((Bd, S, cfg.hidden_size), jnp.bfloat16)
-        with runtime.force_tpu_lowering():
-            beam_search.lower(
-                model, ip, enc, _spec((Bd, S), bool), _spec((Bd,), jnp.int32),
-                _spec((Bd,), jnp.int32), _spec((Bd,), jnp.int32),
-                beam_width=4, max_len=L, len_penalty_ratio=0.8,
-                pad_id=cfg.pad_id, eos_id=-1).compile()
 
 
 def test_flagship_train_program_compiles():
