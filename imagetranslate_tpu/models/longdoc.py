@@ -17,7 +17,7 @@ Presets mirror reformer_config.py's three sizes (small/medium/base).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -105,10 +105,33 @@ class LocalAttentionLayer(nn.Module):
 
 class LongDocLM(nn.Module):
     """4096-position MLM with local block attention. Interface-compatible
-    with models.lm.LM so LMTrainer's step functions apply unchanged."""
+    with models.lm.LM so LMTrainer's step functions apply unchanged.
+
+    Sequence (context) parallelism: pass `seq_sharding` — a NamedSharding
+    over the (batch, sequence) dims, e.g. NamedSharding(mesh,
+    P("data", "model")) — and every activation is constrained to keep the
+    sequence dim sharded across chips. Local block attention only ever
+    reads one neighbor block per side, so GSPMD lowers the halo to a
+    collective-permute of one [B, block, H, D] slab per layer per
+    direction; the O(T) memory and compute split across the axis. Params
+    stay replicated on that axis (pure CP, not TP) — this is the
+    TPU-native scaling story for the 4096-position document LM the
+    reference could only run single-GPU (reformer_lm.py:15-47)."""
 
     cfg: Seq2SeqConfig
     block: int = 128
+    seq_sharding: Optional[Any] = None
+
+    def _constrain(self, x):
+        """Pin (batch, seq, ...) sharding on an activation."""
+        if self.seq_sharding is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        s = self.seq_sharding
+        spec = PartitionSpec(*(tuple(s.spec) + (None,) * (x.ndim - 2)))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(s.mesh, spec))
 
     def setup(self):
         cfg = self.cfg
@@ -138,7 +161,8 @@ class LongDocLM(nn.Module):
         x = self.word(texts) + self.position(pos) + self.lang(langs)
         x = self.ln(x).astype(self.cfg.compute_dtype)
         x = self.drop(x, deterministic=deterministic)
+        x = self._constrain(x)
         for layer in self.layers:
-            x = layer(x, pad_mask, deterministic)
+            x = self._constrain(layer(x, pad_mask, deterministic))
         logits = self.word.attend(x).astype(jnp.float32)
         return logits + self.out_bias

@@ -157,6 +157,21 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def seq_sharding(mesh: Mesh) -> NamedSharding:
+    """(batch, sequence) sharding for context parallelism: the "model"
+    axis shards the SEQUENCE dim of activations (params stay replicated
+    on it). Used by the long-document LM, whose block-local attention
+    makes the per-layer halo a single neighbor-block collective-permute
+    (models/longdoc.py::LongDocLM.seq_sharding)."""
+    return NamedSharding(mesh, P("data", "model"))
+
+
+def model_axis_size(mesh: Optional[Mesh]) -> int:
+    if mesh is None:
+        return 1
+    return dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

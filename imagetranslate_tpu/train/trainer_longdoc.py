@@ -12,6 +12,28 @@ from imagetranslate_tpu.train.trainer_lm import LMTrainer
 
 
 class LongDocTrainer(LMTrainer):
+    def _shard(self, batch):
+        if self.mesh is None:
+            return batch
+        if not getattr(self, "seq_parallel", False):
+            return super()._shard(batch)
+        # [B, T] token/mask arrays shard (data, seq); [B] arrays (data).
+        from imagetranslate_tpu.parallel.mesh import (
+            batch_sharding,
+            seq_sharding,
+        )
+
+        s2, s1 = seq_sharding(self.mesh), batch_sharding(self.mesh)
+
+        def put(v):
+            if getattr(v, "ndim", 0) == 2:
+                return jax.device_put(v, s2)
+            if getattr(v, "ndim", 0) == 1:
+                return jax.device_put(v, s1)
+            return v
+
+        return {k: put(v) for k, v in batch.items()}
+
     @classmethod
     def from_options(cls, options, tp, mesh=None):
         cfg = longdoc_config(tp.vocab_size(),
@@ -29,9 +51,20 @@ class LongDocTrainer(LMTrainer):
             make_mlm_train_step,
         )
 
+        from imagetranslate_tpu.parallel.mesh import (
+            model_axis_size,
+            seq_sharding,
+        )
+
         self.cfg = cfg
         self.tp = tp
-        self.model = LongDocLM(cfg)
+        # Context parallelism: a "model" mesh axis shards the SEQUENCE dim
+        # of this model's activations (block-local attention = one
+        # neighbor-block halo per layer); params are replicated on it.
+        self.seq_parallel = model_axis_size(mesh) > 1
+        self.model = LongDocLM(
+            cfg, seq_sharding=seq_sharding(mesh) if self.seq_parallel
+            else None)
         self.mesh = mesh
         from imagetranslate_tpu.train.step import train_rng
 
@@ -44,9 +77,17 @@ class LongDocTrainer(LMTrainer):
         params = self.model.init(init_rng, texts, jnp.ones((B, T), bool),
                                  jnp.zeros((B,), jnp.int32))
         if mesh is not None:
-            from imagetranslate_tpu.parallel.mesh import shard_params
+            if self.seq_parallel:
+                # pure CP: replicate params on the model axis (the TP
+                # head-sharding rules don't apply to the seq-sharded run —
+                # and would only warn here, these heads aren't divisible).
+                from imagetranslate_tpu.parallel.mesh import replicated
 
-            params = shard_params(params, mesh)
+                params = jax.device_put(params, replicated(mesh))
+            else:
+                from imagetranslate_tpu.parallel.mesh import shard_params
+
+                params = shard_params(params, mesh)
         self.optimizer = build_optimizer(lr=options.learning_rate,
                                          warmup_updates=options.warmup,
                                          clip_norm=options.clip)
