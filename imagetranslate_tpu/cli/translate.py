@@ -52,6 +52,12 @@ def _dp_sharding(n: int):
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
+    if n > 1:
+        # Mosaic kernels can't be GSPMD-partitioned — the sharded decode
+        # must lower their XLA fallbacks (ops/runtime.py::spmd_lowering).
+        from imagetranslate_tpu.ops import runtime
+
+        runtime.set_spmd_lowering(True)
     mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
     return NamedSharding(mesh, PartitionSpec("data"))
 

@@ -197,6 +197,7 @@ class Seq2Seq(nn.Module):
         if (cfg.fused_project_topk and single_head
                 and not self.is_initializing()
                 and runtime.tpu_lowering()
+                and not runtime.spmd_lowering()
                 and tkp.supported(m, e, cfg.vocab_size, k)):
             cd = cfg.compute_dtype
             if cfg.tie_embed:

@@ -227,6 +227,7 @@ class Attention(nn.Module):
         impl = cfg.decode_attention_impl
         if impl == "fused" and (self.is_initializing()
                                 or not runtime.tpu_lowering()
+                                or runtime.spmd_lowering()
                                 or not dca.supported(BK, Kq, W, H, D, t0)):
             impl = "dense"
         if impl in ("fused", "dense") and not self.is_initializing():

@@ -74,7 +74,8 @@ def dot_product_attention(
     use_fused_dropout: bool = False,
 ) -> jnp.ndarray:
     """Returns [B, T, H, D]. fp32 softmax regardless of input dtype."""
-    if use_pallas and deterministic and k.shape[1] >= 1024:
+    if (use_pallas and deterministic and k.shape[1] >= 1024
+            and not runtime.spmd_lowering()):
         # Flash path only for inference/no-dropout AND long sequences: the
         # kernel's value is keeping the [T, S] score tile out of HBM, which
         # only matters once S is large (measured on v5e-1, B=8 H=12 D=64:
@@ -91,7 +92,7 @@ def dot_product_attention(
             return _flash_with_vjp(q, k, v, b)
 
     if (dropout_rate > 0.0 and not deterministic and use_fused_dropout
-            and runtime.tpu_lowering()):
+            and runtime.tpu_lowering() and not runtime.spmd_lowering()):
         # Fused QK^T+bias+softmax+dropout+PV Pallas kernel: the probs, the
         # random bits and the mask never touch HBM, and backward recomputes
         # the identical mask from the seed (ops/train_attention.py).

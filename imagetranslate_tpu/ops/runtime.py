@@ -18,11 +18,38 @@ import contextlib
 import jax
 
 _FORCE_TPU = False
+_SPMD = False
 
 
 def tpu_lowering() -> bool:
     """True when tracing/lowering should take the TPU kernel paths."""
     return _FORCE_TPU or jax.default_backend() == "tpu"
+
+
+def spmd_lowering() -> bool:
+    """True when programs are being lowered for a multi-device mesh.
+
+    Mosaic (Pallas) custom calls cannot be automatically partitioned by
+    GSPMD — XLA raises `NotImplementedError: Mosaic kernels cannot be
+    automatically partitioned` the moment a sharded program containing one
+    compiles (found by tests/test_aot_multichip.py against a v5e-8
+    topology; invisible on the CPU dryrun, where the kernels gate off).
+    Every kernel call site therefore also gates on `not spmd_lowering()`
+    and falls back to its XLA formulation under a mesh. Set by
+    parallel.mesh.make_mesh (any mesh larger than one device) and the
+    `translate --dp` path — i.e. before any step function is traced.
+    shard_map-wrapping the kernels over the data axis would re-enable
+    them; until that lands, multi-chip runs use the XLA paths."""
+    return _SPMD
+
+
+def set_spmd_lowering(on: bool) -> bool:
+    """Latch (or clear) the multi-device-lowering flag; returns the
+    previous value."""
+    global _SPMD
+    prev = _SPMD
+    _SPMD = bool(on)
+    return prev
 
 
 @contextlib.contextmanager

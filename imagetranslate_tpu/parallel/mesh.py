@@ -84,6 +84,13 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
         n_data = len(devices) // n_model
     assert n_data * n_model <= len(devices), (
         f"mesh {n_data}x{n_model} needs more than {len(devices)} devices")
+    if n_data * n_model > 1:
+        # Mosaic kernels can't be GSPMD-partitioned; latch the fallback to
+        # the XLA formulations BEFORE any step function is traced
+        # (ops/runtime.py::spmd_lowering).
+        from imagetranslate_tpu.ops import runtime
+
+        runtime.set_spmd_lowering(True)
     arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(arr, ("data", "model"))
 

@@ -75,6 +75,27 @@ def replicated_sharding(topology_name: str = _TOPOLOGY_NAME):
     return NamedSharding(Mesh(topo.devices, ("d",)), PartitionSpec())
 
 
+def topology_mesh(n_data: int, n_model: int = 1,
+                  topology_name: str = "v5e:4x2x1"):
+    """A ("data", "model") mesh over a MULTI-CHIP topology descriptor —
+    no devices attached. Programs compiled against it get the real
+    XLA:TPU SPMD lowering, ICI collectives included, so the multi-chip
+    sharding story is compile-validated without a pod (the CPU dryrun
+    executes the math but lowers through the CPU backend). Returns None
+    when topology init is unavailable."""
+    topo = get_tpu_topology(topology_name)
+    if topo is None:
+        return None
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devs = topo.devices
+    if n_data * n_model > len(devs):
+        return None
+    arr = np.asarray(devs[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
 def shape_spec(x: Any, sharding=None):
     """Map an array (or shape/dtype carrier) to a compile-only
     ShapeDtypeStruct on the topology."""

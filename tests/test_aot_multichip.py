@@ -1,0 +1,163 @@
+"""Multi-chip TPU compile validation — no pod, no device, no tunnel.
+
+`__graft_entry__.dryrun_multichip` EXECUTES the sharded workloads on a
+virtual CPU mesh, which validates semantics but lowers through the CPU
+backend. These tests compile the same sharded programs against an
+8-chip v5e topology descriptor (utils/aot.py::topology_mesh), so the
+REAL XLA:TPU SPMD partitioner runs — sharding propagation, ICI
+collectives (all-reduce for dp grads, all-gather/reduce-scatter for tp,
+collective-permute halos for the sequence-parallel longdoc) and Mosaic
+all compile exactly as they would on hardware.
+
+Skipped when libtpu topology init is unavailable.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from imagetranslate_tpu.ops import runtime
+from imagetranslate_tpu.utils import aot
+
+MESH = aot.topology_mesh(4, 2)
+
+pytestmark = pytest.mark.skipif(
+    MESH is None, reason="no local libtpu topology (AOT unavailable)")
+
+
+def _respec(tree, shardings):
+    return jax.tree.map(
+        lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+        tree, shardings)
+
+
+def _batch_specs(batch, mesh, spec_fn):
+    return {k: jax.ShapeDtypeStruct(v.shape, v.dtype,
+                                    sharding=spec_fn(k, v))
+            for k, v in batch.items()}
+
+
+def test_mt_train_step_compiles_on_v5e_8():
+    """dp=4 x tp=2 MT train step (head/FFN/vocab-sharded params, sharded
+    batch, fused attention-dropout engaged) through the TPU partitioner."""
+    from imagetranslate_tpu.models.config import Seq2SeqConfig
+    from imagetranslate_tpu.models.seq2seq import Seq2Seq
+    from imagetranslate_tpu.parallel.mesh import (
+        batch_sharding,
+        param_shardings,
+    )
+    from imagetranslate_tpu.train.optimizer import build_optimizer
+    from imagetranslate_tpu.train.step import (
+        create_train_state,
+        make_mt_train_step,
+        train_rng,
+    )
+
+    mesh = MESH
+    cfg = Seq2SeqConfig(vocab_size=8192, num_languages=2, enc_layers=2,
+                        dec_layers=2, dropout=0.1)
+    model = Seq2Seq(cfg)
+    B, S = 32, 64
+    ids = jax.ShapeDtypeStruct((B, S), jnp.int32)
+    msk = jax.ShapeDtypeStruct((B, S), jnp.dtype(bool))
+    lng = jax.ShapeDtypeStruct((B,), jnp.int32)
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0), ids, msk,
+                            ids, msk, lng, lng)
+    pshard = param_shardings(params, mesh)
+    optimizer = build_optimizer(lr=1e-4)
+    st = jax.eval_shape(lambda p: create_train_state(p, optimizer), params)
+    rep = NamedSharding(mesh, P())
+
+    def with_sh(tree, sh):
+        return jax.tree.map(
+            lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+            tree, sh)
+
+    # params carry the TP shardings; opt-state/step replicate (the
+    # partitioner propagates — enough to validate the TP program lowers).
+    st_specs = st.replace(
+        params=with_sh(st.params, pshard),
+        opt_state=jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep),
+            st.opt_state),
+        step=jax.ShapeDtypeStruct((), jnp.int32, sharding=rep))
+    bsh = batch_sharding(mesh)
+    batch = _batch_specs(
+        {"src": ids, "src_mask": msk, "dst": ids, "dst_mask": msk,
+         "src_langs": lng, "dst_langs": lng,
+         "row_mask": jax.ShapeDtypeStruct((B,), jnp.dtype(bool))},
+        mesh, lambda k, v: bsh)
+    key = train_rng(0)
+    key_spec = jax.ShapeDtypeStruct(key.shape, key.dtype, sharding=rep)
+    step_fn = make_mt_train_step(model, optimizer, donate=False)
+
+    # Canary: WITHOUT the spmd latch the default-ON Mosaic kernels make
+    # the sharded program unloadable ("Mosaic kernels cannot be
+    # automatically partitioned"). If jax ever lifts this, this xfail
+    # flips and the kernels can be re-enabled under meshes.
+    with runtime.force_tpu_lowering():
+        with pytest.raises(Exception, match="partition|shard_map"):
+            step_fn.lower(st_specs, batch, key_spec).compile()
+        step_fn.clear_cache()
+
+        # With the latch (what make_mesh sets before trainers trace):
+        # kernels fall back to their XLA formulations and the real TPU
+        # partitioner compiles the dp x tp program, ICI collectives and
+        # all.
+        prev = runtime.set_spmd_lowering(True)
+        try:
+            step_fn.lower(st_specs, batch, key_spec).compile()
+        finally:
+            runtime.set_spmd_lowering(prev)
+            step_fn.clear_cache()
+
+
+def test_longdoc_seq_parallel_step_compiles_on_v5e_8():
+    """Sequence-parallel longdoc MLM step: activations sharded (data, seq),
+    params replicated — the halo collective-permutes lower for real ICI."""
+    from imagetranslate_tpu.models.longdoc import LongDocLM, longdoc_config
+    from imagetranslate_tpu.train.optimizer import build_optimizer
+    from imagetranslate_tpu.train.step import (
+        create_train_state,
+        make_mlm_train_step,
+    )
+
+    mesh = MESH
+    seq_sh = NamedSharding(mesh, P("data", "model"))
+    rep = NamedSharding(mesh, P())
+    row_sh = NamedSharding(mesh, P("data"))
+
+    cfg = longdoc_config(vocab_size=1024, num_languages=2, size=1)
+    cfg = cfg.replace(dropout=0.1)
+    model = LongDocLM(cfg, seq_sharding=seq_sh)
+    B, T = 8, model.block * 2     # one block per model shard
+    ids = jax.ShapeDtypeStruct((B, T), jnp.int32)
+    msk = jax.ShapeDtypeStruct((B, T), jnp.dtype(bool))
+    lng = jax.ShapeDtypeStruct((B,), jnp.int32)
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0), ids, msk, lng)
+    params = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep),
+        params)
+    optimizer = build_optimizer(lr=1e-4)
+    st = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep),
+        jax.eval_shape(lambda p: create_train_state(p, optimizer), params))
+    batch = {
+        "texts": jax.ShapeDtypeStruct((B, T), jnp.int32, sharding=seq_sh),
+        "pad_mask": jax.ShapeDtypeStruct((B, T), jnp.dtype(bool),
+                                         sharding=seq_sh),
+        "langs": jax.ShapeDtypeStruct((B,), jnp.int32, sharding=row_sh),
+        "row_mask": jax.ShapeDtypeStruct((B,), jnp.dtype(bool),
+                                         sharding=row_sh),
+    }
+    key = jax.random.PRNGKey(0)
+    key_spec = jax.ShapeDtypeStruct(key.shape, key.dtype, sharding=rep)
+    step_fn = make_mlm_train_step(model, optimizer, cfg, donate=False)
+    # no Mosaic kernels in this model: compiles with or without the latch
+    with runtime.force_tpu_lowering():
+        try:
+            step_fn.lower(st, batch, key_spec).compile()
+        finally:
+            step_fn.clear_cache()
