@@ -52,13 +52,14 @@ def _dp_sharding(n: int):
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
+    mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
     if n > 1:
-        # Mosaic kernels can't be GSPMD-partitioned — the sharded decode
-        # must lower their XLA fallbacks (ops/runtime.py::spmd_lowering).
+        # Mosaic kernels can't be GSPMD-partitioned; on this pure-dp mesh
+        # the call sites shard_map themselves and keep the kernels
+        # (ops/runtime.py::data_shard_mesh).
         from imagetranslate_tpu.ops import runtime
 
-        runtime.set_spmd_lowering(True)
-    mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+        runtime.set_spmd_lowering(True, mesh=mesh)
     return NamedSharding(mesh, PartitionSpec("data"))
 
 

@@ -194,22 +194,39 @@ class Seq2Seq(nn.Module):
         m, e = h.shape
         single_head = ((cfg.tie_embed and len(self.out_bias) >= 1)
                        or (not cfg.tie_embed and len(self.output_layers) == 1))
+        # Mosaic can't be GSPMD-partitioned; on a pure-dp mesh the kernel
+        # shard_maps over its rows (per-row top-k — embarrassingly
+        # parallel), everywhere else a model-parallel mesh falls back to
+        # the XLA path below (runtime.data_shard_mesh).
+        dp_mesh = (runtime.data_shard_mesh() if runtime.spmd_lowering()
+                   else None)
+        n_shards = dp_mesh.size if dp_mesh is not None else 1
         if (cfg.fused_project_topk and single_head
                 and not self.is_initializing()
                 and runtime.tpu_lowering()
-                and not runtime.spmd_lowering()
-                and tkp.supported(m, e, cfg.vocab_size, k)):
+                and (not runtime.spmd_lowering()
+                     or (dp_mesh is not None and m % n_shards == 0))
+                and tkp.supported(m // n_shards, e, cfg.vocab_size, k)):
             cd = cfg.compute_dtype
             if cfg.tie_embed:
                 bias = (self.out_bias[0] if len(self.out_bias) == 1
                         else jnp.stack(self.out_bias)[lang_idx])
-                return tkp.project_topk(
-                    h.astype(cd), self.embeddings.word.embedding.astype(cd),
-                    bias.astype(jnp.float32), k, w_layout="ve")
-            pv = self.output_layers[0].proj.variables["params"]
-            return tkp.project_topk(
-                h.astype(cd), pv["kernel"].astype(cd), pv["bias"], k,
-                w_layout="ev")
+                w, b, layout = (self.embeddings.word.embedding.astype(cd),
+                                bias.astype(jnp.float32), "ve")
+            else:
+                pv = self.output_layers[0].proj.variables["params"]
+                w, b, layout = pv["kernel"].astype(cd), pv["bias"], "ev"
+            if dp_mesh is None:
+                return tkp.project_topk(h.astype(cd), w, b, k,
+                                        w_layout=layout)
+            from jax.sharding import PartitionSpec as P
+
+            return runtime.dp_shard_map(
+                lambda h, w, b: tkp.project_topk(h, w, b, k,
+                                                 w_layout=layout),
+                in_specs=(P("data", None), P(None, None), P(None)),
+                out_specs=(P("data", None), P("data", None), P("data")),
+            )(h.astype(cd), w, b)
         logits = self.project(h[:, None, :], lang_idx)[:, 0, :]
         logits = logits.astype(jnp.float32)
         lse = jax.scipy.special.logsumexp(logits, axis=-1)

@@ -91,8 +91,12 @@ def dot_product_attention(
                  else jnp.zeros((q.shape[0], 1, 1, k.shape[1]), jnp.float32))
             return _flash_with_vjp(q, k, v, b)
 
+    dp_mesh = runtime.data_shard_mesh() if runtime.spmd_lowering() else None
     if (dropout_rate > 0.0 and not deterministic and use_fused_dropout
-            and runtime.tpu_lowering() and not runtime.spmd_lowering()):
+            and runtime.tpu_lowering()
+            and (not runtime.spmd_lowering()
+                 or (dp_mesh is not None
+                     and q.shape[0] % dp_mesh.size == 0))):
         # Fused QK^T+bias+softmax+dropout+PV Pallas kernel: the probs, the
         # random bits and the mask never touch HBM, and backward recomputes
         # the identical mask from the seed (ops/train_attention.py).
@@ -106,8 +110,24 @@ def dot_product_attention(
                  else jnp.zeros((q.shape[0], 1, 1, k.shape[1]), jnp.float32))
             seed = jax.random.randint(dropout_rng, (), 0, 2_147_483_647,
                                       dtype=jnp.int32)
-            return fused_dropout_attention(q, k, v, b,
-                                           float(dropout_rate), seed)
+            if dp_mesh is None:
+                return fused_dropout_attention(q, k, v, b,
+                                               float(dropout_rate), seed)
+            # Pure-dp mesh: Mosaic can't be GSPMD-partitioned, but this
+            # kernel is embarrassingly parallel over batch — shard_map it
+            # (manual over all axes) and decorrelate the per-shard dropout
+            # streams by shifting the seed with the shard index.
+            from jax.sharding import PartitionSpec as P
+
+            def local_fn(q, k, v, b, seed):
+                seed = seed + jax.lax.axis_index("data").astype(seed.dtype)
+                return fused_dropout_attention(q, k, v, b,
+                                               float(dropout_rate), seed)
+
+            sp4 = P("data", None, None, None)
+            return runtime.dp_shard_map(
+                local_fn, in_specs=(sp4, sp4, sp4, sp4, P()),
+                out_specs=sp4)(q, k, v, b, seed)
 
     depth = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(depth, jnp.float32))

@@ -43,13 +43,49 @@ def spmd_lowering() -> bool:
     return _SPMD
 
 
-def set_spmd_lowering(on: bool) -> bool:
+def set_spmd_lowering(on: bool, mesh=None) -> bool:
     """Latch (or clear) the multi-device-lowering flag; returns the
-    previous value."""
-    global _SPMD
+    previous value. `mesh` (optional) registers the active mesh so kernel
+    call sites can shard_map themselves instead of falling back — see
+    data_shard_mesh()."""
+    global _SPMD, _MESH
     prev = _SPMD
     _SPMD = bool(on)
+    _MESH = mesh if on else None
     return prev
+
+
+_MESH = None
+
+
+def dp_shard_map(fn, in_specs, out_specs):
+    """shard_map `fn` over the active pure-dp mesh (data_shard_mesh()).
+    Manual over ALL mesh axes — the condition Mosaic custom calls require —
+    so batch-parallel kernels keep running under data-parallel meshes."""
+    mesh = data_shard_mesh()
+    assert mesh is not None, "no pure-dp mesh active"
+    try:
+        from jax import shard_map as _sm
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+    return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+               check_vma=False)
+
+
+def data_shard_mesh():
+    """The active mesh IF kernels can be shard_mapped over it: every axis
+    must shard only the batch dim (pure data parallelism — a 1-D ("data",)
+    serving mesh or an N x 1 ("data", "model") training mesh). Pallas
+    kernels are embarrassingly parallel over batch, so under such a mesh
+    the call sites wrap themselves in shard_map (manual over ALL axes,
+    which is what Mosaic requires) and keep their speed-of-light paths;
+    under a real model/tensor-parallel axis they fall back to XLA
+    (spmd_lowering). Returns None when no such mesh is active."""
+    if _MESH is None:
+        return None
+    sizes = dict(zip(_MESH.axis_names, _MESH.devices.shape))
+    non_data = [a for a, n in sizes.items() if a != "data" and n > 1]
+    return None if non_data else _MESH
 
 
 @contextlib.contextmanager

@@ -84,15 +84,17 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
         n_data = len(devices) // n_model
     assert n_data * n_model <= len(devices), (
         f"mesh {n_data}x{n_model} needs more than {len(devices)} devices")
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    mesh = Mesh(arr, ("data", "model"))
     if n_data * n_model > 1:
-        # Mosaic kernels can't be GSPMD-partitioned; latch the fallback to
-        # the XLA formulations BEFORE any step function is traced
-        # (ops/runtime.py::spmd_lowering).
+        # Mosaic kernels can't be GSPMD-partitioned; latch BEFORE any step
+        # function is traced. Registering the mesh lets kernel call sites
+        # shard_map themselves over pure-dp meshes instead of falling back
+        # (ops/runtime.py::spmd_lowering / data_shard_mesh).
         from imagetranslate_tpu.ops import runtime
 
-        runtime.set_spmd_lowering(True)
-    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(arr, ("data", "model"))
+        runtime.set_spmd_lowering(True, mesh=mesh)
+    return mesh
 
 
 # Parameter partitioning by path, matched against the flax param path string.

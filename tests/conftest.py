@@ -30,3 +30,18 @@ if REPO_ROOT not in sys.path:
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-compile tests (detector graphs, goldens)")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_spmd_latch():
+    """make_mesh latches a process-global SPMD flag (ops/runtime.py) —
+    correct in production (one mesh per process), but in the shared pytest
+    process a mesh-creating test would silently flip later kernel-gate
+    tests to their fallback paths. Reset before every test."""
+    from imagetranslate_tpu.ops import runtime
+
+    runtime.set_spmd_lowering(False)
+    yield
