@@ -91,12 +91,17 @@ def dot_product_attention(
                  else jnp.zeros((q.shape[0], 1, 1, k.shape[1]), jnp.float32))
             return _flash_with_vjp(q, k, v, b)
 
-    dp_mesh = runtime.data_shard_mesh() if runtime.spmd_lowering() else None
+    mesh = runtime.head_shard_mesh() if runtime.spmd_lowering() else None
+    if mesh is not None:
+        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        n_dp, n_tp = sizes.get("data", 1), sizes.get("model", 1)
+        shardable = (q.shape[0] % n_dp == 0 and q.shape[2] % n_tp == 0)
+    else:
+        n_dp = n_tp = 1
+        shardable = False
     if (dropout_rate > 0.0 and not deterministic and use_fused_dropout
             and runtime.tpu_lowering()
-            and (not runtime.spmd_lowering()
-                 or (dp_mesh is not None
-                     and q.shape[0] % dp_mesh.size == 0))):
+            and (not runtime.spmd_lowering() or shardable)):
         # Fused QK^T+bias+softmax+dropout+PV Pallas kernel: the probs, the
         # random bits and the mask never touch HBM, and backward recomputes
         # the identical mask from the seed (ops/train_attention.py).
@@ -110,24 +115,32 @@ def dot_product_attention(
                  else jnp.zeros((q.shape[0], 1, 1, k.shape[1]), jnp.float32))
             seed = jax.random.randint(dropout_rng, (), 0, 2_147_483_647,
                                       dtype=jnp.int32)
-            if dp_mesh is None:
+            if mesh is None:
                 return fused_dropout_attention(q, k, v, b,
                                                float(dropout_rate), seed)
-            # Pure-dp mesh: Mosaic can't be GSPMD-partitioned, but this
-            # kernel is embarrassingly parallel over batch — shard_map it
-            # (manual over all axes) and decorrelate the per-shard dropout
-            # streams by shifting the seed with the shard index.
+            # Mosaic can't be GSPMD-partitioned, but this kernel is
+            # embarrassingly parallel over batch AND heads — shard_map it
+            # over the mesh (manual over all axes): batch on "data", heads
+            # on "model" (which is exactly how the TP rules shard the QKV
+            # projections, so no resharding at the boundary). Per-shard
+            # dropout streams are decorrelated by shifting the seed with
+            # the linear shard index.
             from jax.sharding import PartitionSpec as P
 
             def local_fn(q, k, v, b, seed):
-                seed = seed + jax.lax.axis_index("data").astype(seed.dtype)
+                idx = jax.lax.axis_index("data")
+                if n_tp > 1:
+                    idx = idx * n_tp + jax.lax.axis_index("model")
+                seed = seed + idx.astype(seed.dtype)
                 return fused_dropout_attention(q, k, v, b,
                                                float(dropout_rate), seed)
 
-            sp4 = P("data", None, None, None)
+            h_ax = "model" if n_tp > 1 else None
+            sp4 = P("data", None, h_ax, None)
+            spb = P("data", None, None, None)
             return runtime.dp_shard_map(
-                local_fn, in_specs=(sp4, sp4, sp4, sp4, P()),
-                out_specs=sp4)(q, k, v, b, seed)
+                local_fn, in_specs=(sp4, sp4, sp4, spb, P()),
+                out_specs=sp4, mesh=mesh)(q, k, v, b, seed)
 
     depth = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(depth, jnp.float32))

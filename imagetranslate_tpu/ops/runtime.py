@@ -58,12 +58,14 @@ def set_spmd_lowering(on: bool, mesh=None) -> bool:
 _MESH = None
 
 
-def dp_shard_map(fn, in_specs, out_specs):
-    """shard_map `fn` over the active pure-dp mesh (data_shard_mesh()).
-    Manual over ALL mesh axes — the condition Mosaic custom calls require —
-    so batch-parallel kernels keep running under data-parallel meshes."""
-    mesh = data_shard_mesh()
-    assert mesh is not None, "no pure-dp mesh active"
+def dp_shard_map(fn, in_specs, out_specs, mesh=None):
+    """shard_map `fn` over `mesh` (default: the active pure-dp mesh,
+    data_shard_mesh()). Manual over ALL mesh axes — the condition Mosaic
+    custom calls require — so batch-parallel kernels keep running under
+    data-parallel meshes (and head-parallel ones under tensor-parallel
+    meshes, see head_shard_mesh)."""
+    mesh = mesh if mesh is not None else data_shard_mesh()
+    assert mesh is not None, "no shard_map-able mesh active"
     try:
         from jax import shard_map as _sm
     except ImportError:  # older jax
@@ -86,6 +88,23 @@ def data_shard_mesh():
     sizes = dict(zip(_MESH.axis_names, _MESH.devices.shape))
     non_data = [a for a, n in sizes.items() if a != "data" and n > 1]
     return None if non_data else _MESH
+
+
+def head_shard_mesh():
+    """The active mesh IF the attention-kernel call site can shard_map over
+    it with batch on "data" and attention HEADS on "model" — i.e. only the
+    canonical ("data",) / ("data", "model") axis layouts (any other axis
+    name means a mesh this framework didn't build; fall back). The "model"
+    axis carrying heads is specific to the transformer attention call site
+    (parallel/mesh.py TP rules shard QKV kernels on the head dim);
+    LongDocLM — which uses "model" for sequence/context parallelism —
+    computes its own block attention and never reaches that call site.
+    The caller still checks batch/head divisibility by the axis sizes."""
+    if _MESH is None:
+        return None
+    if any(a not in ("data", "model") for a in _MESH.axis_names):
+        return None
+    return _MESH
 
 
 @contextlib.contextmanager

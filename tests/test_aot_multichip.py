@@ -102,13 +102,25 @@ def test_mt_train_step_compiles_on_v5e_8():
             step_fn.lower(st_specs, batch, key_spec).compile()
         step_fn.clear_cache()
 
-        # With the latch (what make_mesh sets before trainers trace):
-        # kernels fall back to their XLA formulations and the real TPU
-        # partitioner compiles the dp x tp program, ICI collectives and
-        # all.
+        # Bare latch (no mesh registered): kernels fall back to their XLA
+        # formulations and the real TPU partitioner compiles the dp x tp
+        # program, ICI collectives and all.
         prev = runtime.set_spmd_lowering(True)
         try:
             step_fn.lower(st_specs, batch, key_spec).compile()
+        finally:
+            runtime.set_spmd_lowering(prev)
+            step_fn.clear_cache()
+
+        # What make_mesh actually sets (mesh registered): the fused
+        # attention-dropout kernel shard_maps batch over "data" and HEADS
+        # over "model" (mirroring the TP rules' head-sharded QKV) and
+        # STAYS IN the dp x tp program.
+        prev = runtime.set_spmd_lowering(True, mesh=mesh)
+        try:
+            compiled = step_fn.lower(st_specs, batch, key_spec).compile()
+            assert "tpu_custom_call" in compiled.as_text(), (
+                "fused kernel missing from the dp x tp program")
         finally:
             runtime.set_spmd_lowering(prev)
             step_fn.clear_cache()

@@ -47,6 +47,51 @@ def test_project_topk_shard_map_matches_unsharded():
                                rtol=1e-6)
 
 
+def test_fused_dropout_attention_head_shard_map_rate0_matches():
+    """dp x tp mesh: batch shards over "data", attention heads over
+    "model" — exactly how ops/attention.py wraps the kernel under a
+    tensor-parallel mesh (runtime.head_shard_mesh). rate=0 output and
+    grads must equal the unsharded kernel exactly."""
+    from imagetranslate_tpu.ops.train_attention import (
+        fused_dropout_attention,
+    )
+
+    B, T, S, H, D = 8, 8, 8, 4, 64
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(B, T, H, D) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, H, D) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, H, D) * 0.3, jnp.float32)
+    bias = jnp.asarray(rng.randn(B, 1, 1, S) * 0.5, jnp.float32)
+    seed = jnp.zeros((), jnp.int32)
+
+    ref = fused_dropout_attention(q, k, v, bias, 0.0, seed)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+    n_tp = 2
+    sp4 = P("data", None, "model", None)
+    spb = P("data", None, None, None)
+
+    def local_fn(q, k, v, bias, seed):
+        idx = (jax.lax.axis_index("data") * n_tp
+               + jax.lax.axis_index("model"))
+        seed = seed + idx.astype(seed.dtype)
+        return fused_dropout_attention(q, k, v, bias, 0.0, seed)
+
+    fn = jax.shard_map(local_fn, mesh=mesh,
+                       in_specs=(sp4, sp4, sp4, spb, P()),
+                       out_specs=sp4, check_vma=False)
+    out = jax.jit(fn)(q, k, v, bias, seed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    g_ref = jax.grad(lambda q: jnp.sum(
+        fused_dropout_attention(q, k, v, bias, 0.0, seed)))(q)
+    g = jax.grad(lambda q: jnp.sum(jax.jit(fn)(q, k, v, bias, seed)))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_fused_dropout_attention_shard_map_rate0_matches():
     """rate=0 makes the kernel deterministic (the CPU interpreter can't
     draw hardware random bits anyway) — shard_map'd output must equal the
