@@ -96,6 +96,13 @@ def get_parser() -> argparse.ArgumentParser:
                         "broken multi-GPU path (utils.py:93-97, "
                         "README.md:120); multi-host via "
                         "JAX_COORDINATOR_ADDRESS et al.")
+    p.add_argument("--pp-microbatches", dest="pp_microbatches", type=int,
+                   default=0,
+                   help="GPipe-style pipeline parallelism: turn the mesh's "
+                        "model axis into pipeline stages (each holding a "
+                        "slice of the layer stacks) and split every step "
+                        "into this many microbatches (parallel/pipeline.py)."
+                        " 0 = off (model axis does tensor parallelism).")
     return p
 
 
@@ -154,10 +161,16 @@ def main(argv=None):
         beam_width=options.beam_width, bt_beam_width=options.bt_beam_width,
         max_len_a=options.max_len_a, max_len_b=options.max_len_b,
         len_penalty_ratio=options.len_penalty_ratio,
-        label_smoothing=0.0 if options.nll_loss else 0.1, mesh=mesh)
+        label_smoothing=0.0 if options.nll_loss else 0.1, mesh=mesh,
+        pp_microbatches=options.pp_microbatches)
     if options.train_path is not None:
         from imagetranslate_tpu.train.trainer_image_mt import ImageMTTrainer
 
+        if options.pp_microbatches:
+            raise SystemExit("--pp-microbatches supports the text MT/MASS "
+                             "trainer only (the image trainer's multimodal "
+                             "forward is not pipelined)")
+        trainer_kwargs.pop("pp_microbatches")
         trainer = ImageMTTrainer(cfg, tp, mm_mode=options.mm_mode,
                                  **trainer_kwargs)
     else:
@@ -184,7 +197,7 @@ def main(argv=None):
                             jnp.zeros((2,), jnp.int32)))
         tmpl = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tmpl)
         lm_vars, _, _ = _load_ckpt(options.lm_path, tmpl)
-        p = dict(trainer.state.params["params"])
+        p = dict(trainer._variables()["params"])
         p["embeddings"] = lm_vars["params"]["embeddings"]
         p["encoder"] = lm_vars["params"]["encoder"]
         # Reference ties the output layer to the MLM head (seq2seq.py:92-93);
@@ -194,8 +207,7 @@ def main(argv=None):
             p["output_layers_0"] = {"proj": {
                 "kernel": jnp.transpose(word),
                 "bias": lm_vars["params"]["out_bias"]}}
-        trainer.state = trainer.state.replace(
-            params={"params": p})
+        trainer.set_reference_params({"params": p})
         print("Initialized encoder/embeddings/output from the MLM LM")
 
     if options.pretrained_path is not None:
@@ -225,13 +237,21 @@ def main(argv=None):
         else:
             from imagetranslate_tpu.train.step import create_train_state
 
+            if options.pp_microbatches and options.continue_train:
+                raise SystemExit(
+                    "--cont with --pp-microbatches: optimizer moments are "
+                    "stage-stacked and geometry-bound; PP restores weights "
+                    "+ step only (drop --cont)")
             params, opt_state, meta = load_checkpoint(
-                options.pretrained_path, trainer.state.params,
+                options.pretrained_path, trainer._variables(),
                 trainer.state.opt_state if options.continue_train else None)
-            state = create_train_state(params, trainer.optimizer)
-            if opt_state is not None:
-                state = state.replace(opt_state=opt_state)
-            trainer.state = state
+            if options.pp_microbatches:
+                trainer.set_reference_params(params)
+            else:
+                state = create_train_state(params, trainer.optimizer)
+                if opt_state is not None:
+                    state = state.replace(opt_state=opt_state)
+                trainer.state = state
         print(f"Restored pretrained model (step {meta.get('step', 0)})")
 
     pad = tp.pad_token_id()

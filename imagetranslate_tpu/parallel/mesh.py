@@ -13,7 +13,10 @@ Replaces the reference's parallelism layer wholesale:
 Axes:
 - "data": batch-dim data parallelism (gradients all-reduce over ICI)
 - "model": tensor parallelism over attention heads and FFN hidden — a new
-  capability, the reference has nothing comparable (SURVEY §2.8).
+  capability, the reference has nothing comparable (SURVEY §2.8). The same
+  axis doubles as the SEQUENCE axis for the long-document LM's context
+  parallelism (models/longdoc.py) and as the PIPELINE-stage axis under
+  `--pp-microbatches` (parallel/pipeline.py).
 """
 
 from __future__ import annotations

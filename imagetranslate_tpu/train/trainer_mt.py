@@ -51,17 +51,26 @@ from imagetranslate_tpu.text.processor import TextProcessor
 
 
 class MTTrainer:
+    # Class-level defaults: subclasses that bypass __init__ (ImageMTTrainer
+    # builds its own state) read these as "pipeline parallelism off".
+    pp = 0
+    _pp_merged = None
+
     def __init__(self, cfg: Seq2SeqConfig, tp: TextProcessor,
                  params=None, lr: float = 1e-4, warmup: int = 4000,
                  clip: float = 1.0, accum: int = 1, mask_prob: float = 0.5,
                  beam_width: int = 4, bt_beam_width: int = 1,
                  max_len_a: float = 1.1, max_len_b: int = 5,
                  len_penalty_ratio: float = 0.8, label_smoothing: float = 0.1,
-                 mesh=None, seed: int = 0):
+                 mesh=None, seed: int = 0, pp_microbatches: int = 0):
         self.cfg = cfg
         self.tp = tp
         self.model = Seq2Seq(cfg)
         self.mesh = mesh  # jax.sharding.Mesh for dp/tp; None = single chip
+        # Pipeline parallelism (parallel/pipeline.py): >0 turns the mesh's
+        # "model" axis into pipeline stages and microbatches each step.
+        self.pp = int(pp_microbatches)
+        self._pp_merged = None  # (state object, merged reference-layout params)
         from imagetranslate_tpu.train.step import train_rng
 
         self.rng = train_rng(seed)  # hardware RNG: -20ms/step vs threefry
@@ -81,7 +90,17 @@ class MTTrainer:
             langs = jnp.zeros((B,), jnp.int32)
             params = self.model.init(init_rng, dummy, mask, dummy, mask,
                                      langs, langs)
-        if mesh is not None:
+        if self.pp:
+            from imagetranslate_tpu.parallel import pipeline as pl
+            from imagetranslate_tpu.parallel.mesh import model_axis_size
+
+            assert mesh is not None and model_axis_size(mesh) > 1, (
+                "--pp-microbatches needs a --mesh with a model axis > 1 "
+                "(its size becomes the pipeline-stage count)")
+            params = pl.shard_pipeline_params(
+                pl.split_pipeline_params(params, cfg,
+                                         model_axis_size(mesh)), mesh)
+        elif mesh is not None:
             from imagetranslate_tpu.parallel.mesh import shard_params
 
             params = shard_params(params, mesh)
@@ -89,12 +108,23 @@ class MTTrainer:
             build_optimizer(lr=lr, warmup_updates=warmup, clip_norm=clip),
             accum)
         self.state = create_train_state(params, self.optimizer)
-        self.mt_step = make_mt_train_step(self.model, self.optimizer,
-                                          label_smoothing=label_smoothing)
-        self.mass_step = make_mass_train_step(
-            self.model, self.optimizer, cfg, mask_prob=mask_prob,
-            n_specials=len(tp.special_tokens),
-            mask_id=tp.mask_token_id(), label_smoothing=label_smoothing)
+        if self.pp:
+            from imagetranslate_tpu.parallel import pipeline as pl
+
+            self.mt_step = pl.make_mt_train_step_pp(
+                cfg, self.optimizer, mesh, self.pp,
+                label_smoothing=label_smoothing)
+            self.mass_step = pl.make_mass_train_step_pp(
+                cfg, self.optimizer, mesh, self.pp, mask_prob=mask_prob,
+                n_specials=len(tp.special_tokens),
+                mask_id=tp.mask_token_id(), label_smoothing=label_smoothing)
+        else:
+            self.mt_step = make_mt_train_step(self.model, self.optimizer,
+                                              label_smoothing=label_smoothing)
+            self.mass_step = make_mass_train_step(
+                self.model, self.optimizer, cfg, mask_prob=mask_prob,
+                n_specials=len(tp.special_tokens),
+                mask_id=tp.mask_token_id(), label_smoothing=label_smoothing)
 
     def _shard(self, batch):
         """Batch-dim data sharding when a mesh is attached; row counts are
@@ -111,8 +141,20 @@ class MTTrainer:
 
     def _variables(self):
         """Model variables for apply(); subclasses with extra flax
-        collections (BatchNorm stats) override."""
-        return self.state.params
+        collections (BatchNorm stats) override. Under pipeline parallelism
+        the train state holds the stage-stacked layout, so decoding/eval
+        merges back to the reference layout (cached per state object — the
+        merge is a tree of cheap slices)."""
+        if not self.pp:
+            return self.state.params
+        if self._pp_merged is None or self._pp_merged[0] is not self.state:
+            from imagetranslate_tpu.parallel import pipeline as pl
+            from imagetranslate_tpu.parallel.mesh import model_axis_size
+
+            merged = pl.merge_pipeline_params(
+                self.state.params, self.cfg, model_axis_size(self.mesh))
+            self._pp_merged = (self.state, merged)
+        return self._pp_merged[1]
 
     # ---------------- decoding helpers ----------------
 
@@ -373,9 +415,38 @@ class MTTrainer:
     # ---------------- persistence / phases ----------------
 
     def _save(self, path: str, step: int):
+        if self.pp:
+            # Checkpoints stay in the reference layout so they load into
+            # any geometry (single chip, dp, tp, or a different stage
+            # count). Optimizer moments are stage-stacked and geometry-
+            # bound, so PP checkpoints are weights+step only — a resumed
+            # run keeps its schedule step but restarts Adam moments.
+            save_checkpoint(path, self.cfg, self._variables(), step=step,
+                            best_metric=self.best_bleu)
+            return
         save_checkpoint(path, self.cfg, self.state.params,
                         opt_state=self.state.opt_state, step=step,
                         best_metric=self.best_bleu)
+
+    def set_reference_params(self, params):
+        """Replace the model weights from a reference-layout tree (LM graft,
+        --pretrained restore): re-shards for the active mesh, re-splitting
+        into the pipeline layout when PP is on, and resets the optimizer
+        state to match."""
+        self._pp_merged = None
+        if self.pp:
+            from imagetranslate_tpu.parallel import pipeline as pl
+            from imagetranslate_tpu.parallel.mesh import model_axis_size
+
+            params = pl.shard_pipeline_params(
+                pl.split_pipeline_params(params, self.cfg,
+                                         model_axis_size(self.mesh)),
+                self.mesh)
+        elif self.mesh is not None:
+            from imagetranslate_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, self.mesh)
+        self.state = create_train_state(params, self.optimizer)
 
     def reset_for_finetune(self):
         """Phase 2 entry: restart the LR schedule (train_image_mt.py:511)."""

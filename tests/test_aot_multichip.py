@@ -175,6 +175,62 @@ def test_longdoc_seq_parallel_step_compiles_on_v5e_8():
             step_fn.clear_cache()
 
 
+def test_pp_train_step_compiles_on_v5e_8():
+    """4-way dp x 2-stage pipeline-parallel MT train step
+    (parallel/pipeline.py): stage-sharded stacked layer params, microbatch
+    rotation via ppermute — the real TPU partitioner lowers the manual
+    region's collective-permutes onto ICI."""
+    from imagetranslate_tpu.models.config import Seq2SeqConfig
+    from imagetranslate_tpu.models.seq2seq import Seq2Seq
+    from imagetranslate_tpu.parallel import pipeline as pl
+    from imagetranslate_tpu.train.optimizer import build_optimizer
+    from imagetranslate_tpu.train.step import create_train_state, train_rng
+
+    mesh = MESH
+    cfg = Seq2SeqConfig(vocab_size=8192, num_languages=2, enc_layers=2,
+                        dec_layers=2, dropout=0.1)
+    model = Seq2Seq(cfg)
+    B, S = 32, 64
+    ids = jax.ShapeDtypeStruct((B, S), jnp.int32)
+    msk = jax.ShapeDtypeStruct((B, S), jnp.dtype(bool))
+    lng = jax.ShapeDtypeStruct((B,), jnp.int32)
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0), ids, msk,
+                            ids, msk, lng, lng)
+    pp = jax.eval_shape(lambda p: pl.split_pipeline_params(p, cfg, 2),
+                        params)
+    pp_specs = jax.tree.map(
+        lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+        pp, pl.pp_param_shardings(pp, mesh))
+    optimizer = build_optimizer(lr=1e-4)
+    rep = NamedSharding(mesh, P())
+    st = jax.eval_shape(lambda p: create_train_state(p, optimizer), pp_specs)
+    st = st.replace(
+        params=pp_specs,
+        opt_state=jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep),
+            st.opt_state),
+        step=jax.ShapeDtypeStruct((), jnp.int32, sharding=rep))
+    bsh = NamedSharding(mesh, P("data"))
+    batch = _batch_specs(
+        {"src": ids, "src_mask": msk, "dst": ids, "dst_mask": msk,
+         "src_langs": lng, "dst_langs": lng,
+         "row_mask": jax.ShapeDtypeStruct((B,), jnp.dtype(bool))},
+        mesh, lambda k, v: bsh)
+    key = train_rng(0)
+    key_spec = jax.ShapeDtypeStruct(key.shape, key.dtype, sharding=rep)
+    step_fn = pl.make_mt_train_step_pp(cfg, optimizer, mesh, n_micro=2,
+                                       donate=False)
+    prev = runtime.set_spmd_lowering(True, mesh=mesh)
+    try:
+        with runtime.force_tpu_lowering():
+            compiled = step_fn.lower(st, batch, key_spec).compile()
+        assert "collective-permute" in compiled.as_text(), (
+            "pipeline rotation missing from the sharded program")
+    finally:
+        runtime.set_spmd_lowering(prev)
+        step_fn.clear_cache()
+
+
 def test_mt_train_step_with_kernels_compiles_on_dp_mesh():
     """Pure-dp v5e-8 mesh: the kernel call sites shard_map themselves
     (runtime.data_shard_mesh), so the fused attention-dropout Mosaic
