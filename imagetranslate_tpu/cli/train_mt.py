@@ -103,6 +103,12 @@ def get_parser() -> argparse.ArgumentParser:
                         "slice of the layer stacks) and split every step "
                         "into this many microbatches (parallel/pipeline.py)."
                         " 0 = off (model axis does tensor parallelism).")
+    p.add_argument("--zero", dest="zero", action="store_true",
+                   help="ZeRO-1: shard Adam moments (and --acc accumulation "
+                        "buffers) over the mesh's data axis — XLA turns the "
+                        "gradient all-reduce into reduce-scatter + "
+                        "all-gather (parallel/mesh.py::zero_shard_opt_state)."
+                        " Needs --mesh. Placement-only: numerics unchanged.")
     return p
 
 
@@ -114,6 +120,9 @@ def main(argv=None):
 
     init_distributed()
     mesh = parse_mesh(options.mesh_spec)
+    if options.zero and mesh is None:
+        raise SystemExit("--zero shards optimizer state over the mesh's "
+                         "data axis; pass --mesh (e.g. --mesh 8x1)")
 
     from imagetranslate_tpu.data.binarize import load_mass, load_mt
     from imagetranslate_tpu.data.loader import MassBatcher, MTBatcher
@@ -162,7 +171,7 @@ def main(argv=None):
         max_len_a=options.max_len_a, max_len_b=options.max_len_b,
         len_penalty_ratio=options.len_penalty_ratio,
         label_smoothing=0.0 if options.nll_loss else 0.1, mesh=mesh,
-        pp_microbatches=options.pp_microbatches)
+        pp_microbatches=options.pp_microbatches, zero=options.zero)
     if options.train_path is not None:
         from imagetranslate_tpu.train.trainer_image_mt import ImageMTTrainer
 
@@ -251,7 +260,7 @@ def main(argv=None):
                 state = create_train_state(params, trainer.optimizer)
                 if opt_state is not None:
                     state = state.replace(opt_state=opt_state)
-                trainer.state = state
+                trainer.state = trainer._maybe_zero(state)
         print(f"Restored pretrained model (step {meta.get('step', 0)})")
 
     pad = tp.pad_token_id()

@@ -49,13 +49,14 @@ class ImageMTTrainer(MTTrainer):
                  bt_beam_width: int = 1, max_len_a: float = 1.1,
                  max_len_b: int = 5, len_penalty_ratio: float = 0.8,
                  label_smoothing: float = 0.1, img_size: int = 224,
-                 mesh=None, seed: int = 0):
+                 mesh=None, seed: int = 0, zero: bool = False):
         # Intentionally does not call MTTrainer.__init__: the model and
         # train-state types differ; only the scalar knobs are shared.
         self.cfg = cfg
         self.tp = tp
         self.model = ImageSeq2Seq(cfg)
         self.mesh = mesh  # jax.sharding.Mesh for dp/tp; None = single chip
+        self.zero = bool(zero) and mesh is not None  # ZeRO-1 moment sharding
         from imagetranslate_tpu.train.step import train_rng
 
         self.rng = train_rng(seed)  # hardware RNG: -20ms/step vs threefry
@@ -97,7 +98,8 @@ class ImageMTTrainer(MTTrainer):
         self.optimizer = wrap_accum(
             build_optimizer(lr=lr, warmup_updates=warmup, clip_norm=clip),
             accum)
-        self.state = create_caption_train_state(variables, self.optimizer)
+        self.state = self._maybe_zero(
+            create_caption_train_state(variables, self.optimizer))
         # MT batches train at full weight inside ImageMTTrainer (the --mtlw
         # down-weighting belongs to the caption trainer only).
         self.mt_step = make_caption_mt_train_step(

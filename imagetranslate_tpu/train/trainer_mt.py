@@ -52,9 +52,11 @@ from imagetranslate_tpu.text.processor import TextProcessor
 
 class MTTrainer:
     # Class-level defaults: subclasses that bypass __init__ (ImageMTTrainer
-    # builds its own state) read these as "pipeline parallelism off".
+    # builds its own state) read these as "pipeline parallelism off" /
+    # "ZeRO off".
     pp = 0
     _pp_merged = None
+    zero = False
 
     def __init__(self, cfg: Seq2SeqConfig, tp: TextProcessor,
                  params=None, lr: float = 1e-4, warmup: int = 4000,
@@ -62,7 +64,8 @@ class MTTrainer:
                  beam_width: int = 4, bt_beam_width: int = 1,
                  max_len_a: float = 1.1, max_len_b: int = 5,
                  len_penalty_ratio: float = 0.8, label_smoothing: float = 0.1,
-                 mesh=None, seed: int = 0, pp_microbatches: int = 0):
+                 mesh=None, seed: int = 0, pp_microbatches: int = 0,
+                 zero: bool = False):
         self.cfg = cfg
         self.tp = tp
         self.model = Seq2Seq(cfg)
@@ -71,6 +74,9 @@ class MTTrainer:
         # "model" axis into pipeline stages and microbatches each step.
         self.pp = int(pp_microbatches)
         self._pp_merged = None  # (state object, merged reference-layout params)
+        # ZeRO-1: shard Adam moments (+ accumulation buffers) over the data
+        # axis (parallel/mesh.py::zero_shard_opt_state). Placement-only.
+        self.zero = bool(zero) and mesh is not None
         from imagetranslate_tpu.train.step import train_rng
 
         self.rng = train_rng(seed)  # hardware RNG: -20ms/step vs threefry
@@ -107,7 +113,8 @@ class MTTrainer:
         self.optimizer = wrap_accum(
             build_optimizer(lr=lr, warmup_updates=warmup, clip_norm=clip),
             accum)
-        self.state = create_train_state(params, self.optimizer)
+        self.state = self._maybe_zero(create_train_state(params,
+                                                          self.optimizer))
         if self.pp:
             from imagetranslate_tpu.parallel import pipeline as pl
 
@@ -125,6 +132,14 @@ class MTTrainer:
                 self.model, self.optimizer, cfg, mask_prob=mask_prob,
                 n_specials=len(tp.special_tokens),
                 mask_id=tp.mask_token_id(), label_smoothing=label_smoothing)
+
+    def _maybe_zero(self, state):
+        if not self.zero:
+            return state
+        from imagetranslate_tpu.parallel.mesh import zero_shard_opt_state
+
+        return state.replace(
+            opt_state=zero_shard_opt_state(state.opt_state, self.mesh))
 
     def _shard(self, batch):
         """Batch-dim data sharding when a mesh is attached; row counts are
@@ -446,7 +461,8 @@ class MTTrainer:
             from imagetranslate_tpu.parallel.mesh import shard_params
 
             params = shard_params(params, self.mesh)
-        self.state = create_train_state(params, self.optimizer)
+        self.state = self._maybe_zero(create_train_state(params,
+                                                         self.optimizer))
 
     def reset_for_finetune(self):
         """Phase 2 entry: restart the LR schedule (train_image_mt.py:511)."""
