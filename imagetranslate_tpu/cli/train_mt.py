@@ -39,6 +39,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--intermediate", dest="intermediate_layer_dim", type=int,
                    default=3072)
     p.add_argument("--capacity", dest="total_capacity", type=int, default=600)
+    p.add_argument("--moe-experts", dest="moe_experts", type=int, default=0,
+                   help="Mixture-of-Experts FFN with this many experts per "
+                        "layer (models/moe.py); 0 = dense (reference "
+                        "semantics). Under --mesh DxM the expert dim shards "
+                        "over the model axis (expert parallelism).")
+    p.add_argument("--moe-top-k", dest="moe_top_k", type=int, default=2,
+                   help="experts routed per token (default 2, GShard-style)")
     p.add_argument("--beam", dest="beam_width", type=int, default=5)
     p.add_argument("--bt-beam", dest="bt_beam_width", type=int, default=1)
     p.add_argument("--max_len_a", type=float, default=1.3)
@@ -162,6 +169,8 @@ def main(argv=None):
             use_proposals=lex_dict is not None,
             resnet_depth=options.resnet_depth,
             dtype=options.dtype,
+            moe_experts=options.moe_experts,
+            moe_top_k=options.moe_top_k,
         )
 
     trainer_kwargs = dict(

@@ -94,6 +94,29 @@ class Seq2SeqConfig:
     # supported shapes; elsewhere the XLA project + lax.top_k path runs
     # with identical numerics.
     fused_project_topk: bool = True
+    # Mixture-of-Experts FFN (models/moe.py) — beyond-parity scaling
+    # capability; the reference has dense FFNs only (SURVEY §2.8). When
+    # moe_experts > 0 every encoder/decoder layer's FeedForward becomes a
+    # top-k routed expert bank whose expert dim shards over the mesh's
+    # "model" axis (expert parallelism, parallel/mesh.py _TP_RULES).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    # Per-expert token capacity = ceil(top_k·S/E·factor), rounded to 8;
+    # overflow tokens ride the residual (GShard drop semantics).
+    moe_capacity_factor: float = 1.25
+    # Routing-group size S (GShard grouped dispatch): capacity and the
+    # [G, S, E, C] dispatch one-hots are per group, keeping dispatch
+    # memory linear in token count (global routing is O(T²)). Groups are
+    # batch-major, so they inherit the data-axis sharding. Token counts
+    # not divisible by S route as one group (tests/decode steps).
+    # Default from a v5e-1 sweep at B=256·S=64, E=8 top-2 (tok/s):
+    # 64→65.6k, 128→72.0k, 256→71.9k, 512→51.8k, 1024→50.9k, 4096→45.3k
+    # — per-group dispatch work grows ~S², so small groups win; 256 sits
+    # on the plateau with better per-group load-balance statistics.
+    moe_group_size: int = 256
+    # Weight on the Switch load-balance aux loss (applied by the train
+    # steps via the sown "moe" collection).
+    moe_aux_weight: float = 0.01
     # Pallas fused label-smoothed xent: measured SLOWER than XLA's own
     # fusion for the training step on v5e (74.9k vs 88.7k tok/s at
     # B=256 S=64 BERT-base) — XLA already fuses the softmax/log into the
@@ -106,6 +129,10 @@ class Seq2SeqConfig:
             raise ValueError(
                 "decode_attention_impl must be 'onehot', 'dense' or "
                 f"'fused', got {self.decode_attention_impl!r}")
+        if self.moe_experts and not (1 <= self.moe_top_k <= self.moe_experts):
+            raise ValueError(
+                f"moe_top_k={self.moe_top_k} must be in [1, "
+                f"moe_experts={self.moe_experts}]")
 
     @property
     def head_dim(self) -> int:

@@ -367,12 +367,22 @@ class FeedForward(nn.Module):
         return self.ln(out + x).astype(self.cfg.compute_dtype)
 
 
+def make_ffn(cfg: Seq2SeqConfig) -> nn.Module:
+    """Dense FeedForward, or a routed expert bank when cfg.moe_experts > 0
+    (models/moe.py — expert parallelism over the mesh's "model" axis)."""
+    if cfg.moe_experts:
+        from imagetranslate_tpu.models.moe import MoEFeedForward
+
+        return MoEFeedForward(cfg)
+    return FeedForward(cfg)
+
+
 class EncoderLayer(nn.Module):
     cfg: Seq2SeqConfig
 
     def setup(self):
         self.self_attn = Attention(self.cfg)
-        self.ffn = FeedForward(self.cfg)
+        self.ffn = make_ffn(self.cfg)
 
     def __call__(self, x, bias, deterministic: bool = True):
         x = self.self_attn(x, x, bias, deterministic)
@@ -385,7 +395,7 @@ class DecoderLayer(nn.Module):
     def setup(self):
         self.self_attn = Attention(self.cfg)
         self.cross_attn = Attention(self.cfg)
-        self.ffn = FeedForward(self.cfg)
+        self.ffn = make_ffn(self.cfg)
 
     def __call__(self, x, enc, self_bias, cross_bias, deterministic: bool = True):
         x = self.self_attn(x, x, self_bias, deterministic)

@@ -113,6 +113,11 @@ _TP_RULES = [
     (r"intermediate/bias$", P("model")),
     (r"ffn/output/kernel$", P("model", None)),
     (r"ffn/output/bias$", P()),
+    # Expert parallelism (models/moe.py): stacked expert banks shard the
+    # leading EXPERT dim over "model"; GSPMD lowers the one-hot dispatch
+    # einsum as an all-to-all. The fp32 router stays replicated (default).
+    (r"ffn/wi$|ffn/wo$", P("model", None, None)),
+    (r"ffn/bi$|ffn/bo$", P("model", None)),
     (r"embeddings/word/embedding$", P("model", None)),
     (r"output_layers?_?\d*/proj/kernel$", P(None, "model")),
     (r"proj/bias$", P("model")),

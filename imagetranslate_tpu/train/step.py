@@ -45,6 +45,26 @@ def _loss_impl(model):
     return smoothed_nll_loss
 
 
+def _moe_weight(model) -> float:
+    """Aux-loss weight when the model routes through MoE FFNs, else 0."""
+    cfg = getattr(model, "cfg", None)
+    if cfg is not None and getattr(cfg, "moe_experts", 0):
+        return float(cfg.moe_aux_weight)
+    return 0.0
+
+
+def _apply_with_aux(model, params, *args, **kwargs):
+    """model.apply that also returns the MoE load-balance loss (mean over
+    the sown per-layer values; 0.0 for dense models). Keeping the sow
+    collection immutable on dense models avoids any tracing overhead."""
+    if _moe_weight(model):
+        logits, col = model.apply(params, *args, mutable=["moe"], **kwargs)
+        leaves = jax.tree.leaves(col["moe"])
+        aux = sum(leaves) / len(leaves)
+        return logits, aux
+    return model.apply(params, *args, **kwargs), jnp.asarray(0.0)
+
+
 def train_rng(seed: int):
     """Training RNG key on the TPU's hardware generator (rbg impl).
 
@@ -84,13 +104,15 @@ def make_mt_train_step(model, optimizer, label_smoothing: float = 0.1,
                        donate: bool = True) -> Callable:
     loss_fn_impl = _loss_impl(model)
 
+    moe_w = _moe_weight(model)
+
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         packed = "src_seg" in batch  # data/packing.py rows
 
         def loss_fn(params):
             if packed:
-                logits = model.apply(
-                    params, batch["src"], batch["src_seg"] > 0,
+                logits, aux = _apply_with_aux(
+                    model, params, batch["src"], batch["src_seg"] > 0,
                     batch["dst"], batch["dst_seg"] > 0,
                     batch["src_langs"], batch["dst_langs"],
                     tgt_positions=batch["dst_pos"],
@@ -103,8 +125,9 @@ def make_mt_train_step(model, optimizer, label_smoothing: float = 0.1,
                 # target only when t-1 belongs to the same example.
                 mask = (seg[:, 1:] == seg[:, :-1]) & (seg[:, 1:] > 0)
             else:
-                logits = model.apply(
-                    params, batch["src"], batch["src_mask"], batch["dst"],
+                logits, aux = _apply_with_aux(
+                    model, params, batch["src"], batch["src_mask"],
+                    batch["dst"],
                     batch["dst_mask"], batch["src_langs"], batch["dst_langs"],
                     tgt_positions=batch.get("tgt_positions"),
                     proposals=batch.get("proposals"),
@@ -114,7 +137,7 @@ def make_mt_train_step(model, optimizer, label_smoothing: float = 0.1,
             sum_l, n = loss_fn_impl(logits, batch["dst"][:, 1:], mask,
                                     epsilon=label_smoothing)
             n = jnp.maximum(n, 1.0)
-            return sum_l / n, (sum_l, n)
+            return sum_l / n + moe_w * aux, (sum_l, n)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (sum_l, n)), grads = grad_fn(state.params)
@@ -143,10 +166,12 @@ def make_mass_train_step(model, optimizer, cfg: Seq2SeqConfig,
             vocab_size=cfg.vocab_size, span_width=S // 2 + 1)
 
         dec_mask = masked.dec_inputs != cfg.pad_id
+        moe_w = _moe_weight(model)
 
         def loss_fn(params):
-            logits = model.apply(
-                params, masked.src, batch["src_mask"], masked.dec_inputs,
+            logits, aux = _apply_with_aux(
+                model, params, masked.src, batch["src_mask"],
+                masked.dec_inputs,
                 dec_mask, batch["langs"], batch["langs"],
                 tgt_positions=masked.positions,
                 deterministic=False, rngs={"dropout": r_drop})
@@ -154,7 +179,7 @@ def make_mass_train_step(model, optimizer, cfg: Seq2SeqConfig,
             sum_l, n = _loss_impl(model)(logits, masked.dec_inputs[:, 1:],
                                          mask, epsilon=label_smoothing)
             n = jnp.maximum(n, 1.0)
-            return sum_l / n, (sum_l, n)
+            return sum_l / n + moe_w * aux, (sum_l, n)
 
         (_, (sum_l, n)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -178,14 +203,17 @@ def make_mlm_train_step(model, optimizer, cfg: Seq2SeqConfig,
                            mask_prob, mask_id=mask_id, eos_id=cfg.eos_id,
                            n_specials=n_specials, vocab_size=cfg.vocab_size)
 
+        moe_w = _moe_weight(model)
+
         def loss_fn(params):
-            logits = model.apply(params, masked.texts, batch["pad_mask"],
-                                 batch["langs"], deterministic=False,
-                                 rngs={"dropout": r_drop})
+            logits, aux = _apply_with_aux(
+                model, params, masked.texts, batch["pad_mask"],
+                batch["langs"], deterministic=False,
+                rngs={"dropout": r_drop})
             mask = masked.target_mask & batch["row_mask"][:, None]
             sum_l, n = nll_loss(logits, batch["texts"], mask)
             n = jnp.maximum(n, 1.0)
-            return sum_l / n, (sum_l, n)
+            return sum_l / n + moe_w * aux, (sum_l, n)
 
         (_, (sum_l, n)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)

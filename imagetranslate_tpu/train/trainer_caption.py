@@ -40,6 +40,12 @@ class CaptionTrainer:
                  label_smoothing: float = 0.1, mm_mode: Optional[str] = None,
                  mask_prob: float = 0.5, img_size: int = 224, mesh=None,
                  seed: int = 0):
+        if getattr(cfg, "moe_experts", 0):
+            raise NotImplementedError(
+                "MoE FFNs are wired into the MT/MASS/MLM train steps only; "
+                "the captioning steps do not plumb the load-balance aux "
+                "loss (models/moe.py). Inference on an MoE checkpoint "
+                "works; training does not.")
         self.cfg = cfg
         self.tp = tp
         self.model = ImageSeq2Seq(cfg)

@@ -52,6 +52,12 @@ class ImageMTTrainer(MTTrainer):
                  mesh=None, seed: int = 0, zero: bool = False):
         # Intentionally does not call MTTrainer.__init__: the model and
         # train-state types differ; only the scalar knobs are shared.
+        if getattr(cfg, "moe_experts", 0):
+            raise NotImplementedError(
+                "MoE FFNs are wired into the MT/MASS/MLM train steps only; "
+                "the image-stream caption steps do not plumb the "
+                "load-balance aux loss. Train the text phases with "
+                "cli.train_mt (no --train image stream).")
         self.cfg = cfg
         self.tp = tp
         self.model = ImageSeq2Seq(cfg)

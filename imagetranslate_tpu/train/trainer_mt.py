@@ -74,6 +74,12 @@ class MTTrainer:
         # "model" axis into pipeline stages and microbatches each step.
         self.pp = int(pp_microbatches)
         self._pp_merged = None  # (state object, merged reference-layout params)
+        if self.pp and getattr(cfg, "moe_experts", 0):
+            raise ValueError(
+                "MoE + pipeline parallelism is unsupported: the staged "
+                "pipeline step (parallel/pipeline.py) does not plumb the "
+                "MoE load-balance aux loss; train MoE with dp/tp/ep "
+                "(--mesh without --pp-microbatches)")
         # ZeRO-1: shard Adam moments (+ accumulation buffers) over the data
         # axis (parallel/mesh.py::zero_shard_opt_state). Placement-only.
         self.zero = bool(zero) and mesh is not None

@@ -298,6 +298,71 @@ def test_zero_sharded_opt_state_compiles_on_v5e_8():
         step_fn.clear_cache()
 
 
+def test_moe_expert_parallel_train_step_compiles_on_v5e_8():
+    """Expert-parallel MoE MT train step (models/moe.py): the stacked
+    expert banks shard their EXPERT dim over "model"
+    (parallel/mesh.py _TP_RULES ffn/wi|wo) while the batch shards over
+    "data" — the TPU partitioner must lower the one-hot dispatch/expert
+    einsums into a legal SPMD program (all-to-all or gather collectives
+    over ICI)."""
+    from imagetranslate_tpu.models.config import Seq2SeqConfig
+    from imagetranslate_tpu.models.seq2seq import Seq2Seq
+    from imagetranslate_tpu.parallel.mesh import (
+        batch_sharding,
+        param_shardings,
+    )
+    from imagetranslate_tpu.train.optimizer import build_optimizer
+    from imagetranslate_tpu.train.step import (
+        create_train_state,
+        make_mt_train_step,
+        train_rng,
+    )
+
+    mesh = MESH
+    cfg = Seq2SeqConfig(vocab_size=8192, num_languages=2, enc_layers=2,
+                        dec_layers=2, dropout=0.1, moe_experts=8,
+                        moe_top_k=2)
+    model = Seq2Seq(cfg)
+    B, S = 32, 64
+    ids = jax.ShapeDtypeStruct((B, S), jnp.int32)
+    msk = jax.ShapeDtypeStruct((B, S), jnp.dtype(bool))
+    lng = jax.ShapeDtypeStruct((B,), jnp.int32)
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0), ids, msk,
+                            ids, msk, lng, lng)
+    pshard = param_shardings(params, mesh)
+    wi = pshard["params"]["encoder"]["layers_0"]["ffn"]["wi"]
+    assert "model" in str(wi.spec), f"expert dim not EP-sharded: {wi}"
+    optimizer = build_optimizer(lr=1e-4)
+    st = jax.eval_shape(lambda p: create_train_state(p, optimizer), params)
+    rep = NamedSharding(mesh, P())
+    st_specs = st.replace(
+        params=_respec(st.params, pshard),
+        opt_state=jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep),
+            st.opt_state),
+        step=jax.ShapeDtypeStruct((), jnp.int32, sharding=rep))
+    bsh = batch_sharding(mesh)
+    batch = _batch_specs(
+        {"src": ids, "src_mask": msk, "dst": ids, "dst_mask": msk,
+         "src_langs": lng, "dst_langs": lng,
+         "row_mask": jax.ShapeDtypeStruct((B,), jnp.dtype(bool))},
+        mesh, lambda k, v: bsh)
+    key = train_rng(0)
+    key_spec = jax.ShapeDtypeStruct(key.shape, key.dtype, sharding=rep)
+    step_fn = make_mt_train_step(model, optimizer, donate=False)
+    prev = runtime.set_spmd_lowering(True, mesh=mesh)
+    try:
+        with runtime.force_tpu_lowering():
+            compiled = step_fn.lower(st_specs, batch, key_spec).compile()
+        txt = compiled.as_text()
+        assert ("all-to-all" in txt or "all-gather" in txt
+                or "collective-permute" in txt), (
+            "no EP collective in the sharded MoE program")
+    finally:
+        runtime.set_spmd_lowering(prev)
+        step_fn.clear_cache()
+
+
 def test_mt_train_step_with_kernels_compiles_on_dp_mesh():
     """Pure-dp v5e-8 mesh: the kernel call sites shard_map themselves
     (runtime.data_shard_mesh), so the fused attention-dropout Mosaic
