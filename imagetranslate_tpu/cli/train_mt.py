@@ -264,7 +264,10 @@ def main(argv=None):
                 options.pretrained_path, trainer._variables(),
                 trainer.state.opt_state if options.continue_train else None)
             if options.pp_microbatches:
-                trainer.set_reference_params(params)
+                # PP checkpoints carry weights + step only; re-seat the LR
+                # schedule at the saved step (trainer_mt._save's contract).
+                trainer.set_reference_params(params,
+                                             step=int(meta.get("step", 0)))
             else:
                 state = create_train_state(params, trainer.optimizer)
                 if opt_state is not None:

@@ -45,6 +45,21 @@ import jax.numpy as jnp
 from imagetranslate_tpu.models.config import Seq2SeqConfig
 
 
+def _group_size(n_tokens: int, requested: int) -> int:
+    """Largest divisor of the token count that is <= the requested group
+    size. Never falls back to one global group: dispatch memory is
+    O(group_size · capacity) per token, so a single group over T tokens
+    is O(T²) — multi-GB at BERT-base batches. A token count that isn't a
+    multiple of the requested size (any odd decoder length does it) just
+    gets slightly smaller groups, not a quadratic blowup."""
+    if not requested or n_tokens <= requested:
+        return n_tokens
+    for d in range(requested, 0, -1):
+        if n_tokens % d == 0:
+            return d
+    return n_tokens
+
+
 def _capacity(n_tokens: int, cfg: Seq2SeqConfig) -> int:
     """Static per-expert PER-GROUP capacity: ceil(top_k·S/E·factor), min 8,
     rounded up to a multiple of 8 (TPU lane friendliness; also guarantees
@@ -97,9 +112,8 @@ class MoEFeedForward(nn.Module):
         # (= batch-major) order, so under a data-sharded batch the group
         # dim inherits the "data" sharding and each shard routes its own
         # tokens locally.
-        S = cfg.moe_group_size
-        G = T // S if (S and T > S and T % S == 0) else 1
-        S = T // G
+        S = _group_size(T, cfg.moe_group_size)
+        G = T // S
         C = _capacity(S, cfg)
         grp = tokens.reshape(G, S, H)
 

@@ -43,19 +43,29 @@ def spmd_lowering() -> bool:
     return _SPMD
 
 
-def set_spmd_lowering(on: bool, mesh=None) -> bool:
-    """Latch (or clear) the multi-device-lowering flag; returns the
-    previous value. `mesh` (optional) registers the active mesh so kernel
-    call sites can shard_map themselves instead of falling back — see
-    data_shard_mesh()."""
-    global _SPMD, _MESH
-    prev = _SPMD
-    _SPMD = bool(on)
-    _MESH = mesh if on else None
-    return prev
-
-
 _MESH = None
+
+
+def set_spmd_lowering(on, mesh=None):
+    """Latch (or clear) the multi-device-lowering flag; returns the
+    previous state. `mesh` (optional) registers the active mesh so kernel
+    call sites can shard_map themselves instead of falling back — see
+    data_shard_mesh().
+
+    The return value is an opaque state token: pass it back as `on` to
+    restore BOTH the flag and the registered mesh (`prev =
+    set_spmd_lowering(True); ...; set_spmd_lowering(prev)`). A bare
+    boolean `on` without `mesh` clears the mesh registration, so the
+    token — not a bool — is what makes the save/restore idiom safe in a
+    process that already latched a mesh."""
+    global _SPMD, _MESH
+    prev = (_SPMD, _MESH)
+    if isinstance(on, tuple):
+        _SPMD, _MESH = bool(on[0]), on[1]
+    else:
+        _SPMD = bool(on)
+        _MESH = mesh if on else None
+    return prev
 
 
 def dp_shard_map(fn, in_specs, out_specs, mesh=None):

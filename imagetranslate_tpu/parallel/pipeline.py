@@ -58,17 +58,10 @@ from imagetranslate_tpu.models.config import Seq2SeqConfig
 PP_AXIS = "model"
 
 
-def _shard_map(fn, mesh, in_specs, out_specs):
-    try:
-        from jax import shard_map as sm
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map as sm
-    return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-              check_vma=False)
-
-
 def n_stages(mesh: Mesh) -> int:
-    return dict(zip(mesh.axis_names, mesh.devices.shape)).get(PP_AXIS, 1)
+    from imagetranslate_tpu.parallel.mesh import model_axis_size
+
+    return model_axis_size(mesh)
 
 
 def _stage_counts(n_layers: int, stages: int):
@@ -171,6 +164,13 @@ def _pipeline_stack(mesh: Mesh, n_micro: int, stage_fn: Callable,
         stage = jax.tree.map(lambda a: a[0], staged_l)
         act = active_l[0]
         sid = jax.lax.axis_index(PP_AXIS)
+        # Decorrelate dropout across DATA shards too: `key` enters the
+        # manual region replicated (in_spec P()), so folding only
+        # (tick, stage) would draw bit-identical masks on every data
+        # shard — co-dropping matching positions across the global batch
+        # instead of iid dropout (the unpipelined step and the fused
+        # attention-dropout shard_map both already shift by shard index).
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
         assert x_l.shape[0] % M == 0, (
             f"local batch {x_l.shape[0]} not divisible by {M} microbatches")
 
@@ -213,7 +213,9 @@ def _pipeline_stack(mesh: Mesh, n_micro: int, stage_fn: Callable,
                            PP_AXIS)
         return out.reshape(x_l.shape)
 
-    fn = _shard_map(local, mesh, in_specs, P("data"))
+    from imagetranslate_tpu.ops.runtime import dp_shard_map
+
+    fn = dp_shard_map(local, in_specs, P("data"), mesh=mesh)
     return fn(staged_tree, active, x, aux, key)
 
 
@@ -226,9 +228,9 @@ def make_pipeline_forward(cfg: Seq2SeqConfig, mesh: Mesh, n_micro: int,
     [B, T-1, V].
 
     Dropout caveat: per-layer dropout streams are folded from
-    (tick, stage, slot) instead of flax's module-path folding, so a
-    dropout>0 run is distributionally identical but not bit-identical to
-    the unpipelined step. deterministic=True is bit-compatible.
+    (data-shard, tick, stage, slot) instead of flax's module-path folding,
+    so a dropout>0 run is distributionally identical but not bit-identical
+    to the unpipelined step. deterministic=True is bit-compatible.
     """
     from imagetranslate_tpu.models.seq2seq import expand_langs
     from imagetranslate_tpu.models.transformer import (
@@ -241,11 +243,16 @@ def make_pipeline_forward(cfg: Seq2SeqConfig, mesh: Mesh, n_micro: int,
         segment_bias,
     )
 
-    assert not cfg.lang_dec and not cfg.use_proposals, (
-        "pipeline parallelism supports the shared-decoder model without "
-        "proposal attention")
+    if cfg.lang_dec or cfg.use_proposals:
+        raise ValueError(
+            "pipeline parallelism supports the shared-decoder model without "
+            "proposal attention")
     S = n_stages(mesh)
-    assert S > 1, "pipeline parallelism needs a model-axis size > 1"
+    if S <= 1:
+        # An explicit raise (not assert: stripped under python -O) — a
+        # 1-stage "pipeline" would self-ppermute and silently train a
+        # different program than requested.
+        raise ValueError("pipeline parallelism needs a model-axis size > 1")
     # Mosaic custom calls cannot live inside this manual region (nested
     # shard_map / GSPMD partitioning limits) — stages run pure XLA.
     scfg = cfg.replace(fused_attn_dropout=False, use_pallas_attention=False)

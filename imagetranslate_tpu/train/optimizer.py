@@ -56,16 +56,26 @@ def build_optimizer(lr: float = 1e-4, warmup_updates: int = 4000,
     return optax.chain(*parts)
 
 
+def set_schedule_step(opt_state, count: int):
+    """Set every ScaleByScheduleState count to `count`, leaving Adam
+    moments intact. Used by checkpoint restores that rebuild the optimizer
+    state from scratch (pipeline-parallel resume: moments are stage-stacked
+    and geometry-bound, so only weights + step survive) so the inverse-sqrt
+    schedule resumes from the saved step instead of re-warming from 0."""
+
+    def _set(s):
+        if isinstance(s, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(
+                count=jnp.full_like(s.count, count))
+        return s
+
+    return jax.tree.map(_set, opt_state,
+                        is_leaf=lambda s: isinstance(s, optax.ScaleByScheduleState))
+
+
 def reset_schedule(opt_state):
     """Restart warmup for the fine-tune phase (reference optimizer.reset()).
 
     Zeroes every ScaleByScheduleState count, leaves Adam moments intact (the
     reference resets only `num_updates`, keeping exp_avg/exp_avg_sq)."""
-
-    def _reset(s):
-        if isinstance(s, optax.ScaleByScheduleState):
-            return optax.ScaleByScheduleState(count=jnp.zeros_like(s.count))
-        return s
-
-    return jax.tree.map(_reset, opt_state,
-                        is_leaf=lambda s: isinstance(s, optax.ScaleByScheduleState))
+    return set_schedule_step(opt_state, 0)

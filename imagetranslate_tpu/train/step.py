@@ -36,9 +36,16 @@ from imagetranslate_tpu.ops.masking import mass_mask
 
 def _loss_impl(model):
     """Pick the fused Pallas softmax-xent when the model config asks for it
-    (cfg.use_pallas_xent); identical math either way (ops/xent_pallas.py)."""
+    (cfg.use_pallas_xent); identical math either way (ops/xent_pallas.py).
+    Under a multi-device mesh the opt-in kernel falls back to the XLA loss
+    (Mosaic custom calls cannot be GSPMD-partitioned — the same gate every
+    production kernel call site carries, ops/runtime.py::spmd_lowering)."""
     cfg = getattr(model, "cfg", None)
     if cfg is not None and getattr(cfg, "use_pallas_xent", False):
+        from imagetranslate_tpu.ops import runtime
+
+        if runtime.spmd_lowering():
+            return smoothed_nll_loss
         from imagetranslate_tpu.ops.xent_pallas import smoothed_nll_loss_pallas
 
         return smoothed_nll_loss_pallas

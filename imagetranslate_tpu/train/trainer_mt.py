@@ -106,9 +106,10 @@ class MTTrainer:
             from imagetranslate_tpu.parallel import pipeline as pl
             from imagetranslate_tpu.parallel.mesh import model_axis_size
 
-            assert mesh is not None and model_axis_size(mesh) > 1, (
-                "--pp-microbatches needs a --mesh with a model axis > 1 "
-                "(its size becomes the pipeline-stage count)")
+            if mesh is None or model_axis_size(mesh) <= 1:
+                raise SystemExit(
+                    "--pp-microbatches needs a --mesh with a model axis > 1 "
+                    "(its size becomes the pipeline-stage count)")
             params = pl.shard_pipeline_params(
                 pl.split_pipeline_params(params, cfg,
                                          model_axis_size(mesh)), mesh)
@@ -449,11 +450,13 @@ class MTTrainer:
                         opt_state=self.state.opt_state, step=step,
                         best_metric=self.best_bleu)
 
-    def set_reference_params(self, params):
+    def set_reference_params(self, params, step: int = 0):
         """Replace the model weights from a reference-layout tree (LM graft,
         --pretrained restore): re-shards for the active mesh, re-splitting
         into the pipeline layout when PP is on, and resets the optimizer
-        state to match."""
+        state to match. `step` (a checkpoint's saved step) re-seats the LR
+        schedule there — PP checkpoints are weights+step only (see _save),
+        so without it a resumed run would silently re-warm from 0."""
         self._pp_merged = None
         if self.pp:
             from imagetranslate_tpu.parallel import pipeline as pl
@@ -467,8 +470,13 @@ class MTTrainer:
             from imagetranslate_tpu.parallel.mesh import shard_params
 
             params = shard_params(params, self.mesh)
-        self.state = self._maybe_zero(create_train_state(params,
-                                                         self.optimizer))
+        state = self._maybe_zero(create_train_state(params, self.optimizer))
+        if step:
+            from imagetranslate_tpu.train.optimizer import set_schedule_step
+
+            state = state.replace(
+                opt_state=set_schedule_step(state.opt_state, step))
+        self.state = state
 
     def reset_for_finetune(self):
         """Phase 2 entry: restart the LR schedule (train_image_mt.py:511)."""

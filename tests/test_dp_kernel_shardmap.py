@@ -130,3 +130,20 @@ def test_fused_dropout_attention_shard_map_rate0_matches():
     g = jax.grad(lambda q: jnp.sum(jax.jit(fn)(q, k, v, bias, seed)))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_spmd_latch_token_restores_mesh():
+    """Regression: set_spmd_lowering returns a state token; passing it
+    back must restore the REGISTERED MESH too, not just the flag —
+    otherwise a nested save/restore leaves _SPMD=True with no mesh and
+    every later-traced step silently drops its shard_mapped kernels."""
+    from imagetranslate_tpu.ops import runtime
+    from imagetranslate_tpu.parallel.mesh import make_mesh
+
+    make_mesh(8, 1)                        # latches (True, mesh)
+    assert runtime.data_shard_mesh() is not None
+    prev = runtime.set_spmd_lowering(True)  # nested scope, no mesh arg
+    assert runtime.data_shard_mesh() is None
+    runtime.set_spmd_lowering(prev)
+    assert runtime.spmd_lowering()
+    assert runtime.data_shard_mesh() is not None

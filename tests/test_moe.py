@@ -251,3 +251,33 @@ def test_unwired_workloads_refuse_moe():
         CaptionTrainer(cfg, tp=None)
     with pytest.raises(ValueError, match="pipeline"):
         MTTrainer(cfg, tp=None, mesh=make_mesh(4, 2), pp_microbatches=2)
+
+
+def test_group_size_never_falls_back_to_one_global_group():
+    """Regression: a token count that isn't a multiple of moe_group_size
+    must get the largest divisor <= the requested size, NOT one global
+    group — a global dispatch one-hot is O(T^2) memory (multi-GB at
+    BERT-base batch shapes for what should be a few KB)."""
+    from imagetranslate_tpu.models.moe import _group_size
+
+    # B=128, L=64 decoder tokens: 128*63 = 8064, not a multiple of 256.
+    assert _group_size(8064, 256) == 252          # 8064 = 252 * 32
+    assert _group_size(8064, 256) <= 256
+    assert _group_size(256, 256) == 256           # exact fit unchanged
+    assert _group_size(512, 256) == 256
+    assert _group_size(63, 16) == 9               # 63 = 9 * 7
+    assert _group_size(9973, 256) == 1            # prime: degenerate but linear
+    assert _group_size(100, 0) == 100             # 0 = explicit global group
+    assert _group_size(8, 256) == 8               # tiny inputs: one group
+
+
+def test_moe_forward_with_indivisible_token_count():
+    """The routed forward works (and stays grouped) when T % group != 0."""
+    cfg = _cfg(moe_experts=4, moe_top_k=2, moe_group_size=16)
+    H = cfg.hidden_size
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 21, H), jnp.float32)
+    moe = MoEFeedForward(cfg)                      # T = 63 -> groups of 9
+    params = moe.init(jax.random.PRNGKey(1), x)
+    out = moe.apply(params, x)
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))

@@ -187,7 +187,7 @@ def test_pp_mass_step_matches_plain_mass_step():
 def test_pp_rejects_lang_dec():
     cfg = tiny_config(lang_dec=True, num_languages=2)
     mesh = make_mesh(4, 2)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         pl.make_pipeline_forward(cfg, mesh, 2)
 
 
@@ -281,3 +281,66 @@ def test_pp_trainer_bt_smoke(tmp_path):
     assert step > 0
     k = trainer.state.params["enc"]["self_attn"]["query"]["kernel"]
     assert "model" in str(k.sharding.spec)
+
+
+def test_pipeline_rng_decorrelated_across_data_shards():
+    """Regression: the per-tick dropout key must fold in the DATA-axis
+    index — the key enters the manual region replicated, so folding only
+    (tick, stage) would draw bit-identical masks on every data shard.
+    Drive _pipeline_stack with a stage that adds key-derived noise to
+    identical inputs: outputs must differ between data shards."""
+    mesh = make_mesh(2, 2)
+    staged = {"w": jnp.zeros((2, 1))}              # S=2 stages, dummy params
+    active = jnp.ones((2, 1), bool)
+    x = jnp.ones((8, 16), jnp.float32)             # all rows identical
+
+    def stage_fn(stage, act, x, aux, key):
+        return x + jax.random.uniform(key, x.shape)
+
+    out = np.asarray(pl._pipeline_stack(mesh, 2, stage_fn, staged, active,
+                                        x, (), jax.random.PRNGKey(0)))
+    # shard 0 holds rows 0..3, shard 1 rows 4..7; same (tick, stage)
+    # schedule on both -> equal iff the data index is not folded in.
+    assert not np.allclose(out[:4], out[4:])
+    # microbatches within a shard see different ticks (sanity)
+    assert not np.allclose(out[0], out[2])
+
+
+def test_pp_restore_reseats_schedule_step():
+    """PP checkpoints are weights+step only (_save); set_reference_params
+    must re-seat the inverse-sqrt schedule at the saved step instead of
+    silently re-warming from 0."""
+    import optax
+
+    from imagetranslate_tpu.train.trainer_mt import MTTrainer
+
+    class _TP:
+        special_tokens = ["<pad>", "<s>", "<unk>", "<mask>", "</s>"]
+
+        def mask_token_id(self):
+            return 3
+
+    cfg = tiny_config(enc_layers=2, dec_layers=2)
+    mesh = make_mesh(4, 2)
+    trainer = MTTrainer(cfg, tp=_TP(), mesh=mesh, pp_microbatches=2)
+    trainer.set_reference_params(trainer._variables(), step=1234)
+
+    counts = [np.asarray(s.count) for s in jax.tree.leaves(
+        trainer.state.opt_state,
+        is_leaf=lambda s: isinstance(s, optax.ScaleByScheduleState))
+        if isinstance(s, optax.ScaleByScheduleState)]
+    assert counts and all(c == 1234 for c in counts)
+
+
+def test_pp_needs_model_axis_is_a_loud_error():
+    """--pp-microbatches without a model axis > 1 must be a real error
+    (SystemExit/ValueError), not an assert that python -O strips."""
+    import pytest
+
+    from imagetranslate_tpu.train.trainer_mt import MTTrainer
+
+    cfg = tiny_config(enc_layers=2, dec_layers=2)
+    with pytest.raises(SystemExit, match="model axis"):
+        MTTrainer(cfg, tp=None, mesh=make_mesh(8, 1), pp_microbatches=2)
+    with pytest.raises((SystemExit, ValueError)):
+        pl.make_pipeline_forward(tiny_config(), make_mesh(8, 1), 2)

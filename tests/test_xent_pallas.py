@@ -96,3 +96,22 @@ def test_mt_step_with_pallas_xent():
     np.testing.assert_allclose(loss,
                                float(m2["sum_loss"]) / float(m2["ntokens"]),
                                rtol=1e-4)
+
+
+def test_pallas_xent_gates_off_under_mesh():
+    """use_pallas_xent must fall back to the XLA loss under a multi-device
+    mesh: Mosaic custom calls cannot be GSPMD-partitioned, and this was
+    the one kernel call site left ungated on spmd_lowering()."""
+    from imagetranslate_tpu.models.config import tiny_config
+    from imagetranslate_tpu.models.seq2seq import Seq2Seq
+    from imagetranslate_tpu.ops import runtime
+    from imagetranslate_tpu.ops.losses import smoothed_nll_loss
+    from imagetranslate_tpu.train.step import _loss_impl
+
+    model = Seq2Seq(tiny_config(use_pallas_xent=True))
+    prev = runtime.set_spmd_lowering(True)
+    try:
+        assert _loss_impl(model) is smoothed_nll_loss
+    finally:
+        runtime.set_spmd_lowering(prev)
+    assert _loss_impl(model) is not smoothed_nll_loss
