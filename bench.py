@@ -104,7 +104,10 @@ def main():
         return float(jnp.sum(lengths)) / dt
 
     _prog(f"device up: {jax.devices()[0]}; measuring decode")
-    per_batch = {b: measure_decode(b) for b in (B, 256)}
+    # B=192 measures ~4% above B=256 on this chip (the step is
+    # HBM/selection-bound, not occupancy-bound, past B~128 — PERF.md r3);
+    # the headline takes the best serving batch.
+    per_batch = {b: measure_decode(b) for b in (B, 128, 192, 256)}
     decode_B = max(per_batch, key=per_batch.get)
     decode_tps = per_batch[decode_B]
 

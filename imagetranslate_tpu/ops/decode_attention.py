@@ -23,9 +23,10 @@ GEMM-shaped dots per batch group, entirely VMEM-resident:
             then a per-query block-diagonal head selection.
 
 The full score tensor never exists in HBM; block-local cache reads happen
-once. A narrow (fp8) cache dequants with a VMEM-local astype, so halved
-HBM traffic actually reaches the wire instead of materializing an upcast
-the way the XLA path does.
+once. A narrow (fp8) cache dequants with a VMEM-local astype — measured
+(docs/PERF.md round 3): the halved HBM reads do NOT pay for the per-element
+fp8->bf16 conversion cost (fused-fp8 e2e 26.6k vs fused-bf16 41.9k tok/s),
+so narrow caches stay a memory knob, not a speed path, in this kernel too.
 
 Reference context: same math as seq_gen.py's beam re-decode step in the
 windowed-consolidation form (see Attention.step_windowed's docstring for
