@@ -25,6 +25,20 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+def normalize_uint8(images):
+    """Device-side ImageNet normalization of raw uint8 images — the exact
+    counterpart of load_image's float path ((x/255 - mean) / std). ONE
+    definition on purpose: the uint8/float staging parity contract
+    (tests/test_captioning.py::test_uint8_images_match_float_path) holds
+    only while every consumer (captioning grid encoder, detector) uses
+    bit-identical math. jax imported lazily so this module stays usable
+    in host-only processes."""
+    import jax.numpy as jnp
+
+    return (images.astype(jnp.float32) / 255.0
+            - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+
 def load_image(path: str, size: int = 224,
                resize_min: Optional[int] = None,
                raw: bool = False) -> np.ndarray:

@@ -365,6 +365,19 @@ def _beam_search_windowed(model, params, enc_states, src_mask, first_tokens,
     return best, lengths
 
 
+# Measured-optimal window overrides for the auto rule, keyed (batch, L).
+# The W landscape on v5e is jagged and batch-dependent (PERF.md round-3
+# sweep at L=88, K=4, BERT-base: B=192 W=36 51.1k tok/s vs auto-W=44
+# 47.4k, while at B=256 W=36 LOSES 41.5k vs 45.7k — an XLA tiling
+# interaction, not the sqrt trend). Entries are measured points only;
+# everything else falls back to the sqrt rule. Window size never changes
+# decode semantics (consolidation is math-transparent; bf16 rounding can
+# flip exact near-ties, same class as any program-shape change).
+_TUNED_WINDOW = {
+    (192, 88): 36,
+}
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model", "beam_width", "max_len", "len_penalty_ratio",
@@ -413,7 +426,11 @@ def beam_search(
         # consolidation cost (~L^2/W): optimum ~ sqrt(L). Measured on v5e-1
         # at L=88 (B=256, BERT-base): W=44 best (42.8k tok/s) vs W=16
         # (33.3k), W=87/no-consolidation (10.5k) — see docs/PERF.md.
-        window = max(8, min(64, int(round(4.7 * L ** 0.5))))
+        # The measured landscape is jagged and BATCH-dependent on top of
+        # the sqrt trend (XLA tiling interactions), so known-good measured
+        # points override the formula — see _TUNED_WINDOW.
+        window = _TUNED_WINDOW.get((B, L),
+                                   max(8, min(64, int(round(4.7 * L ** 0.5)))))
     # Windowed-consolidation decode (gather-free): default for beam > 1.
     if (mode in (None, "windowed") and K > 1
             and hasattr(type(model), "decode_step_windowed")):

@@ -114,13 +114,9 @@ class ImageSeq2Seq(nn.Module):
         it helps any PCIe host too. XLA fuses the normalize into the
         first conv."""
         if images.dtype == jnp.uint8:
-            from imagetranslate_tpu.data.images import (
-                IMAGENET_MEAN,
-                IMAGENET_STD,
-            )
+            from imagetranslate_tpu.data.images import normalize_uint8
 
-            images = (images.astype(jnp.float32) / 255.0
-                      - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            images = normalize_uint8(images)
         grid = self.image_model(images, train=train, deterministic=deterministic)
         if self.cfg.freeze_image:
             grid = jax.lax.stop_gradient(grid)

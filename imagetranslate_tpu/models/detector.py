@@ -181,16 +181,12 @@ class FasterRCNN(nn.Module):
 
     def __call__(self, image):  # [H, W, 3] ImageNet-normalized f32, or uint8
         if image.dtype == jnp.uint8:
-            # Normalize on device (same math as data/images.py::load_image):
-            # the host ships 1 byte/px instead of 4 — at the detector's
-            # 800x800 input that is 7.7 -> 1.9 MB per image of H2D.
-            from imagetranslate_tpu.data.images import (
-                IMAGENET_MEAN,
-                IMAGENET_STD,
-            )
+            # Normalize on device: the host ships 1 byte/px instead of 4 —
+            # at the detector's 800x800 input that is 7.7 -> 1.9 MB per
+            # image of H2D.
+            from imagetranslate_tpu.data.images import normalize_uint8
 
-            image = (image.astype(jnp.float32) / 255.0
-                     - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            image = normalize_uint8(image)
         H, W, _ = image.shape
         feats = self.backbone(image[None])
         pyramid = self.fpn(feats)

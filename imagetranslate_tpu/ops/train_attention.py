@@ -84,8 +84,18 @@ def _fwd_kernel(seed_ref, q_ref, kT_ref, v_ref, bias_ref, o_ref, *,
 
 
 def _bwd_kernel(seed_ref, q_ref, kT_ref, v_ref, bias_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, *, scale: float, rate: float):
+                dq_ref, dk_ref, dv_ref, db_ref, *, scale: float,
+                rate: float):
     G = q_ref.shape[0]
+
+    # dbias accumulates over the HEAD grid dim: all h programs map to the
+    # same output block (index map drops h), and TPU grids iterate the
+    # last dim innermost, so for a fixed batch block the revisits are
+    # consecutive — initialize at h == 0, add afterwards.
+    @pl.when(pl.program_id(1) == 0)
+    def _init_db():
+        db_ref[...] = jnp.zeros_like(db_ref)
+
     if rate > 0.0:
         bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
         pltpu.prng_seed(seed_ref[0], bh)            # SAME stream as forward
@@ -122,6 +132,14 @@ def _bwd_kernel(seed_ref, q_ref, kT_ref, v_ref, bias_ref, g_ref,
         # softmax vjp: ds = p * (dp - sum(dp * p, -1))
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
 
+        # dbias = ds summed over the bias's broadcast dims (heads via the
+        # grid accumulation above; queries too when bias is [B, 1, 1, S]).
+        if db_ref.shape[2] == 1:
+            db_ref[gi, 0] = db_ref[gi, 0] + jnp.sum(ds, axis=0,
+                                                    keepdims=True)
+        else:
+            db_ref[gi, 0] = db_ref[gi, 0] + ds
+
         # dq = ds @ k * scale; k^T is kT           [T, D]
         dq_ref[gi, 0] = (jax.lax.dot_general(
             ds, kT32, (((1,), (1,)), ((), ())),
@@ -138,10 +156,12 @@ def fused_attention_supported(q: jnp.ndarray, k: jnp.ndarray,
     comfortably and dims must satisfy TPU tiling."""
     B, T, H, D = q.shape
     S = k.shape[1]
-    if bias is None or bias.ndim != 4 or bias.shape[1] != 1:
-        return False
-    if bias.shape[2] not in (1, T) or bias.shape[3] != S:
-        return False
+    if bias is not None:
+        # bias=None is fine: the dispatch synthesizes a zero [B, 1, 1, S].
+        if bias.ndim != 4 or bias.shape[1] != 1:
+            return False
+        if bias.shape[2] not in (1, T) or bias.shape[3] != S:
+            return False
     if D % 8 != 0 or T % 8 != 0 or S % 8 != 0:
         return False
     return T <= 512 and S <= 512 and D <= 256
@@ -229,7 +249,8 @@ def _bwd_rule(rate, res, g):
     kern = functools.partial(_bwd_kernel, scale=scale, rate=float(rate))
     interpret = not runtime.tpu_lowering()
     G = _batch_block(B)
-    dq, dk, dv = pl.pallas_call(
+    Tb = T if bias_rows else 1
+    dq, dk, dv, db = pl.pallas_call(
         kern,
         grid=(B // G, H),
         interpret=interpret,
@@ -241,11 +262,16 @@ def _bwd_rule(rate, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, 1, S, D), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
+            # dbias: the index map drops h — every head program revisits
+            # the same block and accumulates (see _bwd_kernel).
+            pl.BlockSpec((G, 1, Tb, S), lambda b, h: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
             jax.ShapeDtypeStruct((B, H, S, D), k.dtype),
             jax.ShapeDtypeStruct((B, H, S, D), v.dtype),
+            jax.ShapeDtypeStruct((B, 1, Tb, S), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=10 * B * H * T * S * D,
@@ -255,7 +281,7 @@ def _bwd_rule(rate, res, g):
         ),
     )(seed.reshape(1).astype(jnp.int32), qt, kT, vt, bias, gt)
     return (dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),
-            dv.transpose(0, 2, 1, 3), jnp.zeros_like(bias),
+            dv.transpose(0, 2, 1, 3), db.astype(bias.dtype),
             np.zeros(seed.shape, jax.dtypes.float0))
 
 

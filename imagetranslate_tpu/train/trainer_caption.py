@@ -169,12 +169,7 @@ class CaptionTrainer:
             # batch N+1 overlaps the device step on batch N.
             kind, b = item
             if kind == "cap":
-                paths = list(b.image_paths)
-                while len(paths) < b.captions.shape[0]:
-                    paths.append(paths[0])
-                imgs = default_image_pool().decode(paths, root=image_root,
-                                                   size=self.img_size,
-                                                   raw=True)
+                imgs = b.images(image_root, size=self.img_size, raw=True)
                 return kind, b, jnp.asarray(
                     self._shard({"images": imgs})["images"])
             return kind, b, self._shard(mt_batch_to_device(b))
@@ -315,8 +310,12 @@ class CaptionTrainer:
         # Pad the decode length to a bucket so eval reuses few compilations.
         L = max(16, ((eval_set.max_len + 15) // 16) * 16)
         for group in eval_set.batches():
+            # Decode at the TRAINING resolution (img_size) — a 224 default
+            # here would eval a grid geometry the model never saw whenever
+            # img_size != 224 (e.g. the recipe smoke trains at 96).
             images = default_image_pool().decode(
-                [g.image_path for g in group], root=image_root, raw=True)
+                [g.image_path for g in group], root=image_root,
+                size=self.img_size, raw=True)
             first = np.array([g.first_token for g in group], np.int32)
             langs = np.full((len(group),), eval_set.lang, np.int32)
             feats = labels = None

@@ -154,14 +154,7 @@ class ImageMTTrainer(MTTrainer):
     def _stage_img(self, b, image_root: str):
         """Prefetch-worker hook: thread-pool PIL decode + H2D staging of the
         image tensor (by far the heaviest host work per caption batch)."""
-        from imagetranslate_tpu.data.prefetch import default_image_pool
-
-        paths = list(b.image_paths)
-        # Dummy rows reuse image 0 (their loss weight is zero).
-        while len(paths) < b.captions.shape[0]:
-            paths.append(paths[0])
-        imgs = default_image_pool().decode(paths, root=image_root,
-                                           size=self.img_size, raw=True)
+        imgs = b.images(image_root, size=self.img_size, raw=True)
         return jnp.asarray(self._shard({"images": imgs})["images"])
 
     def _img_step(self, b, image_root: str, rng, images=None):

@@ -76,7 +76,9 @@ def test_rate0_grads_match_xla(qkv):
 def test_supported_gate(qkv):
     q, k, v, bias = qkv
     assert fused_attention_supported(q, k, bias)
-    assert not fused_attention_supported(q, k, None)
+    # bias=None is supported: the dispatch synthesizes a zero [B, 1, 1, S]
+    # (fully-packed rows with no padding should still take the kernel).
+    assert fused_attention_supported(q, k, None)
     # S beyond the full-tile VMEM budget
     k_big = jnp.zeros((2, 1024, 3, 8))
     bias_big = jnp.zeros((2, 1, 1, 1024))
@@ -96,3 +98,27 @@ def test_dispatch_from_dot_product_attention(qkv):
         dropout_rng=jax.random.PRNGKey(0), use_fused_dropout=True)
     assert out.shape == q.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_rate0_bias_grad_matches_xla(qkv):
+    """Regression: the backward used to return a hardcoded ZERO bias
+    cotangent — correct for the constant pad masks this framework feeds
+    it, but a silent wrong-gradient trap for any learned/relative bias.
+    The kernel now accumulates the true dbias over the head grid dim,
+    for both bias layouts ([B,1,1,S] and [B,1,T,S])."""
+    q, k, v, bias = qkv
+
+    def f_fused(b_):
+        return jnp.sum(fused_dropout_attention(q, k, v, b_, 0.0,
+                                               jnp.int32(7)) ** 2)
+
+    def f_ref(b_):
+        return jnp.sum(dot_product_attention(q, k, v, b_) ** 2)
+
+    for b in (bias, jnp.broadcast_to(bias, (bias.shape[0], 1, q.shape[1],
+                                            bias.shape[3])) * 1.0):
+        db_f = jax.grad(f_fused)(b)
+        db_r = jax.grad(f_ref)(b)
+        assert float(jnp.abs(db_r).max()) > 0  # non-trivial cotangent
+        np.testing.assert_allclose(np.asarray(db_f), np.asarray(db_r),
+                                   rtol=2e-4, atol=2e-4)
