@@ -374,7 +374,8 @@ def _beam_search_windowed(model, params, enc_states, src_mask, first_tokens,
 # decode semantics (consolidation is math-transparent; bf16 rounding can
 # flip exact near-ties, same class as any program-shape change).
 _TUNED_WINDOW = {
-    (192, 88): 36,
+    (192, 88): 36,   # flagship MT serving decode (S=64 -> L=88)
+    (192, 32): 18,   # captioning 32-token budget: 2,143 img/s vs 1,978 auto
 }
 
 

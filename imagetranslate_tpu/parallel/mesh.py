@@ -193,15 +193,38 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sh: NamedSharding):
+    """Place a host-GLOBAL value onto a (possibly multi-process) sharding.
+
+    Single process: plain device_put. Multi-process: device_put with a
+    sharding that spans other hosts' devices both relies on every process
+    holding a bit-identical copy and uploads nothing less than what a
+    callback would — `jax.make_array_from_callback` instead materializes
+    ONLY this process's addressable shards (each host H2Ds 1/P of the
+    batch), which is the host-side input scaling a multi-host run needs.
+    Every process must still hold the full global value (the batchers are
+    deterministic per epoch_seed, so all ranks build identical batches);
+    only the device transfer is per-process."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    import numpy as np
+
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
+
 def shard_params(params, mesh: Mesh):
-    return jax.device_put(params, param_shardings(params, mesh))
+    shardings = param_shardings(params, mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(params, shardings)
+    return jax.tree.map(put_global, params, shardings)
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     sh = batch_sharding(mesh)
 
     def put(x):
-        return jax.device_put(x, sh) if getattr(x, "ndim", 0) >= 1 else x
+        return put_global(x, sh) if getattr(x, "ndim", 0) >= 1 else x
 
     return {k: put(v) for k, v in batch.items()}
 
@@ -217,7 +240,7 @@ def shard_batch_safe(batch: dict, mesh: Mesh) -> dict:
     def put(v):
         if getattr(v, "ndim", 0) < 1:
             return v
-        return jax.device_put(v, sh if v.shape[0] % n_data == 0 else rep)
+        return put_global(v, sh if v.shape[0] % n_data == 0 else rep)
 
     return {k: put(v) for k, v in batch.items()}
 

@@ -103,7 +103,22 @@ ntok = float(m["ntokens"])
 state, m2 = step_fn(state, batch, jax.random.PRNGKey(2))
 loss2 = float(m2["sum_loss"])
 
+# The TRAINER-facing path: mesh.shard_batch / shard_params take the full
+# HOST-GLOBAL batch on every rank (the batchers build identical batches
+# per epoch_seed) and must materialize only this process's addressable
+# shards (mesh.put_global). Same step from that placement must reproduce
+# the make_array_from_process_local_data loss exactly.
+from imagetranslate_tpu.parallel.mesh import shard_batch, shard_params
+
+g_batch = shard_batch(host, mesh)
+for k, v in g_batch.items():
+    assert len(v.addressable_shards) == 1, (k, v.sharding)
+g_params = shard_params(jax.tree.map(np.asarray, params), mesh)
+g_state = create_train_state(g_params, optimizer)
+_, mg = step_fn(g_state, g_batch, jax.random.PRNGKey(1))
+loss_g = float(mg["sum_loss"])
+
 with open(os.path.join(outdir, f"rank{rank}.txt"), "w") as w:
-    w.write(f"{loss!r}\t{ntok!r}\t{loss2!r}\n")
-print(f"rank {rank}: loss={loss:.6f} ntok={ntok} loss2={loss2:.6f}",
-      flush=True)
+    w.write(f"{loss!r}\t{ntok!r}\t{loss2!r}\t{loss_g!r}\n")
+print(f"rank {rank}: loss={loss:.6f} ntok={ntok} loss2={loss2:.6f} "
+      f"loss_global_put={loss_g:.6f}", flush=True)

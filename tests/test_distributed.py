@@ -72,13 +72,14 @@ def test_two_process_mt_step(tmp_path):
                         f"{out.splitlines()[-1]}")
         assert p.returncode == 0, f"worker failed:\n{out}"
 
-    losses, ntoks, losses2 = [], [], []
+    losses, ntoks, losses2, losses_g = [], [], [], []
     for r in range(2):
         with open(tmp_path / f"rank{r}.txt") as f:
-            l, n, l2 = f.read().split("\t")
+            l, n, l2, lg = f.read().split("\t")
         losses.append(float(l))
         ntoks.append(float(n))
         losses2.append(float(l2))
+        losses_g.append(float(lg))
     # Same program over the same global data: both ranks must agree exactly
     # on the psum-reduced loss, on both the first and (post-update) second
     # step.
@@ -86,3 +87,8 @@ def test_two_process_mt_step(tmp_path):
     np.testing.assert_allclose(losses2[0], losses2[1], rtol=1e-6)
     assert ntoks[0] == ntoks[1] > 0
     assert np.isfinite(losses + losses2).all()
+    # The trainer-facing placement (mesh.shard_batch / shard_params fed the
+    # host-GLOBAL batch on every rank, materializing only local shards via
+    # put_global) must reproduce the same first-step loss on both ranks.
+    np.testing.assert_allclose(losses_g[0], losses[0], rtol=1e-6)
+    np.testing.assert_allclose(losses_g[1], losses[1], rtol=1e-6)
