@@ -80,6 +80,21 @@ def _round_up_rows(n: int, row_quantum: int = 8) -> int:
     return -(-n // row_quantum) * row_quantum
 
 
+def _batch_rows(n_real: int, sb: int, db: int, max_batch: int,
+                capacity_mb: int) -> int:
+    """Total row count for a batch holding n_real real rows: tails pad to
+    the bucket's budget row count (one XLA shape per bucket — the compile
+    discipline _round_up_rows documents), but NEVER past the capacity
+    budget — padding rows cost real activation memory, and a quantum floor
+    that overrode the quadratic/cubic guard would OOM exactly the
+    long-sequence shapes the guard exists to protect (s=512 under default
+    budgets allows 2 rows; an unconditional 8-row round-up would run 4x
+    the budgeted memory). When the bucket grew past the budget while
+    accumulating (min_rows case) the real rows run unpadded."""
+    cap = _rows_for(sb, db, max_batch, capacity_mb)
+    return cap if cap >= n_real else n_real
+
+
 @dataclasses.dataclass
 class MTBatch:
     src: np.ndarray        # [N, sb] int32
@@ -118,9 +133,8 @@ class MTBatcher:
             nonlocal cur, cur_sb, cur_db
             if not cur:
                 return
-            rows = _rows_for(cur_sb, cur_db, max_batch, capacity_mb,
-                             min_rows=len(cur))
-            rows = max(rows, _round_up_rows(len(cur)))
+            rows = _batch_rows(len(cur), cur_sb, cur_db, max_batch,
+                               capacity_mb)
             self.batches.append(self._pack(cur, rows, cur_sb, cur_db,
                                            keep_examples))
             cur, cur_sb, cur_db = [], 0, 0
@@ -194,8 +208,7 @@ class MTBatcher:
             if not idx:
                 return
             n = len(idx)
-            rows = max(_rows_for(sb, db, max_batch, capacity_mb,
-                                 min_rows=n), _round_up_rows(n))
+            rows = _batch_rows(n, sb, db, max_batch, capacity_mb)
             ii = np.asarray(idx, np.int64)
             src = np.full((rows, sb), pad_id, np.int32)
             dst = np.full((rows, db), pad_id, np.int32)
@@ -351,18 +364,16 @@ class MassBatcher:
         cur_s = 0
 
         def rows_for(s):
-            by_tokens = max_batch // (2 * s)
-            by_capacity = int(capacity_mb * 1_000_000) // (2 * s ** 3)
-            rows = max(1, min(by_tokens, by_capacity))
-            if rows > 8:
-                rows = (rows // 8) * 8
-            return rows
+            # MASS capacity formula == _rows_for with sb = db = s
+            # (2·s³ capacity, 2·s token budget — dataset.py:234-235).
+            return _rows_for(s, s, max_batch, capacity_mb)
 
         def flush():
             nonlocal cur, cur_s
             if not cur:
                 return
-            rows = max(rows_for(cur_s), _round_up_rows(len(cur)))
+            rows = _batch_rows(len(cur), cur_s, cur_s, max_batch,
+                               capacity_mb)
             self.batches.append(self._pack(cur, rows, cur_s))
             cur, cur_s = [], 0
 
@@ -392,18 +403,13 @@ class MassBatcher:
         langs_all = reader.scalars(1)
 
         def rows_for(s):
-            by_tokens = max_batch // (2 * s)
-            by_capacity = int(capacity_mb * 1_000_000) // (2 * s ** 3)
-            rows = max(1, min(by_tokens, by_capacity))
-            if rows > 8:
-                rows = (rows // 8) * 8
-            return rows
+            return _rows_for(s, s, max_batch, capacity_mb)
 
         def flush(idx, s):
             if not idx:
                 return
             n = len(idx)
-            rows = max(rows_for(s), _round_up_rows(n))
+            rows = _batch_rows(n, s, s, max_batch, capacity_mb)
             ii = np.asarray(idx, np.int64)
             src = np.full((rows, s), pad_id, np.int32)
             src[:n] = reader.pack_padded(ii, 0, s, pad_id)

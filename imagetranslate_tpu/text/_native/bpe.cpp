@@ -140,8 +140,10 @@ void bpe_set_unk(void* h, int unk_id) {
   static_cast<Bpe*>(h)->unk_id = unk_id;
 }
 
-// text: NFKC-normalized UTF-8 (spaces intact). Writes ids to out, returns
-// count (truncated at max_out).
+// text: NFKC-normalized UTF-8 (spaces intact). Writes up to max_out ids to
+// out and returns the FULL id count — a return value > max_out signals the
+// caller that the write was truncated and must retry with a larger buffer
+// (silent truncation would drop sentence tails from binarized data).
 int bpe_encode(void* h, const char* text, int32_t* out, int max_out) {
   Bpe* bpe = static_cast<Bpe*>(h);
   std::string s(text);
@@ -174,8 +176,8 @@ int bpe_encode(void* h, const char* text, int32_t* out, int max_out) {
   }
   if (start < meta.size()) encode_word(bpe, meta.substr(start), &ids);
   int n = static_cast<int>(ids.size());
-  if (n > max_out) n = max_out;
-  std::memcpy(out, ids.data(), n * sizeof(int32_t));
+  int n_write = n > max_out ? max_out : n;
+  std::memcpy(out, ids.data(), n_write * sizeof(int32_t));
   return n;
 }
 

@@ -134,24 +134,31 @@ class BPE:
 
     def encode(self, text: str) -> List[int]:
         ids: List[int] = []
-        prev_unk = False
-        for tok in self.encode_tokens(text):
-            tid = self.vocab.get(tok)
-            if tid is None:
-                # fuse_unk: split the piece into chars, unknown chars fuse
-                # into a single <unk>, known chars emit their ids.
-                for ch in tok:
-                    cid = self.vocab.get(ch)
-                    if cid is None:
-                        if not prev_unk and self.unk_id is not None:
-                            ids.append(self.unk_id)
-                        prev_unk = True
-                    else:
-                        ids.append(cid)
-                        prev_unk = False
-            else:
-                ids.append(tid)
-                prev_unk = False
+        text = normalize(text)
+        for piece in metaspace_split(text):
+            # fuse_unk scope is the PRE-TOKEN (word): HF's BPE model runs
+            # per Metaspace piece, so unknown runs fuse within a word but
+            # never across a word boundary (one <unk> per unknown word,
+            # not one for a run of unknown words). The C++ encoder
+            # (_native/bpe.cpp::encode_word) has the same per-word scope.
+            prev_unk = False
+            for tok in self._merge_word(piece):
+                tid = self.vocab.get(tok)
+                if tid is None:
+                    # fuse_unk: split the piece into chars, unknown chars
+                    # fuse into a single <unk>, known chars emit their ids.
+                    for ch in tok:
+                        cid = self.vocab.get(ch)
+                        if cid is None:
+                            if not prev_unk and self.unk_id is not None:
+                                ids.append(self.unk_id)
+                            prev_unk = True
+                        else:
+                            ids.append(cid)
+                            prev_unk = False
+                else:
+                    ids.append(tid)
+                    prev_unk = False
         return ids
 
     def decode(self, ids: Iterable[int], skip_special: Optional[set] = None) -> str:
@@ -216,7 +223,12 @@ def train_bpe(
         syms = [ch for ch in word if ch in alpha_set]
         if len(syms) > 0:
             words.append((syms, c))
-            filtered_counts["".join(syms)] = c
+            # SUM, don't overwrite: distinct words can filter to the same
+            # symbol string once out-of-alphabet chars drop (e.g. 'café'
+            # and 'cafe' under a 1000-char alphabet) — the native trainer
+            # sees only this dict and would otherwise lose their counts.
+            key = "".join(syms)
+            filtered_counts[key] = filtered_counts.get(key, 0) + c
 
     max_merges = max(0, vocab_size - len(vocab))
     if use_native and max_merges > 0:
@@ -248,13 +260,15 @@ def train_bpe(
 
     pair_counts, where = count_pairs()
     while len(vocab) < vocab_size and pair_counts:
-        # Most frequent pair; ties break toward the earlier-created tokens
-        # (HF tie-break is by pair content order; frequency dominates in
-        # practice — artifacts we *train* need only be self-consistent).
-        best, best_c = max(pair_counts.items(),
-                           key=lambda kv: (kv[1], tuple(-ord(c) for c in (kv[0][0] + "\0" + kv[0][1]))))
+        # Most frequent pair; ties break to the lexicographically SMALLEST
+        # pair — the same rule as the C++ trainer (bpe.cpp: std::map order),
+        # so the trained artifact is identical with or without the native
+        # lib. (Frequency dominates in practice; the tie rule just keeps
+        # the two trainers deterministic and interchangeable.)
+        best_c = max(pair_counts.values())
         if best_c < min_frequency:
             break
+        best = min(p for p, c in pair_counts.items() if c == best_c)
         merged = best[0] + best[1]
         merges.append(best)
         if merged not in vocab:

@@ -125,8 +125,15 @@ class NativeBPE:
                 pass
 
     def encode(self, text: str) -> List[int]:
-        n = self._lib.bpe_encode(self._h, normalize(text).encode("utf-8"),
-                                 self._buf, self.MAX_OUT)
+        data = normalize(text).encode("utf-8")
+        n = self._lib.bpe_encode(self._h, data, self._buf, self.MAX_OUT)
+        if n > self.MAX_OUT:
+            # bpe_encode returns the FULL count; a value past the buffer
+            # means truncation — retry with an exact-size buffer instead of
+            # silently dropping the tail of a very long line.
+            big = (ctypes.c_int32 * n)()
+            n = self._lib.bpe_encode(self._h, data, big, n)
+            return list(big[:n])
         return list(self._buf[:n])
 
     # Delegation for the rest of the BPE interface.

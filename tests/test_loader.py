@@ -57,20 +57,58 @@ def test_mt_batcher_shapes_and_content():
 
 
 def test_mt_batcher_capacity_budget():
+    from imagetranslate_tpu.data.loader import _rows_for
+
     examples = make_examples()
     b = MTBatcher(examples, pad_id=0, max_batch=500, capacity_mb=1)
     for batch in b:
         rows, sb = batch.src.shape
         db = batch.dst.shape[1]
         # capacity rule (dataset.py:118-123): either within token budget or
-        # within cubic capacity. Slack: the one extra row the reference also
-        # has, plus up to a row-quantum of padding rows (tail row counts
-        # round UP to 8 for compile discipline — loader._round_up_rows).
+        # within cubic capacity. Tail batches pad rows UP to the bucket's
+        # budget row count (one XLA shape per bucket — compile discipline)
+        # but NEVER past it: padding rows cost real activation memory.
         real = int(batch.row_mask.sum())
-        assert rows - real < 8
+        cap = _rows_for(sb, db, 500, 1)
+        assert rows == max(cap, real), (rows, cap, real, sb, db)
         budget_rows = real + 1
         assert (sb + db) * budget_rows <= 500 + (sb + db) or \
             (sb * sb + db * db) * db * budget_rows <= 1_000_000 * 2
+
+
+def test_batch_rows_never_exceeds_capacity_budget():
+    """Regression: a blanket 8-row quantum floor must not override the
+    quadratic/cubic capacity guard — at s=512 the default budgets allow 2
+    rows, and an unconditional round-up to 8 would run 4x the budgeted
+    activation memory (OOM on the exact long-sequence shapes the guard
+    protects)."""
+    from imagetranslate_tpu.data.loader import _batch_rows, _rows_for
+
+    # sb = db = 512 under the default 600 MB budget: 2 rows fit.
+    cap = _rows_for(512, 512, 4000, 600)
+    assert cap == 2
+    assert _batch_rows(1, 512, 512, 4000, 600) == 2   # tail pads to cap only
+    assert _batch_rows(2, 512, 512, 4000, 600) == 2
+    # Short sequences still pad tails to the full (quantized) budget rows.
+    cap_short = _rows_for(32, 32, 4000, 600)
+    assert cap_short >= 8 and cap_short % 8 == 0
+    assert _batch_rows(3, 32, 32, 4000, 600) == cap_short
+    # Real rows past the budget (accumulator min_rows case) run unpadded.
+    assert _batch_rows(cap + 5, 512, 512, 4000, 600) == cap + 5
+
+    # End to end: long-sequence MT batches never exceed 2 rows.
+    long_examples = [([5] * 500, [6] * 500, 0, 1) for _ in range(3)]
+    b = MTBatcher(long_examples, pad_id=0, max_seq_len=512)
+    assert [x.src.shape[0] for x in b.batches] == [2, 2]
+    assert sum(int(x.row_mask.sum()) for x in b.batches) == 3
+
+    # MASS batcher shares the rule (sb = db = s).
+    mass_examples = [([5] * 500, 0) for _ in range(3)]
+    mb = MassBatcher(mass_examples, pad_id=0, max_seq_len=512)
+    for batch in mb:
+        rows, s = batch.src.shape
+        from imagetranslate_tpu.data.loader import _rows_for as rf
+        assert rows <= max(rf(s, s, 4000, 600), int(batch.row_mask.sum()))
 
 
 def test_mass_batcher_drops_long():

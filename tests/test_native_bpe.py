@@ -40,6 +40,56 @@ def test_native_matches_python(bpe):
         assert native.encode(text) == bpe.encode(text), repr(text)
 
 
+def test_unk_fuses_per_word_not_across_words():
+    """fuse_unk scope is the pre-token (HF's BPE model runs per Metaspace
+    piece): adjacent all-unknown WORDS emit one <unk> each, never fuse into
+    a single <unk> across the word boundary."""
+    from imagetranslate_tpu.text.bpe import BPE
+
+    # No METASPACE in the vocab, so every char of '▁x' / '▁y' is unknown.
+    py = BPE({"<unk>": 0, "a": 1}, [], unk_token="<unk>")
+    assert py.encode("x y") == [0, 0]
+    assert py.encode("x a y") == [0, 0, 1, 0]  # [unk][unk 'a'][unk]
+    # Within one word, unknown runs still fuse to a single <unk>.
+    assert py.encode("xyz") == [0]
+    native = NativeBPE(py)
+    if native.ok:
+        for text in ["x y", "x a y", "xyz", "ax xa", "a a"]:
+            assert native.encode(text) == py.encode(text), repr(text)
+
+
+def test_native_encode_retries_past_buffer(bpe):
+    """bpe_encode returns the FULL id count; when it exceeds the staging
+    buffer the binding must retry with a bigger buffer, not silently drop
+    the tail of a long line."""
+    native = NativeBPE(bpe)
+    assert native.ok
+    native.MAX_OUT = 8  # instance override: forces the retry path
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    got = native.encode(text)
+    assert len(got) > 8
+    assert got == bpe.encode(text)
+
+
+def test_native_and_python_trainers_agree(tmp_path):
+    """Same artifact with or without the native trainer: tie-breaks go to
+    the lexicographically smallest pair in both, and distinct words that
+    filter to the same symbol string (out-of-alphabet chars dropped) SUM
+    their counts in the dict the native trainer sees."""
+    p = tmp_path / "corpus.txt"
+    # 'é' is the rarest char, so limit_alphabet=6 drops it and 'café'
+    # filters to the same symbol string as 'cafe'. Plenty of tied pair
+    # counts at this scale exercise the tie-break rule.
+    lines = (["cafe cafe café"] * 30 + ["face face"] * 20 + ["fact"] * 10)
+    p.write_text("\n".join(lines), encoding="utf-8")
+    kw = dict(vocab_size=40, special_tokens=["<pad>", "<unk>"],
+              min_frequency=2, limit_alphabet=6)
+    nat = train_bpe([str(p)], use_native=True, **kw)
+    py = train_bpe([str(p)], use_native=False, **kw)
+    assert nat.merges == py.merges
+    assert nat.vocab == py.vocab
+
+
 def test_native_throughput_sane(bpe):
     """Native encode should beat Python comfortably on a repeated workload."""
     import time
