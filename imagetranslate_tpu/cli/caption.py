@@ -86,8 +86,11 @@ def main(argv=None):
     import jax
 
     B, T = 2, 8
+    # cfg.img_size: template geometry AND folder decode resolution follow
+    # the checkpoint's training resolution (grid slots = (img_size/32)²).
     variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((B, 224, 224, 3), jnp.float32),
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, cfg.img_size, cfg.img_size, 3), jnp.float32),
         jnp.zeros((B, T), jnp.int32), jnp.ones((B, T), bool),
         jnp.zeros((B,), jnp.int32), method=ImageSeq2Seq.init_everything)
     template = jax.device_get(variables)
@@ -102,7 +105,8 @@ def main(argv=None):
     target_lang_tok = f"<{options.target_lang}>"
     batcher = ImageFolderBatcher(options.input_path, options.batch,
                                  tp.languages[target_lang_tok],
-                                 tp.token_id(target_lang_tok))
+                                 tp.token_id(target_lang_tok),
+                                 img_size=cfg.img_size)
 
     # Prefetch: the folder batcher's thread-pool JPEG decode for batch N+1
     # (plus its H2D staging) runs while batch N beam-decodes on device.

@@ -61,7 +61,8 @@ def main(argv=None):
     captioner = ImageSeq2Seq(cap_cfg)
     B, T = 2, 8
     template = captioner.init(
-        jax.random.PRNGKey(0), jnp.zeros((B, 224, 224, 3), jnp.float32),
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, cap_cfg.img_size, cap_cfg.img_size, 3), jnp.float32),
         jnp.zeros((B, T), jnp.int32), jnp.ones((B, T), bool),
         jnp.zeros((B,), jnp.int32), method=ImageSeq2Seq.init_everything)
     cap_vars, _, _ = load_checkpoint(options.pretrained_path,

@@ -66,7 +66,8 @@ def main(argv=None):
     cap_cfg = load_config(options.caption_model_path)
     captioner = ImageSeq2Seq(cap_cfg)
     tcap = captioner.init(
-        jax.random.PRNGKey(0), jnp.zeros((2, 224, 224, 3), jnp.float32),
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, cap_cfg.img_size, cap_cfg.img_size, 3), jnp.float32),
         ids, jnp.ones((2, 8), bool), jnp.zeros((2,), jnp.int32),
         method=ImageSeq2Seq.init_everything)
     cap_vars, _, _ = load_checkpoint(options.caption_model_path,

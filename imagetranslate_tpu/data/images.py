@@ -270,11 +270,15 @@ class ImageFolderBatcher:
     (reference ImageDataset, dataset.py:426-476; skips .png)."""
 
     def __init__(self, root_img_dir: str, max_img_per_batch: int,
-                 target_lang: int, first_token: int):
+                 target_lang: int, first_token: int, img_size: int = 224):
         import os
 
         self.target_lang = target_lang
         self.first_token = first_token
+        # Decode at the checkpoint's training resolution (cfg.img_size):
+        # the grid slot count is (img_size/32)², so a mismatched size feeds
+        # a location-embedding geometry the model never saw.
+        self.img_size = img_size
         paths = [os.path.join(root_img_dir, p)
                  for p in sorted(os.listdir(root_img_dir))
                  if not p.lower().endswith(".png")]
@@ -290,7 +294,8 @@ class ImageFolderBatcher:
 
         for paths in self.batches:
             # raw uint8: 4x less H2D; the grid encoder normalizes on device.
-            images = default_image_pool().decode(paths, raw=True)
+            images = default_image_pool().decode(paths, size=self.img_size,
+                                                 raw=True)
             # Pad the tail batch's rows to the quantum (replicating image 0)
             # so the whole folder decodes with at most two XLA programs;
             # "paths" keeps the real length and the CLI's zip() drops the

@@ -82,17 +82,23 @@ def _round_up_rows(n: int, row_quantum: int = 8) -> int:
 
 def _batch_rows(n_real: int, sb: int, db: int, max_batch: int,
                 capacity_mb: int) -> int:
-    """Total row count for a batch holding n_real real rows: tails pad to
-    the bucket's budget row count (one XLA shape per bucket — the compile
-    discipline _round_up_rows documents), but NEVER past the capacity
-    budget — padding rows cost real activation memory, and a quantum floor
-    that overrode the quadratic/cubic guard would OOM exactly the
-    long-sequence shapes the guard exists to protect (s=512 under default
-    budgets allows 2 rows; an unconditional 8-row round-up would run 4x
-    the budgeted memory). When the bucket grew past the budget while
+    """Total row count for a batch holding n_real real rows. Every batch of
+    a bucket gets the same shape (one XLA program per bucket — the compile
+    discipline _round_up_rows documents): the bucket's budget row count,
+    rounded UP to the 8-row quantum so row counts stay divisible by small
+    data-axis mesh sizes (shard_map/PP require even division) — UNLESS the
+    quadratic/cubic memory guard forbids it: padding rows cost real
+    activation memory, and a quantum floor that overrode the guard would
+    OOM exactly the long-sequence shapes it protects (s=512 under default
+    budgets allows 2 rows; an unconditional round-up to 8 would run 4x the
+    budgeted memory). When the bucket grew past the budget while
     accumulating (min_rows case) the real rows run unpadded."""
     cap = _rows_for(sb, db, max_batch, capacity_mb)
-    return cap if cap >= n_real else n_real
+    target = _round_up_rows(cap)
+    by_capacity = int(capacity_mb * 1_000_000) // ((sb * sb + db * db) * db)
+    if target > by_capacity:
+        target = cap  # memory-bound bucket: keep the exact budget rows
+    return target if target >= n_real else n_real
 
 
 @dataclasses.dataclass

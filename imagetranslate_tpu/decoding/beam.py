@@ -52,13 +52,15 @@ NEG = -1e9
 
 
 @functools.partial(jax.jit, static_argnames=("model", "method"))
-def apply_jit(model, params, *args, method):
+def apply_jit(model, params, *args, method, **kwargs):
     """Jit-compiled model.apply for host-driven calls (encoders before
     beam_search, object encoding, ...). A bare `model.apply` outside jit
     dispatches the graph op-by-op — on a tunneled TPU that per-op latency
     dwarfs the beam loop itself (measured: unjitted BERT-base encode ~2.4s
-    vs the whole jitted 88-step beam loop ~0.5s at B=64)."""
-    return model.apply(params, *args, method=method)
+    vs the whole jitted 88-step beam loop ~0.5s at B=64). kwargs are traced
+    (arrays only — a Python bool kwarg would become a tracer and break
+    flax's `if deterministic:` branches)."""
+    return model.apply(params, *args, method=method, **kwargs)
 
 
 class BeamState(NamedTuple):

@@ -47,6 +47,12 @@ class Seq2SeqConfig:
     resnet_depth: int = 1
     freeze_image: bool = False
     use_obj: bool = False
+    # Training/serving image resolution. Persisted in the checkpoint config
+    # so inference (cli/caption.py, txt2image's frozen captioner) decodes at
+    # the resolution the model was trained at — the ResNet grid slot count
+    # (and therefore the location-embedding table) is (img_size/32)², so a
+    # 96-trained checkpoint has 9 slots and cannot load into a 224 template.
+    img_size: int = 224
     # TPU-specific knobs (no reference equivalent):
     dtype: str = "bfloat16"  # activation/compute dtype
     remat: bool = False      # jax.checkpoint each layer to trade FLOPs for HBM

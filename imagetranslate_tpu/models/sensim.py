@@ -50,23 +50,43 @@ class SenSim(nn.Module):
     def __call__(self, src_ids, src_mask, src_langs, tgt_ids, tgt_mask,
                  tgt_langs, src_neg=None, src_neg_mask=None,
                  src_neg_langs=None, tgt_neg=None, tgt_neg_mask=None,
-                 tgt_neg_langs=None, deterministic: bool = True):
+                 tgt_neg_langs=None, deterministic: bool = True,
+                 row_mask=None, src_neg_row_mask=None, tgt_neg_row_mask=None):
         """InfoNCE loss (sen_sim.py:94-108). With negative pools, both
-        directions share the pooled negatives; without, in-batch negatives."""
+        directions share the pooled negatives; without, in-batch negatives.
+
+        `row_mask`/`*_neg_row_mask` drop padding rows: the batchers pad tail
+        batches to a budget row count by replicating row 0, so without the
+        masks each duplicate would add its own loss term AND act as an extra
+        (degenerate) in-batch negative column for every real row. Masked
+        columns use a large finite negative (-1e9: exp == 0 in f32, and
+        -inf would make a padded row's own (denom - nom) = inf whose
+        0-weighted product is NaN — see captioning.contrastive_loss)."""
         s = self.encode(src_ids, src_mask, src_langs, deterministic)
         t = self.encode(tgt_ids, tgt_mask, tgt_langs, deterministic)
+        B = s.shape[0]
+        rm = jnp.ones((B,), bool) if row_mask is None else row_mask
         if src_neg is not None:
             sn = self.encode(src_neg, src_neg_mask, src_neg_langs,
                              deterministic)
             tn = self.encode(tgt_neg, tgt_neg_mask, tgt_neg_langs,
                              deterministic)
+            sn_keep = (jnp.ones((sn.shape[0],), bool)
+                       if src_neg_row_mask is None else src_neg_row_mask)
+            tn_keep = (jnp.ones((tn.shape[0],), bool)
+                       if tgt_neg_row_mask is None else tgt_neg_row_mask)
             t_pool = jnp.concatenate([tn, t], axis=0)
             s_pool = jnp.concatenate([sn, s], axis=0)
             nom = jnp.sum(s * t, axis=-1) + 1e-4
             cross = jnp.concatenate([s @ t_pool.T, t @ s_pool.T], axis=1)
+            col_keep = jnp.concatenate([tn_keep, rm, sn_keep, rm])
+            cross = jnp.where(col_keep[None, :], cross, -1e9)
             denom = jnp.log(jnp.sum(jnp.exp(cross), axis=-1) + 1e-4)
-            return jnp.sum(denom - nom) / s.shape[0]
-        cross = s @ t.T
-        denom = jnp.log(jnp.sum(jnp.exp(cross), axis=-1) + 1e-4)
-        nom = jnp.diagonal(cross) + 1e-4
-        return jnp.sum(denom - nom) / s.shape[0]
+        else:
+            cross = s @ t.T
+            cross = jnp.where(rm[None, :], cross, -1e9)
+            denom = jnp.log(jnp.sum(jnp.exp(cross), axis=-1) + 1e-4)
+            nom = jnp.diagonal(cross) + 1e-4
+        per = (denom - nom) * rm.astype(jnp.float32)
+        return jnp.sum(per) / jnp.maximum(
+            jnp.sum(rm.astype(jnp.float32)), 1.0)

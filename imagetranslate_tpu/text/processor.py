@@ -128,7 +128,12 @@ class TextProcessor:
             tokenized = self._tokenize(line.strip())
 
         if blind_split:
-            num_pads = split_len - (len(tokenized) % split_len)
+            # -n % split_len, NOT split_len - n % split_len: the reference
+            # (textprocessor.py:104) emits a whole extra all-pad row when the
+            # token count is an exact multiple of split_len — junk rows that
+            # waste MLM batch slots. Deliberate deviation (defect not
+            # replicated); see docs/PARITY.md.
+            num_pads = -len(tokenized) % split_len
             arr = np.array(tokenized + [self.pad_token_id()] * num_pads)
             return arr.reshape((-1, split_len))
         return self.split_tokenized(tokenized, min(max_len, self.max_len))

@@ -259,13 +259,19 @@ def make_sensim_train_step(model, optimizer, donate: bool = True) -> Callable:
                 batch.get("src_neg"), batch.get("src_neg_mask"),
                 batch.get("src_neg_langs"), batch.get("tgt_neg"),
                 batch.get("tgt_neg_mask"), batch.get("tgt_neg_langs"),
-                deterministic=False, rngs={"dropout": rng})
+                deterministic=False, rngs={"dropout": rng},
+                row_mask=batch.get("row_mask"),
+                src_neg_row_mask=batch.get("src_neg_row_mask"),
+                tgt_neg_row_mask=batch.get("tgt_neg_row_mask"))
             return loss, loss
 
         (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         new_state = _apply_update(state, grads, optimizer)
-        n = jnp.asarray(batch["src"].shape[0], jnp.float32)
+        if "row_mask" in batch:
+            n = jnp.sum(batch["row_mask"].astype(jnp.float32))
+        else:
+            n = jnp.asarray(batch["src"].shape[0], jnp.float32)
         return new_state, {"sum_loss": loss * n, "ntokens": n}
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

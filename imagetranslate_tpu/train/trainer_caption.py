@@ -38,15 +38,20 @@ class CaptionTrainer:
                  accum: int = 1, beam_width: int = 4,
                  len_penalty_ratio: float = 0.8, mtl_weight: float = 0.1,
                  label_smoothing: float = 0.1, mm_mode: Optional[str] = None,
-                 mask_prob: float = 0.5, img_size: int = 224, mesh=None,
-                 seed: int = 0):
+                 mask_prob: float = 0.5, img_size: Optional[int] = None,
+                 mesh=None, seed: int = 0):
         if getattr(cfg, "moe_experts", 0):
             raise NotImplementedError(
                 "MoE FFNs are wired into the MT/MASS/MLM train steps only; "
                 "the captioning steps do not plumb the load-balance aux "
                 "loss (models/moe.py). Inference on an MoE checkpoint "
                 "works; training does not.")
+        # img_size arg overrides cfg; either way the config (and therefore
+        # every checkpoint) records the resolution so serving follows it.
+        if img_size is not None and img_size != cfg.img_size:
+            cfg = cfg.replace(img_size=img_size)
         self.cfg = cfg
+        img_size = cfg.img_size
         self.tp = tp
         self.model = ImageSeq2Seq(cfg)
         self.mesh = mesh  # jax.sharding.Mesh for dp/tp; None = single chip
@@ -155,6 +160,11 @@ class CaptionTrainer:
             streams.append(("mt", mt_batcher.shuffled(epoch_seed)))
 
         def interleaved():
+            # One batch from every stream per tick; the epoch ends when the
+            # SHORTEST stream exhausts — reference semantics: get_batch_zip
+            # is zip(*iters) (train_image_mt.py:357-364), which also drops
+            # the partially-pulled tick. Per-epoch shuffling rotates which
+            # batches of the longer stream get skipped.
             while True:
                 tick = []
                 try:
@@ -164,19 +174,33 @@ class CaptionTrainer:
                     return
                 yield from tick
 
+        # The object branch runs iff mm_mode routes to neither the masked
+        # nor the contrastive step ("mixed" picks between those two only),
+        # so staging can precompute the lookup without knowing the
+        # per-batch coin flip.
+        stage_objs = (obj_store is not None and
+                      self.mm_mode not in ("masked", "contrastive", "mixed"))
+
         def stage(item):
             # Prefetch worker: thread-pool image decode + H2D staging of
-            # batch N+1 overlaps the device step on batch N.
+            # batch N+1 overlaps the device step on batch N. The object
+            # lookup decompresses npz members — host work that would stall
+            # the consumer loop, so it belongs here too.
             kind, b = item
             if kind == "cap":
                 imgs = b.images(image_root, size=self.img_size, raw=True)
+                objs = None
+                if stage_objs:
+                    feats, labels = obj_store.lookup(b.image_paths,
+                                                     b.captions.shape[0])
+                    objs = (jnp.asarray(feats), jnp.asarray(labels))
                 return kind, b, jnp.asarray(
-                    self._shard({"images": imgs})["images"])
-            return kind, b, self._shard(mt_batch_to_device(b))
+                    self._shard({"images": imgs})["images"]), objs
+            return kind, b, self._shard(mt_batch_to_device(b)), None
 
         prefetcher = PrefetchIterator(interleaved(), stage, depth=3)
         try:
-            for kind, b, staged in prefetcher:
+            for kind, b, staged, objs in prefetcher:
                 self.rng, srng = jax.random.split(self.rng)
                 if kind == "cap":
                     batch = {
@@ -216,10 +240,7 @@ class CaptionTrainer:
                         self.state, m = self.contrastive_step(
                             self.state, self._shard(batch), srng)
                     elif obj_store is not None:
-                        n = batch["captions"].shape[0]
-                        feats, labels = obj_store.lookup(b.image_paths, n)
-                        batch["box_features"] = jnp.asarray(feats)
-                        batch["object_labels"] = jnp.asarray(labels)
+                        batch["box_features"], batch["object_labels"] = objs
                         self.state, m = self.cap_obj_step(
                             self.state, self._shard(batch), srng)
                     else:

@@ -48,7 +48,7 @@ class ImageMTTrainer(MTTrainer):
                  mm_mode: str = "mixed", beam_width: int = 4,
                  bt_beam_width: int = 1, max_len_a: float = 1.1,
                  max_len_b: int = 5, len_penalty_ratio: float = 0.8,
-                 label_smoothing: float = 0.1, img_size: int = 224,
+                 label_smoothing: float = 0.1, img_size: Optional[int] = None,
                  mesh=None, seed: int = 0, zero: bool = False):
         # Intentionally does not call MTTrainer.__init__: the model and
         # train-state types differ; only the scalar knobs are shared.
@@ -58,7 +58,12 @@ class ImageMTTrainer(MTTrainer):
                 "the image-stream caption steps do not plumb the "
                 "load-balance aux loss. Train the text phases with "
                 "cli.train_mt (no --train image stream).")
+        # img_size arg overrides cfg; the config (and every checkpoint)
+        # records the resolution so serving follows it (see CaptionTrainer).
+        if img_size is not None and img_size != cfg.img_size:
+            cfg = cfg.replace(img_size=img_size)
         self.cfg = cfg
+        img_size = cfg.img_size
         self.tp = tp
         self.model = ImageSeq2Seq(cfg)
         self.mesh = mesh  # jax.sharding.Mesh for dp/tp; None = single chip

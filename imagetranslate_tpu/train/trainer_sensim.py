@@ -83,6 +83,7 @@ class SenSimTrainer:
                 "dst": jnp.asarray(b.dst), "dst_mask": jnp.asarray(b.dst_mask),
                 "src_langs": jnp.asarray(b.src_langs),
                 "dst_langs": jnp.asarray(b.dst_langs),
+                "row_mask": jnp.asarray(b.row_mask),
             }
             if src_neg_it is not None:
                 sn = next(src_neg_it)
@@ -91,9 +92,11 @@ class SenSimTrainer:
                     "src_neg": jnp.asarray(sn.src),
                     "src_neg_mask": jnp.asarray(sn.src_mask),
                     "src_neg_langs": jnp.asarray(sn.langs),
+                    "src_neg_row_mask": jnp.asarray(sn.row_mask),
                     "tgt_neg": jnp.asarray(dn.src),
                     "tgt_neg_mask": jnp.asarray(dn.src_mask),
                     "tgt_neg_langs": jnp.asarray(dn.langs),
+                    "tgt_neg_row_mask": jnp.asarray(dn.row_mask),
                 })
             return self._shard(batch)
 
@@ -130,7 +133,8 @@ class SenSimTrainer:
                 self.model, self.state.params, jnp.asarray(b.src),
                 jnp.asarray(b.src_mask), jnp.asarray(b.src_langs),
                 jnp.asarray(b.dst), jnp.asarray(b.dst_mask),
-                jnp.asarray(b.dst_langs), method=type(self.model).__call__)
+                jnp.asarray(b.dst_langs), method=type(self.model).__call__,
+                row_mask=jnp.asarray(b.row_mask))
             n = int(b.row_mask.sum())
             total += float(loss) * n
             items += n

@@ -38,6 +38,11 @@ class Caption2ImageTrainer:
         self.model = Caption2Image(cfg)
         self.caption_model = caption_model
         self.caption_variables = caption_variables
+        # Target grids must be computed at the FROZEN captioner's training
+        # resolution — its location-embedding table has (img_size/32)²
+        # slots, so a 224 default would crash (or mis-grid) a 96-trained
+        # captioner.
+        self.img_size = caption_model.cfg.img_size
         from imagetranslate_tpu.train.step import train_rng
 
         self.rng = train_rng(seed)  # hardware RNG: -20ms/step vs threefry
@@ -64,7 +69,7 @@ class Caption2ImageTrainer:
     def _batch(self, b, image_root: str):
         target = self._encode_images(
             self.caption_variables,
-            jnp.asarray(b.images(image_root, raw=True)))
+            jnp.asarray(b.images(image_root, size=self.img_size, raw=True)))
         return {
             "src": jnp.asarray(b.captions),
             "src_mask": jnp.asarray(b.caption_mask),

@@ -65,12 +65,16 @@ def test_mt_batcher_capacity_budget():
         rows, sb = batch.src.shape
         db = batch.dst.shape[1]
         # capacity rule (dataset.py:118-123): either within token budget or
-        # within cubic capacity. Tail batches pad rows UP to the bucket's
-        # budget row count (one XLA shape per bucket — compile discipline)
-        # but NEVER past it: padding rows cost real activation memory.
+        # within cubic capacity. Every batch of a bucket gets the budget
+        # row count rounded up to the 8-row quantum (mesh divisibility),
+        # UNLESS the memory guard forbids the padding rows.
         real = int(batch.row_mask.sum())
         cap = _rows_for(sb, db, 500, 1)
-        assert rows == max(cap, real), (rows, cap, real, sb, db)
+        by_cap = 1_000_000 // ((sb * sb + db * db) * db)
+        target = -(-cap // 8) * 8
+        if target > by_cap:
+            target = cap
+        assert rows == max(target, real), (rows, cap, real, sb, db)
         budget_rows = real + 1
         assert (sb + db) * budget_rows <= 500 + (sb + db) or \
             (sb * sb + db * db) * db * budget_rows <= 1_000_000 * 2
@@ -93,6 +97,10 @@ def test_batch_rows_never_exceeds_capacity_budget():
     cap_short = _rows_for(32, 32, 4000, 600)
     assert cap_short >= 8 and cap_short % 8 == 0
     assert _batch_rows(3, 32, 32, 4000, 600) == cap_short
+    # Token-budget-limited buckets round UP to the 8-row quantum when the
+    # memory guard allows it (mesh divisibility for shard_map/PP): at
+    # s=32/max_batch=200 the token budget is 3 rows but memory is ample.
+    assert _batch_rows(3, 32, 32, 200, 600) == 8
     # Real rows past the budget (accumulator min_rows case) run unpadded.
     assert _batch_rows(cap + 5, 512, 512, 4000, 600) == cap + 5
 

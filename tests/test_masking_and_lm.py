@@ -128,6 +128,53 @@ def test_sensim_loss_and_similarity():
     np.testing.assert_allclose(np.asarray(self_sim), 1.0, atol=1e-3)
 
 
+def test_sensim_row_mask_drops_padding_rows():
+    """Batchers pad tail batches with replicated row-0 rows; with row_mask
+    the InfoNCE must equal the unpadded loss exactly (duplicates must not
+    add loss terms or act as in-batch negative columns) — in both the
+    in-batch and the negative-pool formulations."""
+    from imagetranslate_tpu.models.sensim import SenSim
+
+    cfg = tiny_config(vocab_size=V)
+    model = SenSim(cfg)
+    src, _ = make_src(B=3, S=10)
+    tgt, _ = make_src(B=3, S=10, seed=7)
+    mask_s, mask_t = src != PAD, tgt != PAD
+    langs = jnp.zeros((3,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), src, mask_s, langs, tgt,
+                        mask_t, langs)
+    base = float(model.apply(params, src, mask_s, langs, tgt, mask_t, langs))
+
+    def padded(x):  # replicate row 0 up to 8 rows (loader tail semantics)
+        return jnp.concatenate([x, jnp.broadcast_to(x[:1], (5,) + x.shape[1:])])
+
+    rm = jnp.array([True] * 3 + [False] * 5)
+    got = float(model.apply(params, padded(src), padded(mask_s), padded(langs),
+                            padded(tgt), padded(mask_t), padded(langs),
+                            row_mask=rm))
+    np.testing.assert_allclose(got, base, rtol=1e-5)
+
+    # Negative-pool path: pool rows have their own mask.
+    neg, _ = make_src(B=2, S=10, seed=11)
+    neg_mask = neg != PAD
+    neg_langs = jnp.zeros((2,), jnp.int32)
+    base_neg = float(model.apply(
+        params, src, mask_s, langs, tgt, mask_t, langs,
+        neg, neg_mask, neg_langs, neg, neg_mask, neg_langs))
+    nrm = jnp.array([True, True, False, False])
+
+    def padneg(x):
+        return jnp.concatenate([x, jnp.broadcast_to(x[:1], (2,) + x.shape[1:])])
+
+    got_neg = float(model.apply(
+        params, padded(src), padded(mask_s), padded(langs),
+        padded(tgt), padded(mask_t), padded(langs),
+        padneg(neg), padneg(neg_mask), padneg(neg_langs),
+        padneg(neg), padneg(neg_mask), padneg(neg_langs),
+        row_mask=rm, src_neg_row_mask=nrm, tgt_neg_row_mask=nrm))
+    np.testing.assert_allclose(got_neg, base_neg, rtol=1e-5)
+
+
 def test_caption2image_shapes():
     from imagetranslate_tpu.models.caption2image import Caption2Image
 

@@ -133,3 +133,23 @@ def test_split_tokenized_repeats_lang(corpus, tmp_path):
     assert chunks[1][0] == lang
     # Last chunk is padded to max_length.
     assert len(chunks[-1]) == 20
+
+
+def test_blind_split_exact_multiple_has_no_pad_row(corpus, tmp_path):
+    """Regression (reference defect NOT replicated, textprocessor.py:104):
+    a document whose token count is an exact multiple of split_len must not
+    grow a trailing all-pad row."""
+    tp = TextProcessor()
+    tp.train_tokenizer([corpus], vocab_size=220, to_save_dir=str(tmp_path),
+                       languages={"<en>": 0})
+    pad = tp.pad_token_id()
+    doc = "<en> " + " ".join(["the quick fox </s>"] * 4)
+    full = tp.tokenize_lines(doc, blind_split=True, split_len=10**6)[0]
+    n_tok = sum(1 for t in full if t != pad)
+    rows = tp.tokenize_lines(doc, blind_split=True, split_len=8)
+    # No row is entirely padding, and total size is n_tok rounded up to 8.
+    assert all(any(t != pad for t in row) for row in rows)
+    assert rows.size == -(-n_tok // 8) * 8
+    # Force the exact-multiple case: split_len == token count -> ONE row.
+    rows = tp.tokenize_lines(doc, blind_split=True, split_len=n_tok)
+    assert rows.shape == (1, n_tok)
