@@ -53,6 +53,10 @@ def main(argv=None):
     max_cap = options.total_capacity * 1_000_000
     with open(options.output, "w") as writer:
         for index, sid in enumerate(src2dst_dict.keys()):
+            # Shard window semantics inherited verbatim from the reference
+            # (score_pairs.py:43-46): --resume R / --end E processes 1-based
+            # items [R+1, E-1], so adjacent shards must OVERLAP by one
+            # (--end 100 then --resume 99) or item 100 is scored by neither.
             if options.end_index > 0 and index + 1 >= options.end_index:
                 break
             if index + 1 <= options.resume_index:

@@ -34,9 +34,12 @@ _lib_tried = False
 
 
 def build_lib(force: bool = False) -> Optional[str]:
-    if os.path.exists(_LIB) and not force and \
-            os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return _LIB
+    if os.path.exists(_LIB) and not force:
+        # A shipped .so without its .cpp source (deployment images) is
+        # usable as is; only rebuild when the source is present and newer.
+        if not os.path.exists(_SRC) or \
+                os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+            return _LIB
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC],

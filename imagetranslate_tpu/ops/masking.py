@@ -68,7 +68,11 @@ def mass_mask(rng, src: jnp.ndarray, lengths: jnp.ndarray, mask_prob: float,
     last_idx = jnp.maximum(last_idx, 2)
 
     kind = jax.random.uniform(r_kind, (B,))
-    rand_start = jax.random.randint(r_start, (B,), 2, jnp.maximum(last_idx, 3))
+    # maxval is EXCLUSIVE (the reference's random.randint(2, last_idx),
+    # utils.py:60, is inclusive) — last_idx + 1 keeps start == last_idx
+    # reachable in the 60% branch. last_idx is clamped >= 2 above, so the
+    # range is never empty.
+    rand_start = jax.random.randint(r_start, (B,), 2, last_idx + 1)
     start = jnp.where(kind > 0.8, 1,
                       jnp.where(kind > 0.6, last_idx, rand_start))
     start = jnp.minimum(start, jnp.maximum(lengths - 1, 1))

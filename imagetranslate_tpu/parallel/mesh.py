@@ -145,7 +145,7 @@ def param_shardings(params, mesh: Mesh):
         spec = param_spec(p)
         # Guard: dims not divisible by the mesh axis fall back to replication
         # — LOUDLY, so "TP" can't silently degrade to pure DP.
-        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        sizes = dict(mesh.shape)
         for dim, axis in zip(leaf.shape, spec):
             if axis is not None and dim % sizes.get(axis, 1) != 0:
                 if spec != P():
@@ -186,7 +186,7 @@ def seq_sharding(mesh: Mesh) -> NamedSharding:
 def model_axis_size(mesh: Optional[Mesh]) -> int:
     if mesh is None:
         return 1
-    return dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+    return mesh.shape.get("model", 1)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -235,7 +235,7 @@ def shard_batch_safe(batch: dict, mesh: Mesh) -> dict:
     >=30-row contrastive negative pool)."""
     sh = batch_sharding(mesh)
     rep = replicated(mesh)
-    n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+    n_data = mesh.shape.get("data", 1)
 
     def put(v):
         if getattr(v, "ndim", 0) < 1:
@@ -276,7 +276,7 @@ def zero_opt_shardings(opt_state, mesh: Mesh, min_size: int = 4096):
     every leaf that gains the data axis, the string "keep" for leaves left
     alone (a non-None sentinel keeps the pytree structures aligned). Works
     on concrete arrays or jax.ShapeDtypeStructs (AOT compile checks)."""
-    n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+    n_data = mesh.shape.get("data", 1)
 
     def spec_of(leaf):
         if n_data <= 1:

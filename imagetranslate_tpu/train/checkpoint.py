@@ -41,21 +41,51 @@ def _atomic_write(path: str, data, mode: str = "wb"):
     os.replace(tmp, path)
 
 
+def _fetch_global(tree):
+    """Bring a (possibly cross-host-sharded) pytree to host memory.
+
+    Single process: plain device_get. Multi-process: device_get raises on
+    non-fully-addressable arrays (ZeRO-1 moments sharded over a data axis
+    spanning hosts, TP-sharded params), so all ranks run a process_allgather
+    collective that reassembles every leaf's GLOBAL value."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree, tiled=True)
+
+
 def save_checkpoint(out_dir: str, cfg: Seq2SeqConfig, params,
                     opt_state=None, step: int = 0,
                     best_metric: Optional[float] = None):
-    os.makedirs(out_dir, exist_ok=True)
-    _atomic_write(os.path.join(out_dir, "config.json"), cfg.to_json(), "w")
-    params = jax.device_get(params)
-    _atomic_write(os.path.join(out_dir, "params.msgpack"),
-                  serialization.to_bytes(params))
-    if opt_state is not None:
-        _atomic_write(os.path.join(out_dir, "opt_state.msgpack"),
-                      serialization.to_bytes(jax.device_get(opt_state)))
-    meta = {"step": int(step)}
-    if best_metric is not None:
-        meta["best_metric"] = float(best_metric)
-    _atomic_write(os.path.join(out_dir, "meta.json"), json.dumps(meta), "w")
+    """Multi-process discipline: every rank reaches a save in lockstep (the
+    training CLIs all step/save at the same counts); the gather below is a
+    collective all ranks join, then ONLY process 0 writes — N concurrent
+    writers would interleave into the same .tmp files on shared storage,
+    corrupting exactly what the atomic replace protects. A device barrier
+    keeps other ranks from racing ahead (e.g. reading a half-written slot)."""
+    multi = jax.process_count() > 1
+    rank0 = jax.process_index() == 0
+    params = _fetch_global(params)
+    opt_host = _fetch_global(opt_state) if opt_state is not None else None
+    if rank0:
+        os.makedirs(out_dir, exist_ok=True)
+        _atomic_write(os.path.join(out_dir, "config.json"), cfg.to_json(),
+                      "w")
+        _atomic_write(os.path.join(out_dir, "params.msgpack"),
+                      serialization.to_bytes(params))
+        if opt_host is not None:
+            _atomic_write(os.path.join(out_dir, "opt_state.msgpack"),
+                          serialization.to_bytes(opt_host))
+        meta = {"step": int(step)}
+        if best_metric is not None:
+            meta["best_metric"] = float(best_metric)
+        _atomic_write(os.path.join(out_dir, "meta.json"), json.dumps(meta),
+                      "w")
+    if multi:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("imagetranslate_checkpoint_save")
 
 
 def cast_params(params, dtype=jnp.bfloat16):

@@ -131,7 +131,6 @@ def import_seq2seq(sd: Dict[str, np.ndarray], cfg) -> dict:
         # may in fact be untied in released checkpoints. We honor the bias
         # and share the embedding matrix.
         for d in range(n_dec):
-            key = f"output_layer.{d}.layer.bias" if cfg.lang_dec or True else None
             bias = sd.get(f"output_layer.{d}.layer.bias",
                           sd.get("output_layer.layer.bias"))
             params[f"out_bias_{d}"] = bias
@@ -159,7 +158,7 @@ def _bn(sd, prefix):
     )
 
 
-def import_torchvision_resnet(sd: Dict[str, np.ndarray], depth_key: str,
+def import_torchvision_resnet(sd: Dict[str, np.ndarray],
                               stage_sizes) -> tuple:
     """torchvision resnet state_dict -> (params, batch_stats) for
     models.resnet trunk naming (conv1/bn1/layerS_J...). Used both for
@@ -194,7 +193,7 @@ def import_torchvision_resnet_grid(sd: Dict[str, np.ndarray], stage_sizes):
     """state_dict of a torchvision classifier resnet -> variables for
     ResNetGrid (the fc/location_embedding stay randomly initialized, as the
     reference replaces them too, image_model.py:107-115)."""
-    params, stats = import_torchvision_resnet(sd, "", stage_sizes)
+    params, stats = import_torchvision_resnet(sd, stage_sizes)
     return {"params": params, "batch_stats": stats}
 
 
@@ -230,7 +229,7 @@ def import_torchvision_frcnn(sd: Dict[str, np.ndarray]):
     """
     body = {k[len("backbone.body."):]: v for k, v in sd.items()
             if k.startswith("backbone.body.")}
-    bb_params, bb_stats = import_torchvision_resnet(body, "", (3, 4, 6, 3))
+    bb_params, bb_stats = import_torchvision_resnet(body, (3, 4, 6, 3))
 
     fpn: Dict = {}
     for i in range(4):
