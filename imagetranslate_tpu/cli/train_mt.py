@@ -77,7 +77,12 @@ def get_parser() -> argparse.ArgumentParser:
                    help="drop the supervised MT stream during the "
                         "back-translation fine-tune phase "
                         "(option_parser.py:73, train_image_mt.py:522)")
-    p.add_argument("--save-opt", dest="save_opt", action="store_true")
+    # Reference-compat flag (train_image_mt.py:319): accepted but a no-op —
+    # this framework ALWAYS saves optimizer state in checkpoints so resume
+    # is exact (the reference loses the LR-schedule step without it).
+    p.add_argument("--save-opt", dest="save_opt", action="store_true",
+                   help="accepted for reference compatibility; optimizer "
+                        "state is always saved")
     p.add_argument("--cont", dest="continue_train", action="store_true")
     p.add_argument("--eval-every", type=int, default=5000)
     p.add_argument("--save-every", type=int, default=10000)
@@ -421,7 +426,8 @@ def main(argv=None):
         if mass_batcher is not None:
             denom = max(2, options.bt_beam_width)
             mass_batcher = build_mass_batcher(
-                options.batch // denom, options.total_capacity // denom)
+                options.batch // denom, options.total_capacity // denom,
+                options.bucket_step)
         while step < options.finetune_step + options.step:
             print(f"finetune epoch {fepoch}")
             step_before = step

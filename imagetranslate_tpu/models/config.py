@@ -139,6 +139,11 @@ class Seq2SeqConfig:
             raise ValueError(
                 f"moe_top_k={self.moe_top_k} must be in [1, "
                 f"moe_experts={self.moe_experts}]")
+        if self.moe_experts and self.moe_group_size < 0:
+            # 0 is the explicit "one global group" opt-in (parity tests —
+            # O(T²) dispatch, do not use at production shapes); negatives
+            # are always a mistake.
+            raise ValueError("moe_group_size must be >= 0")
 
     @property
     def head_dim(self) -> int:

@@ -47,17 +47,20 @@ from imagetranslate_tpu.models.config import Seq2SeqConfig
 
 def _group_size(n_tokens: int, requested: int) -> int:
     """Largest divisor of the token count that is <= the requested group
-    size. Never falls back to one global group: dispatch memory is
-    O(group_size · capacity) per token, so a single group over T tokens
-    is O(T²) — multi-GB at BERT-base batches. A token count that isn't a
-    multiple of the requested size (any odd decoder length does it) just
-    gets slightly smaller groups, not a quadratic blowup."""
+    size. For any nonzero request this never SILENTLY falls back to one
+    global group: dispatch memory is O(group_size · capacity) per token,
+    so a single group over T tokens is O(T²) — multi-GB at BERT-base
+    batches. A token count that isn't a multiple of the requested size
+    (any odd decoder length does it) just gets slightly smaller groups,
+    not a quadratic blowup. requested == 0 is the EXPLICIT opt-in for one
+    global group (parity tests compare grouped vs global numerics; do not
+    use it at production shapes)."""
     if not requested or n_tokens <= requested:
         return n_tokens
-    for d in range(requested, 0, -1):
+    for d in range(requested, 1, -1):
         if n_tokens % d == 0:
             return d
-    return n_tokens
+    return 1  # prime token counts: per-token groups, never one global group
 
 
 def _capacity(n_tokens: int, cfg: Seq2SeqConfig) -> int:

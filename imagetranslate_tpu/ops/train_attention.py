@@ -156,15 +156,32 @@ def fused_attention_supported(q: jnp.ndarray, k: jnp.ndarray,
     comfortably and dims must satisfy TPU tiling."""
     B, T, H, D = q.shape
     S = k.shape[1]
+    bias_rows = 1
     if bias is not None:
         # bias=None is fine: the dispatch synthesizes a zero [B, 1, 1, S].
         if bias.ndim != 4 or bias.shape[1] != 1:
             return False
         if bias.shape[2] not in (1, T) or bias.shape[3] != S:
             return False
+        bias_rows = bias.shape[2]
     if D % 8 != 0 or T % 8 != 0 or S % 8 != 0:
         return False
-    return T <= 512 and S <= 512 and D <= 256
+    if not (T <= 512 and S <= 512 and D <= 256):
+        return False
+    # VMEM envelope (the backward is the heavier program: q/kT/v/bias/do in,
+    # dq/dk/dv/db out, double-buffered by the pipeline, plus the fp32
+    # score/prob tiles). Engineering bound, not an exact model — calibrated
+    # so the measured-good flagship (T=S=64) and packed (T=S=256, segment
+    # bias) shapes pass and the per-row-bias T=S=512 class that blows the
+    # ~16 MB core fails; without this a packed 512-row config would crash
+    # the Mosaic compile instead of falling back to XLA.
+    G = _batch_block(B)
+    itm = q.dtype.itemsize
+    io = G * ((3 * T * D + 2 * S * D) * itm     # q, do, dq | v, dv
+              + 2 * D * S * itm                 # kT, dk
+              + 2 * bias_rows * S * 4)          # bias, db (fp32)
+    vmem = 2 * io + 4 * T * S * 4               # double-buffer + score tiles
+    return vmem <= 16 * 1024 * 1024
 
 
 def _batch_block(B: int) -> int:

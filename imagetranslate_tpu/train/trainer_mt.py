@@ -313,8 +313,11 @@ class MTTrainer:
                     break
         finally:
             prefetcher.close()
+            # An exception escaping the step loop must still stop an active
+            # jax.profiler trace (a dangling trace leaves the dump truncated
+            # and makes the next start_trace raise "already active").
+            profiler.close()
 
-        profiler.close()
         meter.finish(step)
         print(f"Total loss in this epoch: {meter.epoch_loss():.4f}", flush=True)
         self._save(saving_path + ".latest", step)
@@ -377,13 +380,15 @@ class MTTrainer:
             "dst_langs": jnp.asarray(b.langs),
             "row_mask": jnp.asarray(b.row_mask),
         }
-        self.state, m = self.mt_step(self.state, batch, rng)
+        # Shard like every other step path: without it a mesh run treats
+        # the batch as replicated (data parallelism silently lost) and a
+        # multi-host run rejects the non-global arrays outright.
+        self.state, m = self.mt_step(self.state, self._shard(batch), rng)
         return m
 
     # ---------------- evaluation ----------------
 
-    def eval_bleu(self, dev_batcher: MTBatcher, saving_path: str,
-                  save_opt: bool = False) -> float:
+    def eval_bleu(self, dev_batcher: MTBatcher, saving_path: str) -> float:
         import sacrebleu
 
         if not self.reference:
