@@ -1,7 +1,9 @@
 """Host-side image pipeline + caption batching (reference: dataset.py:278-476).
 
-Transforms match the reference exactly (dataset.py:283-289): Resize(256) ->
-CenterCrop(224) -> ToTensor -> ImageNet-Normalize; corrupted files become a
+Transforms match the reference (dataset.py:283-289): Resize(256) ->
+CenterCrop(224) -> ToTensor -> ImageNet-Normalize — the crop is fused into
+the resize (identical sampling positions, <=1 LSB float-rounding deviation
+on <1% of pixels; docs/PARITY.md); corrupted files become a
 black 224x224 RGB (dataset.py:371-374); `.png` entries are skipped
 (dataset.py:309). Output is NHWC float32 (TPU conv layout) instead of NCHW.
 
@@ -56,14 +58,33 @@ def load_image(path: str, size: int = 224,
         from PIL import Image
 
         with Image.open(path) as im:
-            img = im.convert("RGB")
+            # Ask the JPEG decoder for RGB directly (bit-identical to
+            # decode-then-convert, skips a full-frame copy; no-op for
+            # other formats/modes) — this host is single-core, so every
+            # ms of decode is throughput.
+            im.draft("RGB", im.size)
+            img = im if im.mode == "RGB" else im.convert("RGB")
             w, h = img.size
             scale = resize_min / min(w, h)
-            img = img.resize((max(1, round(w * scale)),
-                              max(1, round(h * scale))), Image.BILINEAR)
-            w, h = img.size
-            left, top = (w - size) // 2, (h - size) // 2
-            img = img.crop((left, top, left + size, top + size))
+            rw = max(1, round(w * scale))
+            rh = max(1, round(h * scale))
+            left, top = (rw - size) // 2, (rh - size) // 2
+            if left >= 0 and top >= 0:
+                # Fuse CenterCrop into the resize: sample only the source
+                # region the crop keeps (box maps the integer crop back to
+                # source coords, so output pixel centers are mathematically
+                # identical to Resize(resize_min)->CenterCrop(size); only
+                # filter-weight float rounding differs — <=1 LSB on <1%
+                # of pixels, see docs/PARITY.md). ~1.4x faster per image.
+                img = img.resize(
+                    (size, size), Image.BILINEAR,
+                    box=(left * w / rw, top * h / rh,
+                         (left + size) * w / rw, (top + size) * h / rh))
+            else:
+                # size > resize_min: keep the reference's two-step path
+                # (PIL crop pads out-of-bounds regions with black).
+                img = img.resize((rw, rh), Image.BILINEAR)
+                img = img.crop((left, top, left + size, top + size))
             u8 = np.asarray(img, np.uint8)
     except Exception:
         print(f"Corrupted image {path}")

@@ -111,6 +111,66 @@ def test_image_decode_pool_matches_sequential(tmp_path):
     pool.shutdown()
 
 
+def test_load_image_matches_reference_two_step_transform(tmp_path):
+    """load_image fuses CenterCrop into the resize (and asks the JPEG
+    decoder for RGB directly). Sampling positions are mathematically
+    identical to the reference Resize(256)->CenterCrop(224)
+    (dataset.py:283-289); only filter-weight float rounding may differ,
+    bounded to 1 LSB on <1% of pixels (docs/PARITY.md)."""
+    from PIL import Image
+
+    from imagetranslate_tpu.data.images import load_image
+
+    rs = np.random.RandomState(1)
+    cases = [  # (H, W, mode, fmt)
+        (480, 640, "RGB", "jpg"),   # landscape JPEG
+        (500, 333, "RGB", "jpg"),   # portrait, non-integer scale
+        (256, 256, "RGB", "jpg"),   # min side == resize target
+        (300, 400, "L", "jpg"),     # grayscale JPEG (draft no-op)
+        (240, 320, "RGB", "png"),   # non-JPEG (draft no-op)
+    ]
+    for i, (h, w, mode, fmt) in enumerate(cases):
+        arr = rs.randint(0, 255, (h, w, 3), np.uint8)
+        img = Image.fromarray(arr if mode == "RGB" else arr[..., 0], mode)
+        p = tmp_path / f"case{i}.{fmt}"
+        img.save(p, quality=90) if fmt == "jpg" else img.save(p)
+
+        # Reference transform, spelled out (decode -> convert -> resize
+        # whole frame -> integer center crop).
+        with Image.open(p) as im:
+            ref = im.convert("RGB")
+            rw0, rh0 = ref.size
+            s = 256 / min(rw0, rh0)
+            ref = ref.resize((max(1, round(rw0 * s)), max(1, round(rh0 * s))),
+                             Image.BILINEAR)
+            rw, rh = ref.size
+            left, top = (rw - 224) // 2, (rh - 224) // 2
+            ref = np.asarray(ref.crop((left, top, left + 224, top + 224)),
+                             np.uint8)
+
+        got = load_image(str(p), raw=True)
+        diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"case {i}: max LSB diff {diff.max()}"
+        frac = (diff > 0).mean()
+        assert frac < 1e-2, f"case {i}: {frac:.2%} of pixels differ"
+
+
+def test_load_image_smaller_than_crop_pads_black(tmp_path):
+    """size > resize_min takes the two-step path; PIL crop pads the
+    out-of-bounds border with black, matching the reference behavior."""
+    from PIL import Image
+
+    from imagetranslate_tpu.data.images import load_image
+
+    p = tmp_path / "small.jpg"
+    Image.fromarray(np.full((100, 150, 3), 200, np.uint8)).save(p)
+    out = load_image(str(p), size=224, resize_min=128, raw=True)
+    assert out.shape == (224, 224, 3)
+    # min side resized to 128 < 224 -> vertical black bands top/bottom.
+    assert (out[0] == 0).all() and (out[-1] == 0).all()
+    assert out[112].max() > 0
+
+
 def test_async_meter_matches_sync(capsys):
     sync = StepMeter(log_every=5)
     asyn = AsyncStepMeter(log_every=5)
