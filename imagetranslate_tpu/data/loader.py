@@ -58,10 +58,18 @@ def pack_proposals(rows: List[List[int]], pad_id: int,
     return arr
 
 
+def _capacity_rows(sb: int, db: int, capacity_mb: int) -> int:
+    """The quadratic/cubic activation-memory guard (reference capacity
+    formula, dataset.py:118-123). ONE definition: _rows_for and _batch_rows
+    must agree on the budget or the quantum round-up silently overrides the
+    guard it is gated on."""
+    return int(capacity_mb * 1_000_000) // ((sb * sb + db * db) * db)
+
+
 def _rows_for(sb: int, db: int, max_batch: int, capacity_mb: int,
               min_rows: int = 1, row_quantum: int = 8) -> int:
     by_tokens = max_batch // (sb + db)
-    by_capacity = int(capacity_mb * 1_000_000) // ((sb * sb + db * db) * db)
+    by_capacity = _capacity_rows(sb, db, capacity_mb)
     rows = max(min_rows, min(by_tokens, by_capacity))
     # Quantize row counts down to multiples of `row_quantum` (floor) so the
     # set of (rows, sb, db) shapes stays small; tiny budgets keep exact rows.
@@ -95,7 +103,7 @@ def _batch_rows(n_real: int, sb: int, db: int, max_batch: int,
     accumulating (min_rows case) the real rows run unpadded."""
     cap = _rows_for(sb, db, max_batch, capacity_mb)
     target = _round_up_rows(cap)
-    by_capacity = int(capacity_mb * 1_000_000) // ((sb * sb + db * db) * db)
+    by_capacity = _capacity_rows(sb, db, capacity_mb)
     if target > by_capacity:
         target = cap  # memory-bound bucket: keep the exact budget rows
     return target if target >= n_real else n_real

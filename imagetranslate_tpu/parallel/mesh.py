@@ -204,11 +204,24 @@ def put_global(x, sh: NamedSharding):
     batch), which is the host-side input scaling a multi-host run needs.
     Every process must still hold the full global value (the batchers are
     deterministic per epoch_seed, so all ranks build identical batches);
-    only the device transfer is per-process."""
+    only the device transfer is per-process.
+
+    Arrays that already carry the requested sharding pass through — the
+    trainers stage image tensors in the prefetch worker (already sharded)
+    and the consumer re-shards the assembled batch dict; without the
+    pass-through that second call would np.asarray a non-addressable
+    global Array and crash every multi-host multimodal run."""
+    if isinstance(x, jax.Array) and x.sharding == sh:
+        return x
     if jax.process_count() == 1:
         return jax.device_put(x, sh)
     import numpy as np
 
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        raise ValueError(
+            "put_global: cannot reshard a cross-process array from "
+            f"{x.sharding} to {sh}; stage host values once, or reshard "
+            "inside a jitted computation.")
     arr = np.asarray(x)
     return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
 
@@ -229,20 +242,36 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return {k: put(v) for k, v in batch.items()}
 
 
+_REPLICATION_WARNED: set = set()
+
+
 def shard_batch_safe(batch: dict, mesh: Mesh) -> dict:
     """shard_batch, but arrays whose leading dim does not divide the data
     axis are replicated instead (always semantically correct — e.g. the
-    >=30-row contrastive negative pool)."""
+    >=30-row contrastive negative pool). Replicating a LARGE array loses
+    data parallelism for that batch, so it warns once per (key, rows)
+    pair — same loudness principle as param_shardings' fallback."""
     sh = batch_sharding(mesh)
     rep = replicated(mesh)
     n_data = mesh.shape.get("data", 1)
 
-    def put(v):
+    def put(k, v):
         if getattr(v, "ndim", 0) < 1:
             return v
-        return put_global(v, sh if v.shape[0] % n_data == 0 else rep)
+        if v.shape[0] % n_data == 0:
+            return put_global(v, sh)
+        if v.ndim >= 2 and (k, v.shape[0]) not in _REPLICATION_WARNED:
+            _REPLICATION_WARNED.add((k, v.shape[0]))
+            import warnings
 
-    return {k: put(v) for k, v in batch.items()}
+            warnings.warn(
+                f"shard_batch_safe: batch[{k!r}] has {v.shape[0]} rows, not "
+                f"divisible by the data axis ({n_data}); replicating — data "
+                "parallelism is lost for this shape (memory-capped bucket? "
+                "see loader._batch_rows).", stacklevel=2)
+        return put_global(v, rep)
+
+    return {k: put(k, v) for k, v in batch.items()}
 
 
 def zero_shard_opt_state(opt_state, mesh: Mesh, min_size: int = 4096):

@@ -47,12 +47,23 @@ def _fetch_global(tree):
     Single process: plain device_get. Multi-process: device_get raises on
     non-fully-addressable arrays (ZeRO-1 moments sharded over a data axis
     spanning hosts, TP-sharded params), so all ranks run a process_allgather
-    collective that reassembles every leaf's GLOBAL value."""
+    collective that reassembles those leaves' GLOBAL values. Leaves that are
+    already host-local (numpy arrays grafted into the state, scalars) or
+    fully addressable are identical on every rank by the save discipline and
+    pass through device_get — feeding them to process_allgather(tiled=True)
+    would silently CONCATENATE the ranks' copies along axis 0 (a [V, H]
+    embedding becomes [P*V, H] in params.msgpack) instead of erroring."""
     if jax.process_count() == 1:
         return jax.device_get(tree)
     from jax.experimental import multihost_utils
 
-    return multihost_utils.process_allgather(tree, tiled=True)
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # Collective: every rank visits the same leaves in tree order.
+            return multihost_utils.process_allgather(x, tiled=True)
+        return jax.device_get(x)
+
+    return jax.tree.map(fetch, tree)
 
 
 def save_checkpoint(out_dir: str, cfg: Seq2SeqConfig, params,

@@ -210,20 +210,23 @@ class CaptionTrainer:
                         "langs": jnp.asarray(b.langs),
                         "row_mask": jnp.asarray(b.row_mask),
                     }
+                    # Host draws keyed on the synchronized step counter:
+                    # an unseeded module-level random() would diverge
+                    # across processes (different SPMD branches or
+                    # mask_prob scalars per rank) in multi-host runs.
+                    import random as _random
+
+                    host_rnd = _random.Random(0x9E3779B9 ^ (step + 1))
                     mode = self.mm_mode
                     if mode == "mixed":
-                        import random as _random
-
-                        mode = ("masked" if _random.random() <= 0.5
+                        mode = ("masked" if host_rnd.random() <= 0.5
                                 else "contrastive")
                     if mode == "masked":
-                        import random as _random
-
                         # reference: mask more than mask_prob is allowed for
                         # image batches (train_image_mt.py:213)
                         batch["lengths"] = jnp.asarray(b.lengths)
                         batch["mask_prob"] = jnp.float32(
-                            _random.uniform(self.mask_prob, 1.0))
+                            host_rnd.uniform(self.mask_prob, 1.0))
                         self.state, m = self.mm_mass_step(
                             self.state, self._shard(batch), srng)
                     elif mode == "contrastive":

@@ -172,11 +172,16 @@ class ImageMTTrainer(MTTrainer):
             "langs": jnp.asarray(b.langs),
             "row_mask": jnp.asarray(b.row_mask),
         }
+        # Host draws keyed on the synchronized host step counter: an
+        # unseeded module-level random() would diverge across processes
+        # (different SPMD branches or mask_prob scalars per rank) in
+        # multi-host runs.
+        import random as _random
+
+        host_rnd = _random.Random(0x9E3779B9 ^ (self._host_step + 1))
         mode = self.mm_mode
         if mode == "mixed":
-            import random as _random
-
-            mode = "masked" if _random.random() <= 0.5 else "contrastive"
+            mode = "masked" if host_rnd.random() <= 0.5 else "contrastive"
         if mode == "contrastive":
             # Host step counter, not int(state.step): that is a device sync
             # (~25 ms on this tunneled TPU) in the middle of the hot loop.
@@ -191,11 +196,9 @@ class ImageMTTrainer(MTTrainer):
         else:
             # Image batches may mask more aggressively than mask_prob
             # (train_image_mt.py:213): draw ~U(mask_prob, 1) per batch.
-            import random as _random
-
             batch["lengths"] = jnp.asarray(b.lengths)
             batch["mask_prob"] = jnp.float32(
-                _random.uniform(self.mask_prob, 1.0))
+                host_rnd.uniform(self.mask_prob, 1.0))
             self.state, m = self.mm_mass_step(self.state,
                                               self._shard(batch), rng)
         return m

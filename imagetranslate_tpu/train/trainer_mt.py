@@ -150,11 +150,13 @@ class MTTrainer:
 
     def _shard(self, batch):
         """Batch-dim data sharding when a mesh is attached; row counts are
-        multiples of 8 by construction (loader row quantum), covering data
-        axes up to 8. Arrays whose leading dim does not divide the data axis
-        (e.g. the >=30 contrastive negative pool) are replicated instead —
-        replication is always semantically correct, sharding is the
-        optimization."""
+        multiples of 8 for every bucket the memory guard doesn't cap below
+        the quantum (loader.py::_batch_rows — e.g. s=512 under default
+        budgets runs 2-row batches), covering data axes up to 8. Arrays
+        whose leading dim does not divide the data axis (e.g. the >=30
+        contrastive negative pool, or those capped buckets) are replicated
+        instead — semantically correct, and shard_batch_safe warns once per
+        shape so lost data parallelism is visible."""
         if self.mesh is None:
             return batch
         from imagetranslate_tpu.parallel.mesh import shard_batch_safe

@@ -118,6 +118,32 @@ g_state = create_train_state(g_params, optimizer)
 _, mg = step_fn(g_state, g_batch, jax.random.PRNGKey(1))
 loss_g = float(mg["sum_loss"])
 
+# Re-sharding an ALREADY-sharded batch must pass through (the trainers
+# stage images in the prefetch worker, then re-shard the assembled batch
+# dict — without the pass-through the second call np.asarrays a
+# non-addressable global Array and crashes every multi-host multimodal
+# run), and resharding to a DIFFERENT sharding must be a loud error.
+from imagetranslate_tpu.parallel.mesh import put_global, shard_batch_safe
+
+g2 = shard_batch_safe(g_batch, mesh)
+for k, v in g_batch.items():
+    assert g2[k] is v, (k, "expected pass-through of pre-sharded array")
+try:
+    put_global(g_batch["src"], rep)
+    raise AssertionError("expected ValueError resharding across processes")
+except ValueError:
+    pass
+
+# _fetch_global: numpy (host-local, rank-identical) leaves pass through
+# device_get; cross-process leaves gather to their GLOBAL value. A tiled
+# allgather of the numpy leaf would corrupt it to [2*B, S].
+from imagetranslate_tpu.train.checkpoint import _fetch_global
+
+fetched = _fetch_global({"global": g_batch["src"], "local": src})
+assert fetched["local"].shape == src.shape, fetched["local"].shape
+assert fetched["global"].shape == src.shape, fetched["global"].shape
+np.testing.assert_array_equal(fetched["global"], src)
+
 with open(os.path.join(outdir, f"rank{rank}.txt"), "w") as w:
     w.write(f"{loss!r}\t{ntok!r}\t{loss2!r}\t{loss_g!r}\n")
 print(f"rank {rank}: loss={loss:.6f} ntok={ntok} loss2={loss2:.6f} "

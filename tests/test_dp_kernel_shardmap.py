@@ -91,6 +91,17 @@ def test_fused_dropout_attention_head_shard_map_rate0_matches():
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-6)
 
+    # Bias is REPLICATED over "model" while heads are sharded over it, so
+    # its cotangent needs a cross-shard sum over the model axis. shard_map's
+    # transpose inserts that psum even with check_vma=False on current jax;
+    # this pins it (a silent partial head-sum here would corrupt any future
+    # learned/relative attention bias trained under TP).
+    gb_ref = jax.grad(lambda b: jnp.sum(
+        fused_dropout_attention(q, k, v, b, 0.0, seed)))(bias)
+    gb = jax.grad(lambda b: jnp.sum(jax.jit(fn)(q, k, v, b, seed)))(bias)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref),
+                               rtol=1e-5, atol=1e-5)
+
 
 def test_fused_dropout_attention_shard_map_rate0_matches():
     """rate=0 makes the kernel deterministic (the CPU interpreter can't

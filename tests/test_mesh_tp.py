@@ -114,6 +114,32 @@ def test_replication_fallback_warns():
     assert any("fell back to replication" in m for m in msgs), msgs
 
 
+def test_shard_batch_safe_warns_on_indivisible_matrix_and_is_idempotent():
+    """Memory-capped buckets can carry row counts below the 8-row quantum
+    (loader._batch_rows); replicating such a 2-D+ array under a mesh loses
+    data parallelism and must warn once per (key, rows). Re-sharding an
+    already-sharded batch passes through (the trainers stage in the
+    prefetch worker and re-shard the assembled dict)."""
+    import numpy as np
+
+    from imagetranslate_tpu.parallel.mesh import shard_batch_safe
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    batch = {"src": np.zeros((7, 5), np.int32),      # 7 % 4 != 0
+             "row_mask": np.ones((7,), bool),        # 1-D: silent replicate
+             "ok": np.zeros((8, 5), np.int32)}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = shard_batch_safe(batch, mesh)
+        out2 = shard_batch_safe(out, mesh)
+    msgs = [str(x.message) for x in w]
+    assert any("replicating" in m and "'src'" in m for m in msgs), msgs
+    assert not any("'row_mask'" in m for m in msgs), msgs
+    assert not any("'ok'" in m for m in msgs), msgs
+    for k in batch:
+        assert out2[k] is out[k], k  # pass-through, no second device_put
+
+
 def test_parse_mesh_and_init_distributed():
     from imagetranslate_tpu.parallel.mesh import init_distributed, parse_mesh
 
