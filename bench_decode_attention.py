@@ -13,7 +13,6 @@ anatomy" for the measured shares that motivated this.)"""
 import os
 import sys, time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 import jax, jax.numpy as jnp, numpy as np
 from imagetranslate_tpu.utils import xla_cache

@@ -206,7 +206,8 @@ class Seq2Seq(nn.Module):
                 and runtime.tpu_lowering()
                 and (not runtime.spmd_lowering()
                      or (dp_mesh is not None and m % n_shards == 0))
-                and tkp.supported(m // n_shards, e, cfg.vocab_size, k)):
+                and tkp.supported(m // n_shards, e, cfg.vocab_size, k,
+                                  jnp.dtype(cfg.compute_dtype).itemsize)):
             cd = cfg.compute_dtype
             if cfg.tie_embed:
                 bias = (self.out_bias[0] if len(self.out_bias) == 1

@@ -228,7 +228,11 @@ class Attention(nn.Module):
         if impl == "fused" and (self.is_initializing()
                                 or not runtime.tpu_lowering()
                                 or runtime.spmd_lowering()
-                                or not dca.supported(BK, Kq, W, H, D, t0)):
+                                or not dca.supported(
+                                    BK, Kq, W, H, D, t0,
+                                    itemsize=max(
+                                        jnp.dtype(cfg.compute_dtype).itemsize,
+                                        win_k.dtype.itemsize))):
             impl = "dense"
         if impl in ("fused", "dense") and not self.is_initializing():
             if impl == "fused":

@@ -201,7 +201,14 @@ def windowed_decode_attention(q, main_k, main_v, win_k, win_v, rowsel,
     B, K = rowsel.shape
     G = group
     HD = H * D
-    assert supported(BK, K, W, H, D, t0, G)
+    # The VMEM gate must see the REAL element width: with fp32 compute the
+    # footprint doubles vs the bf16 default (a hardcoded itemsize=2 gate
+    # approved shapes that exhaust VMEM on device — the Mosaic-crash class
+    # the round-3 postmortem guards). max() stays conservative for a
+    # narrower (fp8) cache mixed with wider activations.
+    assert supported(BK, K, W, H, D, t0, G,
+                     itemsize=max(q.dtype.itemsize, win_k.dtype.itemsize)), \
+        "caller must check supported() with the real itemsize first"
     if out_dtype is None:
         out_dtype = q.dtype
 

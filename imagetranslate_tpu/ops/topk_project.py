@@ -74,16 +74,42 @@ def _pick_v_tile(v: int) -> int:
     return 0
 
 
-def _pick_m_tile(m_pad: int, v_tile: int) -> int:
-    """Bound the fp32 logits tile to ~4 MB of VMEM."""
-    budget = 4 * 1024 * 1024
+def _vmem_bytes(m_tile: int, e: int, v_tile: int, k: int,
+                itemsize: int) -> int:
+    """Worst-case VMEM residency of one program instance: the fp32 logits
+    tile, the DOUBLE-BUFFERED operand blocks (the weight block scales with
+    E — the term the first gate missed), output blocks and scratch."""
+    logits = m_tile * v_tile * 4
+    w_blk = 2 * v_tile * e * itemsize
+    h_blk = 2 * m_tile * e * itemsize
+    bias = 2 * v_tile * 4
+    outs = 2 * 2 * m_tile * 128 * 4
+    scratch = m_tile * (2 * k + 2) * 4
+    return logits + w_blk + h_blk + bias + outs + scratch
+
+
+# Same safety margin as ops/decode_attention.py's gate: ~16 MiB/core on
+# v5e, budgeted to 12 MB so Mosaic's own spills/padding can't push a
+# "supported" shape into a device compile crash (the round-3 tunnel-wedge
+# failure class).
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _pick_m_tile(m_pad: int, v_tile: int, e: int, k: int,
+                 itemsize: int) -> int:
+    """Largest row tile whose WHOLE program footprint fits the budget."""
     for t in (1024, 512, 256, 128):
-        if m_pad % t == 0 and t * v_tile * 4 <= budget:
+        if m_pad % t == 0 and _vmem_bytes(t, e, v_tile, k,
+                                          itemsize) <= _VMEM_BUDGET:
             return t
-    return 128 if m_pad % 128 == 0 else 0
+    return 0
 
 
-def supported(m: int, e: int, v: int, k: int) -> bool:
+def supported(m: int, e: int, v: int, k: int, itemsize: int = 2) -> bool:
+    """itemsize: bytes per element of h/w as PASSED to the kernel (the
+    compute dtype — 2 for bf16, 4 for fp32). The VMEM bound depends on it
+    and on E; a gate that only bounded the logits tile approved hidden
+    sizes that cannot fit (e.g. E=2048 at V=32000 needs ~17 MB)."""
     if k < 1 or k > 16 or v < 2 * k:
         return False
     if e % 128 != 0:
@@ -92,7 +118,7 @@ def supported(m: int, e: int, v: int, k: int) -> bool:
     if v_tile < 128:
         return False
     m_pad = -(-m // 128) * 128
-    return _pick_m_tile(m_pad, v_tile) >= 128
+    return _pick_m_tile(m_pad, v_tile, e, k, itemsize) >= 128
 
 
 def _extract_topk(vals, idx_base_iota, k: int):
@@ -203,7 +229,9 @@ def project_topk(
 
     v_tile = _pick_v_tile(v)
     m_pad = -(-m // 128) * 128
-    m_tile = _pick_m_tile(m_pad, v_tile)
+    m_tile = _pick_m_tile(m_pad, v_tile, e, k,
+                          max(h.dtype.itemsize, w.dtype.itemsize))
+    assert m_tile >= 128, "caller must check supported() first"
     if m_pad != m:
         h = jnp.pad(h, ((0, m_pad - m), (0, 0)))
     grid = (m_pad // m_tile, v // v_tile)

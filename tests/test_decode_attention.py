@@ -120,6 +120,13 @@ def test_supported_gating():
     assert not da.supported(1023, 4, 44, 12, 64, 88)   # BK % K
     assert not da.supported(1024, 3, 44, 12, 64, 88)   # group % K
     assert not da.supported(1024, 4, 44, 12, 60, 88)   # H*D not 128-aligned
+    # The VMEM bound must see the real element width: fp32 compute doubles
+    # the block footprint (a hardcoded itemsize=2 approved shapes that
+    # exhaust VMEM on device); the dispatch in transformer.py passes
+    # max(compute itemsize, cache itemsize).
+    assert da.supported(1024, 4, 44, 12, 64, 176, itemsize=2)
+    assert not da.supported(1024, 4, 44, 12, 64, 176, itemsize=4)
+    assert not da.supported(1024, 4, 44, 12, 64, 264, itemsize=2)
 
 
 def test_attention_step_windowed_xla_path_unchanged():

@@ -102,6 +102,13 @@ def test_supported_gating():
     assert not tkp.supported(1024, 768, 32000, 17)     # k > 16
     assert not tkp.supported(1024, 100, 32000, 4)      # E not 128-aligned
     assert not tkp.supported(1024, 768, 97, 4)         # no lane-aligned tile
+    # VMEM accounting includes the E-scaled double-buffered weight block
+    # (a logits-tile-only bound approved hidden sizes that cannot fit):
+    assert tkp.supported(1024, 2048, 32000, 4, 2)      # fits at m_tile=128
+    assert tkp._pick_m_tile(1024, 1280, 2048, 4, 2) == 128
+    assert not tkp.supported(1024, 4096, 32000, 4, 2)  # weight block alone
+    assert not tkp.supported(1024, 2048, 32000, 4, 4)  # fp32 doubles it
+    assert tkp.supported(1024, 768, 32000, 4, 4)       # fp32 flagship fits
 
 
 def test_seq2seq_project_topk_matches_project():
