@@ -54,6 +54,22 @@ def load_image(path: str, size: int = 224,
     center-cropped square to stay static-shape)."""
     if resize_min is None:
         resize_min = max(256, size)
+    # First-party C decode+resize (data/_native/imagedec.cpp): one pass,
+    # GIL-free, decodes only the scanlines the crop needs; falls back to
+    # the PIL path below for anything it can't handle (non-JPEG, CMYK, no
+    # compiler). Parity: <=1 LSB on <0.3% of pixels vs the PIL path
+    # (tests/test_imagedec.py); with FAST_DCT_SCALE large inputs prescale
+    # in the DCT domain (docs/PARITY.md).
+    try:
+        from imagetranslate_tpu.data.imagedec import decode_resize
+
+        u8 = decode_resize(path, size=size, resize_min=resize_min)
+    except Exception:
+        u8 = None
+    if u8 is not None:
+        if raw:
+            return u8
+        return (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     try:
         from PIL import Image
 
