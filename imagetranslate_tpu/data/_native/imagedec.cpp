@@ -26,7 +26,17 @@
 // filter resize never upsamples. DCT-domain halving is a proper low-pass,
 // so quality is preserved; pixels deviate from the full-resolution decode
 // (documented in docs/PARITY.md) which is why it is a flag, default on for
-// throughput, off wherever strict PIL parity is asserted.
+// throughput, off wherever strict PIL parity is asserted. (JDCT_IFAST and
+// non-fancy chroma upsampling were measured on this host's libjpeg-turbo:
+// ~0-2%% speed, mean 4-7/255 per-texel deviation on high-entropy content —
+// rejected, docs/PERF.md.)
+//
+// Both resample passes run AVX2 when the CPU has it (runtime-dispatched, so
+// the .so stays portable): the vertical pass is a dense 8-lane
+// int32 multiply-accumulate over contiguous rows; the horizontal pass
+// processes two 3-channel taps per 256-bit op. The SIMD paths reproduce the
+// scalar fixed-point arithmetic bit for bit (same 22-bit precision, same
+// clip8 saturation), so PIL parity is unaffected.
 //
 // Exported (ctypes, see data/imagedec.py):
 //   itdec_decode_resize(path, size, resize_min, fast_scale, out, used_denom)
@@ -44,6 +54,11 @@
 #include <cstdlib>
 #include <cstring>
 #include <vector>
+
+#if defined(__x86_64__) || defined(_M_X64)
+#define ITDEC_X86 1
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -121,6 +136,193 @@ int precompute_coeffs(int in_size, double in0, double in1, int out_size,
                 : static_cast<int32_t>(0.5 + prekk[i] * (1 << kPrecisionBits));
   }
   return ksize;
+}
+
+// ---- horizontal pass: one decoded scanline -> `size` RGB output pixels ----
+
+void hpass_scalar(const uint8_t* row, int size, const int* hbounds,
+                  const int32_t* hk, int hksize, uint8_t* dst) {
+  for (int xx = 0; xx < size; xx++) {
+    const int xmin = hbounds[static_cast<size_t>(xx) * 2];
+    const int xcnt = hbounds[static_cast<size_t>(xx) * 2 + 1];
+    const int32_t* k = &hk[static_cast<size_t>(xx) * hksize];
+    int ss0 = 1 << (kPrecisionBits - 1);
+    int ss1 = ss0, ss2 = ss0;
+    const uint8_t* src = row + static_cast<size_t>(xmin) * 3;
+    for (int x = 0; x < xcnt; x++) {
+      ss0 += src[x * 3 + 0] * k[x];
+      ss1 += src[x * 3 + 1] * k[x];
+      ss2 += src[x * 3 + 2] * k[x];
+    }
+    dst[xx * 3 + 0] = clip8(ss0);
+    dst[xx * 3 + 1] = clip8(ss1);
+    dst[xx * 3 + 2] = clip8(ss2);
+  }
+}
+
+// ---- vertical pass: the whole [size, size, 3] output from `mid` rows ----
+
+void vpass_scalar(const uint8_t* mid, int size, const int* vbounds,
+                  const int32_t* vk, int vksize, int y_first, uint8_t* out) {
+  const size_t stride = static_cast<size_t>(size) * 3;
+  for (int yy = 0; yy < size; yy++) {
+    const int ymin = vbounds[static_cast<size_t>(yy) * 2];
+    const int ycnt = vbounds[static_cast<size_t>(yy) * 2 + 1];
+    const int32_t* k = &vk[static_cast<size_t>(yy) * vksize];
+    uint8_t* dst = out + static_cast<size_t>(yy) * stride;
+    for (size_t xx = 0; xx < stride; xx++) {
+      int ss = 1 << (kPrecisionBits - 1);
+      for (int y = 0; y < ycnt; y++) {
+        ss += mid[static_cast<size_t>(ymin - y_first + y) * stride + xx] *
+              k[y];
+      }
+      dst[xx] = clip8(ss);
+    }
+  }
+}
+
+#ifdef ITDEC_X86
+
+// AVX2 variants reproduce the fixed-point arithmetic above bit for bit:
+// int32 accumulators with the same 1 << (kPrecisionBits - 1) rounding term,
+// and clip8 realized as srai(kPrecisionBits) + unsigned-saturating packs
+// (negative -> 0, >= 2^30 -> >= 256 after shift -> 255), which is exactly
+// clip8's behavior on every reachable value.
+
+// Two 3-channel taps per 256-bit op: pixel x in lanes 0-3 (4th lane is the
+// next pixel's R, discarded), pixel x+1 in lanes 4-7. The caller guarantees
+// the row buffer is padded so the 4-byte loads at the last pixel are legal.
+__attribute__((target("avx2"))) void hpass_avx2(const uint8_t* row, int size,
+                                                const int* hbounds,
+                                                const int32_t* hk, int hksize,
+                                                uint8_t* dst) {
+  for (int xx = 0; xx < size; xx++) {
+    const int xmin = hbounds[static_cast<size_t>(xx) * 2];
+    const int xcnt = hbounds[static_cast<size_t>(xx) * 2 + 1];
+    const int32_t* k = &hk[static_cast<size_t>(xx) * hksize];
+    const uint8_t* src = row + static_cast<size_t>(xmin) * 3;
+    __m128i acc = _mm_set1_epi32(1 << (kPrecisionBits - 1));
+    int x = 0;
+    if (xcnt >= 2) {
+      __m256i acc2 = _mm256_setzero_si256();
+      for (; x + 2 <= xcnt; x += 2) {
+        uint32_t w0, w1;
+        std::memcpy(&w0, src + static_cast<size_t>(x) * 3, 4);
+        std::memcpy(&w1, src + static_cast<size_t>(x + 1) * 3, 4);
+        __m128i bytes = _mm_insert_epi32(_mm_cvtsi32_si128(
+                                             static_cast<int>(w0)),
+                                         static_cast<int>(w1), 1);
+        __m256i pix = _mm256_cvtepu8_epi32(bytes);
+        __m256i kk = _mm256_setr_epi32(k[x], k[x], k[x], k[x], k[x + 1],
+                                       k[x + 1], k[x + 1], k[x + 1]);
+        acc2 = _mm256_add_epi32(acc2, _mm256_mullo_epi32(pix, kk));
+      }
+      acc = _mm_add_epi32(acc, _mm_add_epi32(
+                                   _mm256_castsi256_si128(acc2),
+                                   _mm256_extracti128_si256(acc2, 1)));
+    }
+    for (; x < xcnt; x++) {
+      uint32_t w;
+      std::memcpy(&w, src + static_cast<size_t>(x) * 3, 4);
+      __m128i pix =
+          _mm_cvtepu8_epi32(_mm_cvtsi32_si128(static_cast<int>(w)));
+      acc = _mm_add_epi32(acc,
+                          _mm_mullo_epi32(pix, _mm_set1_epi32(k[x])));
+    }
+    __m128i shifted = _mm_srai_epi32(acc, kPrecisionBits);
+    __m128i packed = _mm_packus_epi16(_mm_packus_epi32(shifted, shifted),
+                                      _mm_setzero_si128());
+    uint32_t rgbx = static_cast<uint32_t>(_mm_cvtsi128_si32(packed));
+    dst[xx * 3 + 0] = static_cast<uint8_t>(rgbx);
+    dst[xx * 3 + 1] = static_cast<uint8_t>(rgbx >> 8);
+    dst[xx * 3 + 2] = static_cast<uint8_t>(rgbx >> 16);
+  }
+}
+
+// 16 output bytes per iteration: two 8-lane int32 accumulators over the
+// contiguous `mid` rows, then pack with lane-order fixup.
+__attribute__((target("avx2"))) void vpass_avx2(const uint8_t* mid, int size,
+                                                const int* vbounds,
+                                                const int32_t* vk, int vksize,
+                                                int y_first, uint8_t* out) {
+  const size_t stride = static_cast<size_t>(size) * 3;
+  const __m256i round = _mm256_set1_epi32(1 << (kPrecisionBits - 1));
+  for (int yy = 0; yy < size; yy++) {
+    const int ymin = vbounds[static_cast<size_t>(yy) * 2];
+    const int ycnt = vbounds[static_cast<size_t>(yy) * 2 + 1];
+    const int32_t* k = &vk[static_cast<size_t>(yy) * vksize];
+    const uint8_t* base = mid + static_cast<size_t>(ymin - y_first) * stride;
+    uint8_t* dst = out + static_cast<size_t>(yy) * stride;
+    size_t xx = 0;
+    for (; xx + 16 <= stride; xx += 16) {
+      __m256i acc0 = round, acc1 = round;
+      for (int y = 0; y < ycnt; y++) {
+        const uint8_t* p = base + static_cast<size_t>(y) * stride + xx;
+        __m256i kk = _mm256_set1_epi32(k[y]);
+        __m256i p0 = _mm256_cvtepu8_epi32(
+            _mm_loadl_epi64(reinterpret_cast<const __m128i*>(p)));
+        __m256i p1 = _mm256_cvtepu8_epi32(
+            _mm_loadl_epi64(reinterpret_cast<const __m128i*>(p + 8)));
+        acc0 = _mm256_add_epi32(acc0, _mm256_mullo_epi32(p0, kk));
+        acc1 = _mm256_add_epi32(acc1, _mm256_mullo_epi32(p1, kk));
+      }
+      __m256i ab = _mm256_packus_epi32(_mm256_srai_epi32(acc0, kPrecisionBits),
+                                       _mm256_srai_epi32(acc1,
+                                                         kPrecisionBits));
+      ab = _mm256_permute4x64_epi64(ab, _MM_SHUFFLE(3, 1, 2, 0));
+      __m128i bytes = _mm_packus_epi16(_mm256_castsi256_si128(ab),
+                                       _mm256_extracti128_si256(ab, 1));
+      _mm_storeu_si128(reinterpret_cast<__m128i*>(dst + xx), bytes);
+    }
+    for (; xx < stride; xx++) {
+      int ss = 1 << (kPrecisionBits - 1);
+      for (int y = 0; y < ycnt; y++) {
+        ss += base[static_cast<size_t>(y) * stride + xx] * k[y];
+      }
+      dst[xx] = clip8(ss);
+    }
+  }
+}
+
+#endif  // ITDEC_X86
+
+using HPassFn = void (*)(const uint8_t*, int, const int*, const int32_t*,
+                         int, uint8_t*);
+using VPassFn = void (*)(const uint8_t*, int, const int*, const int32_t*,
+                         int, int, uint8_t*);
+
+// ITDEC_FORCE_SCALAR=1 pins the scalar paths (read once at first use) so
+// tests can assert SIMD/scalar bit equality across two processes.
+bool force_scalar() {
+  const char* v = std::getenv("ITDEC_FORCE_SCALAR");
+  return v != nullptr && v[0] == '1';
+}
+
+HPassFn pick_hpass() {
+#ifdef ITDEC_X86
+  if (!force_scalar() && __builtin_cpu_supports("avx2")) return hpass_avx2;
+#endif
+  return hpass_scalar;
+}
+
+VPassFn pick_vpass() {
+#ifdef ITDEC_X86
+  if (!force_scalar() && __builtin_cpu_supports("avx2")) return vpass_avx2;
+#endif
+  return vpass_scalar;
+}
+
+// Lazy first-call resolution (thread-safe local static) rather than a
+// dynamic initializer: __builtin_cpu_supports depends on libgcc's CPU-model
+// constructor having run, which load-time init order does not guarantee.
+HPassFn hpass() {
+  static const HPassFn f = pick_hpass();
+  return f;
+}
+
+VPassFn vpass() {
+  static const VPassFn f = pick_vpass();
+  return f;
 }
 
 }  // namespace
@@ -247,8 +449,10 @@ int itdec_decode_resize(const char* path, int size, int resize_min,
   }
 
   jpeg_start_decompress(&cinfo);
-  rowbuf.resize(static_cast<size_t>(dw) * 3);
+  // +8 pad: the AVX2 horizontal pass loads 4 bytes per 3-byte tap.
+  rowbuf.resize(static_cast<size_t>(dw) * 3 + 8);
   mid.resize(static_cast<size_t>(y_last - y_first) * size * 3);
+  const HPassFn do_hpass = hpass();
 
   if (y_first > 0) {
     // jpeg_skip_scanlines may stop short of the request (iMCU alignment);
@@ -266,23 +470,8 @@ int itdec_decode_resize(const char* path, int size, int resize_min,
     if (jpeg_read_scanlines(&cinfo, rows, 1) != 1) break;
     if (y < y_first) continue;  // skip_scanlines undershoot
     // Horizontal pass (Pillow ImagingResampleHorizontal_8bpc semantics).
-    uint8_t* dst = &mid[static_cast<size_t>(y - y_first) * size * 3];
-    for (int xx = 0; xx < size; xx++) {
-      const int xmin = hbounds[static_cast<size_t>(xx) * 2];
-      const int xcnt = hbounds[static_cast<size_t>(xx) * 2 + 1];
-      const int32_t* k = &hk[static_cast<size_t>(xx) * hksize];
-      int ss0 = 1 << (kPrecisionBits - 1);
-      int ss1 = ss0, ss2 = ss0;
-      const uint8_t* src = row + static_cast<size_t>(xmin) * 3;
-      for (int x = 0; x < xcnt; x++) {
-        ss0 += src[x * 3 + 0] * k[x];
-        ss1 += src[x * 3 + 1] * k[x];
-        ss2 += src[x * 3 + 2] * k[x];
-      }
-      dst[xx * 3 + 0] = clip8(ss0);
-      dst[xx * 3 + 1] = clip8(ss1);
-      dst[xx * 3 + 2] = clip8(ss2);
-    }
+    do_hpass(row, size, hbounds.data(), hk.data(), hksize,
+             &mid[static_cast<size_t>(y - y_first) * size * 3]);
   }
   // Truncated/corrupt streams surface as libjpeg warnings (it fakes EOI
   // and pads gray); the reference turns corrupted images into black
@@ -296,20 +485,7 @@ int itdec_decode_resize(const char* path, int size, int resize_min,
   if (warnings > 0) return -10;
 
   // Vertical pass.
-  for (int yy = 0; yy < size; yy++) {
-    const int ymin = vbounds[static_cast<size_t>(yy) * 2];
-    const int ycnt = vbounds[static_cast<size_t>(yy) * 2 + 1];
-    const int32_t* k = &vk[static_cast<size_t>(yy) * vksize];
-    uint8_t* dst = out + static_cast<size_t>(yy) * size * 3;
-    for (int xx = 0; xx < size * 3; xx++) {
-      int ss = 1 << (kPrecisionBits - 1);
-      for (int y = 0; y < ycnt; y++) {
-        ss += mid[static_cast<size_t>(ymin - y_first + y) * size * 3 + xx] *
-              k[y];
-      }
-      dst[xx] = clip8(ss);
-    }
-  }
+  vpass()(mid.data(), size, vbounds.data(), vk.data(), vksize, y_first, out);
   return 0;
 }
 

@@ -94,13 +94,15 @@ def _looks_jpeg(path: str) -> bool:
         return False
 
 
-def decode_resize(path: str, size: int = 224, resize_min: int = 256,
-                  fast_scale: Optional[bool] = None,
-                  ) -> Optional[np.ndarray]:
-    """uint8 [size, size, 3] via the native path, or None to fall back."""
+def decode_resize_info(path: str, size: int = 224, resize_min: int = 256,
+                       fast_scale: Optional[bool] = None,
+                       ):
+    """(uint8 [size, size, 3], dct_denominator) via the native path, or
+    (None, 0) to fall back. The denominator reports the DCT-domain prescale
+    the decoder chose (1 = full-resolution decode; fast_scale only)."""
     lib = get_lib()
     if lib is None or not _looks_jpeg(path):
-        return None
+        return None, 0
     if fast_scale is None:
         fast_scale = FAST_DCT_SCALE
     out = np.empty((size, size, 3), np.uint8)
@@ -110,5 +112,12 @@ def decode_resize(path: str, size: int = 224, resize_min: int = 256,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         ctypes.byref(denom))
     if rc != 0:
-        return None
-    return out
+        return None, 0
+    return out, denom.value
+
+
+def decode_resize(path: str, size: int = 224, resize_min: int = 256,
+                  fast_scale: Optional[bool] = None,
+                  ) -> Optional[np.ndarray]:
+    """uint8 [size, size, 3] via the native path, or None to fall back."""
+    return decode_resize_info(path, size, resize_min, fast_scale)[0]

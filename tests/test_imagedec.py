@@ -100,15 +100,54 @@ def test_fast_dct_scale_engages_and_stays_close():
 
 def test_fast_scale_never_upsamples():
     # 300px min side: denom 2 would decode to 150 < 256 -> must stay 1,
-    # i.e. fast output == slow output exactly.
+    # i.e. fast output == slow output exactly. (JDCT_IFAST / non-fancy
+    # upsampling as extra fast-mode knobs were measured ~0-2% speed for a
+    # mean 4-7/255 deviation on this host's libjpeg-turbo and rejected —
+    # docs/PERF.md — so denom is fast mode's ONLY decode difference.)
     rs = np.random.RandomState(17)
     path = _jpeg(rs.randint(0, 255, (300, 500, 3), np.uint8), quality=90)
     try:
         full = imagedec.decode_resize(path, 224, 256, fast_scale=False)
-        fast = imagedec.decode_resize(path, 224, 256, fast_scale=True)
+        fast, denom = imagedec.decode_resize_info(path, 224, 256,
+                                                  fast_scale=True)
+        assert denom == 1
         assert np.array_equal(full, fast)
     finally:
         os.remove(path)
+
+
+def test_simd_resample_bit_equals_scalar():
+    """The AVX2 resample paths must reproduce the scalar fixed-point math
+    bit for bit. The dispatch is pinned per process (first use), so the
+    scalar run happens in a subprocess with ITDEC_FORCE_SCALAR=1."""
+    import subprocess
+    import sys
+
+    rs = np.random.RandomState(31)
+    # Mix of geometries: odd sizes exercise the SIMD tails.
+    paths = [_jpeg(rs.randint(0, 255, shape + (3,), np.uint8), quality=90)
+             for shape in [(480, 640), (301, 507), (257, 257)]]
+    try:
+        simd = [imagedec.decode_resize(p, 224, 256, fast_scale=False)
+                for p in paths]
+        outs = [tempfile.mktemp(suffix=".npy") for _ in paths]
+        code = (
+            "import sys, numpy as np\n"
+            "from imagetranslate_tpu.data import imagedec\n"
+            "for p, o in zip(sys.argv[1::2], sys.argv[2::2]):\n"
+            "    np.save(o, imagedec.decode_resize(p, 224, 256,"
+            " fast_scale=False))\n")
+        args = [a for pair in zip(paths, outs) for a in pair]
+        env = dict(os.environ, ITDEC_FORCE_SCALAR="1")
+        subprocess.run([sys.executable, "-c", code, *args], check=True,
+                       env=env, timeout=120)
+        for p, o, s in zip(paths, outs, simd):
+            scalar = np.load(o)
+            assert np.array_equal(scalar, s), p
+            os.remove(o)
+    finally:
+        for p in paths:
+            os.remove(p)
 
 
 def test_fallbacks_return_none():
