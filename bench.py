@@ -171,7 +171,8 @@ def main():
 
     step_rng = train_rng(0)
 
-    def measure_train(bt):
+    def measure_train(bt, fn=None):
+        fn = fn or step_fn
         b_ids = jax.random.randint(rng, (bt, S), 5, cfg.vocab_size)
         batch = {
             "src": b_ids, "src_mask": jnp.ones((bt, S), bool), "dst": b_ids,
@@ -181,20 +182,33 @@ def main():
             "row_mask": jnp.ones((bt,), bool),
         }
         st = create_train_state(jax.tree.map(jnp.array, params), optimizer)
-        st, m = step_fn(st, batch, step_rng)  # compile
+        st, m = fn(st, batch, step_rng)  # compile
         _sync(m["sum_loss"])
-        st, m = step_fn(st, batch, step_rng)  # warm
+        st, m = fn(st, batch, step_rng)  # warm
         _sync(m["sum_loss"])
         iters = 10
         t0 = time.perf_counter()
         for _ in range(iters):
-            st, m = step_fn(st, batch, step_rng)
+            st, m = fn(st, batch, step_rng)
         _sync(m["sum_loss"])
         train_dt = (time.perf_counter() - t0) / iters
         return float(m["ntokens"]) / train_dt
 
     _prog("measuring train (synthetic)")
     train_per_batch = {b: measure_train(b) for b in (B, 256)}
+    # B > 256 arms: round 3's sweep stopped where HBM pressure began;
+    # remat_ffn (checkpoint just the [B,S,4E] gelu intermediate) trades one
+    # extra FFN forward for the headroom. Keys: plain "384", remat "384r".
+    # Each arm is best-effort — an OOM records nothing and the sweep goes on.
+    model_r = Seq2Seq(cfg.replace(remat_ffn=True))
+    step_fn_r = make_mt_train_step(model_r, optimizer, donate=True)
+    for bt in (384, 512):
+        for key, fn in ((str(bt), step_fn), (f"{bt}r", step_fn_r)):
+            try:
+                train_per_batch[key] = measure_train(bt, fn)
+            except Exception as e:  # RESOURCE_EXHAUSTED etc.
+                _prog(f"train B-sweep arm {key} failed: "
+                      f"{type(e).__name__}")
     train_tps = max(train_per_batch.values())
     # MFU, honestly accounted (two denominators, see docs/PERF.md):
     #   numerator = 3x fwd (fwd+bwd) of [2 FLOPs/param/token over MATMUL

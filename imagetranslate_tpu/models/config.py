@@ -56,6 +56,13 @@ class Seq2SeqConfig:
     # TPU-specific knobs (no reference equivalent):
     dtype: str = "bfloat16"  # activation/compute dtype
     remat: bool = False      # jax.checkpoint each layer to trade FLOPs for HBM
+    # Targeted alternative to full-layer remat: checkpoint only the FFN
+    # block, whose gelu intermediate [B, S, 4E] is the fattest per-layer
+    # activation. Recompute cost is one extra FFN forward (~1/9 of train
+    # FLOPs) vs full-layer remat's whole extra forward (~1/3) — the right
+    # first knob when HBM pressure appears at large batch (docs/PERF.md
+    # round-4 B-sweep). Ignored when `remat` is set (full-layer subsumes it).
+    remat_ffn: bool = False
     use_pallas_attention: bool = True   # Pallas flash-attention on TPU
     # Fused attention+dropout Pallas kernel for TRAINING (in-kernel rbg
     # mask, recompute backward — ops/train_attention.py). Default ON after

@@ -373,12 +373,20 @@ class FeedForward(nn.Module):
 
 def make_ffn(cfg: Seq2SeqConfig) -> nn.Module:
     """Dense FeedForward, or a routed expert bank when cfg.moe_experts > 0
-    (models/moe.py — expert parallelism over the mesh's "model" axis)."""
+    (models/moe.py — expert parallelism over the mesh's "model" axis).
+
+    cfg.remat_ffn checkpoints just this block (the [B, S, 4E] gelu
+    intermediate is the fattest per-layer activation) unless full-layer
+    remat already subsumes it."""
     if cfg.moe_experts:
         from imagetranslate_tpu.models.moe import MoEFeedForward
 
-        return MoEFeedForward(cfg)
-    return FeedForward(cfg)
+        base = MoEFeedForward
+    else:
+        base = FeedForward
+    if cfg.remat_ffn and not cfg.remat:
+        base = nn.remat(base, static_argnums=(2,))  # (self, x, deterministic)
+    return base(cfg)
 
 
 class EncoderLayer(nn.Module):
