@@ -45,7 +45,10 @@ def get_parser():
     p.add_argument("--steps", type=int, default=400,
                    help="supervised MT train steps")
     p.add_argument("--mass-steps", type=int, default=60)
-    p.add_argument("--bt-steps", type=int, default=10)
+    p.add_argument("--bt-steps", type=int, default=30)
+    p.add_argument("--bt-nll-drop", type=float, default=0.02,
+                   help="required forced-decode dev-NLL improvement "
+                        "(nats/token) across the BT phase")
     p.add_argument("--cap-steps", type=int, default=40)
     p.add_argument("--bleu-floor", type=float, default=0.1,
                    help="sample-scale BLEU floor (reference expectation "
@@ -205,6 +208,32 @@ def run_umt(options, tp, results):
         epoch += 1
     m1 = mass_probe_loss()
 
+    # BT quality signal: the sample corpus is PARALLEL (fa.txt/en.txt line
+    # aligned, README.md:169-186 uses it for the UMT recipe), so a held-out
+    # head slice is a real fa->en dev set. Forced-decode NLL on it is the
+    # quality metric — far more sensitive than BLEU at sample scale, and it
+    # can fail: a BT phase that degenerates (e.g. copies its input) does
+    # not reduce translation NLL.
+    from imagetranslate_tpu.data.loader import MTBatcher
+
+    bt_dev_bin = os.path.join(wd, "btdev.mt")
+    dev_fa2, dev_en2 = os.path.join(wd, "btdev.fa"), os.path.join(
+        wd, "btdev.en")
+    for lang, path in (("fa", dev_fa2), ("en", dev_en2)):
+        with open(os.path.join(options.sample_dir, f"{lang}.txt")) as r, \
+                open(path, "w") as w:
+            for i, line in enumerate(r):
+                if i >= min(options.dev_size, 128):
+                    break
+                w.write(line)
+    write_mt(tp, bt_dev_bin, dev_fa2, tp.token_id("<fa>"), dev_en2,
+             tp.token_id("<en>"))
+    from imagetranslate_tpu.data.binarize import load_mt
+
+    bt_dev = MTBatcher(load_mt(bt_dev_bin),
+                       pad_id=tp.pad_token_id()).batches[:6]
+    nll0 = dev_loss(trainer, bt_dev)
+
     # Phase 2: optimizer reset + BT fine-tune with direction flipping.
     trainer.reset_for_finetune()
     directions = MTTrainer.lang_directions(["en", "fa"], tp)
@@ -213,13 +242,17 @@ def run_umt(options, tp, results):
         step, os.path.join(wd, "umt_ckpt"), mass_batcher=batcher,
         max_step=bt_target, fine_tune=True, lang_directions=directions,
         eval_every=10 ** 9, save_every=10 ** 9, epoch_seed=99)
+    nll1 = dev_loss(trainer, bt_dev)
 
     results["umt"] = {
         "mass_steps": options.mass_steps, "bt_steps": step - options.mass_steps,
         "mass_loss_before": round(m0, 4), "mass_loss_after": round(m1, 4),
+        "bt_dev_nll_before": round(nll0, 4), "bt_dev_nll_after": round(nll1, 4),
     }
     assert m1 < m0 - 0.2, f"MASS loss did not drop: {m0:.3f} -> {m1:.3f}"
     assert step >= bt_target, "BT phase did not step"
+    assert nll1 < nll0 - options.bt_nll_drop, (
+        f"BT phase did not improve fa->en dev NLL: {nll0:.3f} -> {nll1:.3f}")
 
 
 def run_caption(options, tp, results):

@@ -261,14 +261,20 @@ def import_torchvision_frcnn(sd: Dict[str, np.ndarray]):
     return {"params": params, "batch_stats": stats}
 
 
-def import_reference_checkpoint(ckpt_dir: str, tp, dtype: str = "bfloat16"):
-    """Full pipeline: arch tuple + state_dict -> (cfg, params)."""
+def import_reference_checkpoint(ckpt_dir: str, tp, dtype: str = "bfloat16",
+                                num_heads: int = 12):
+    """Full pipeline: arch tuple + state_dict -> (cfg, params).
+
+    num_heads is not in the arch tuple; the reference hard-codes 12 at any
+    width (lm_config.py:13, unchanged by get_config) so 12 is the faithful
+    default — overridable for synthetic fixtures."""
     from imagetranslate_tpu.models.config import Seq2SeqConfig
 
     (lang_dec, use_proposals, enc_layer, dec_layer, embed_dim,
      intermediate_dim, tie_embed, resnet_depth, freeze_image) = \
         load_reference_arch(ckpt_dir)
     cfg = Seq2SeqConfig(
+        num_heads=num_heads,
         vocab_size=tp.vocab_size(),
         num_languages=max(1, len(tp.languages)),
         hidden_size=embed_dim,
