@@ -20,12 +20,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Remote compiles on this environment cost 30-60 s each; the persistent
-# cache makes warm runs start in seconds (must be set before backend init).
+# cache makes warm runs start in seconds. NB the env var alone is DEAD on
+# this image (sitecustomize imports jax before this line; jax's config
+# already captured an empty env) — the runtime config update below is what
+# actually engages the cache (utils/xla_cache.py, validated round 4).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from imagetranslate_tpu.utils.xla_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def _sync(x):
@@ -195,20 +202,11 @@ def main():
         return float(m["ntokens"]) / train_dt
 
     _prog("measuring train (synthetic)")
+    # B stops at 256: the round-4 sweep measured 384/512 with and without
+    # remat_ffn — no OOM anywhere, B>256 flat-to-worse (512 -6%), remat a
+    # constant ~5% recompute tax with nothing to buy (docs/PERF.md round-4
+    # "B>256"). The extra arms are not worth 4 compiles per bench run.
     train_per_batch = {b: measure_train(b) for b in (B, 256)}
-    # B > 256 arms: round 3's sweep stopped where HBM pressure began;
-    # remat_ffn (checkpoint just the [B,S,4E] gelu intermediate) trades one
-    # extra FFN forward for the headroom. Keys: plain "384", remat "384r".
-    # Each arm is best-effort — an OOM records nothing and the sweep goes on.
-    model_r = Seq2Seq(cfg.replace(remat_ffn=True))
-    step_fn_r = make_mt_train_step(model_r, optimizer, donate=True)
-    for bt in (384, 512):
-        for key, fn in ((str(bt), step_fn), (f"{bt}r", step_fn_r)):
-            try:
-                train_per_batch[key] = measure_train(bt, fn)
-            except Exception as e:  # RESOURCE_EXHAUSTED etc.
-                _prog(f"train B-sweep arm {key} failed: "
-                      f"{type(e).__name__}")
     train_tps = max(train_per_batch.values())
     # MFU, honestly accounted (two denominators, see docs/PERF.md):
     #   numerator = 3x fwd (fwd+bwd) of [2 FLOPs/param/token over MATMUL

@@ -30,17 +30,22 @@ __version__ = "0.1.0"
 # of the big jitted programs are expensive; caching them across processes
 # makes CLI reruns start in seconds instead of minutes.
 import os as _os
+import sys as _sys
 
 _os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     _os.path.join(_os.path.expanduser("~"), ".cache", "imagetranslate_tpu_xla"),
 )
 
-# Opt-in persistent-cache enablement for non-allowlisted PJRT platforms
-# (IMAGETRANSLATE_FORCE_XLA_CACHE=1; no-op — and no jax import — otherwise).
-if _os.environ.get("IMAGETRANSLATE_FORCE_XLA_CACHE") == "1":
+# On hosts whose sitecustomize imports jax at interpreter start (the axon
+# TPU image), jax captured its config env BEFORE the env var above (or any
+# user-set one in a script) existed, so the cache silently stays off — the
+# round-3 "cache write path silently skipped" bug (utils/xla_cache.py).
+# Mirror the env var into jax.config in exactly that case; when jax has not
+# been imported yet the env var works on its own and jax stays unimported.
+if "jax" in _sys.modules:
     from imagetranslate_tpu.utils.xla_cache import (  # noqa: E402
-        maybe_force_enable_from_env as _mfe,
+        maybe_enable_from_env as _mee,
     )
 
-    _mfe()
+    _mee()

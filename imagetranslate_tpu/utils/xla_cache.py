@@ -1,62 +1,72 @@
-"""Persistent-XLA-cache enablement for non-allowlisted PJRT platforms.
+"""Persistent-XLA-cache enablement that works under eager-jax-import hosts.
 
-jax gates the persistent compilation cache on ``backend.platform in
-{"tpu", "gpu", "cpu", "neuron"}`` (jax._src.compilation_cache.is_cache_used).
-Experimental platform plugins — like the tunneled ``axon`` TPU used in this
-environment — report a different platform name, so every process silently
-recompiles every program (70-147 s each for the big jitted steps) even with
-``JAX_COMPILATION_CACHE_DIR`` set.
+Round-3 shipped a ``force_enable()`` latch for jax's platform-allowlist
+gate, flagged "NOT yet validated". Round-4 validation on the axon TPU found
+the premise obsolete and the real bug elsewhere:
 
-``force_enable()`` flips the module's one-shot "is the cache usable" latch
-to True before the first compile, which makes jax treat the backend like
-any other cache-supported platform. It is deliberately opt-in — call it
-directly, or set ``IMAGETRANSLATE_FORCE_XLA_CACHE=1`` in the environment
-(checked by ``maybe_force_enable_from_env()``, which the package
-``__init__`` invokes). If the plugin's executables do not support
-serialization the cache write degrades into a logged warning per program,
-and a corrupted/stale entry can be cleared by deleting the cache dir.
+- the axon backend reports ``platform == "tpu"``, ``runtime_type ==
+  "pjrt_ifrt"`` and ``supports_executable_serialization == True`` — jax
+  0.9.0's ``is_cache_used`` gate passes with no latch at all;
+- the cache never engaged because this image's sitecustomize imports jax at
+  interpreter start, so ``JAX_COMPILATION_CACHE_DIR`` set from Python (the
+  ``os.environ.setdefault`` pattern in bench/CLIs) arrives AFTER jax's
+  config captured its env — ``config.compilation_cache_dir`` stays None and
+  every write logs "cache is disabled/not initialized" at DEBUG. This is
+  why every round-3 process recompiled everything (70-147 s per program).
 
-NOT yet validated on the axon TPU (the tunnel was down when this landed);
-treat as experimental until a two-process warm-start test confirms
-executables serialize and reload on this plugin.
+``enable_persistent_cache(path)`` fixes it the supported way: a runtime
+``jax.config.update``, valid at any point before (or even after) the first
+compile. Measured on the axon TPU: cold 1.97 s -> warm 0.62 s on a small
+probe program, entries written and reloaded across processes.
 """
 
 from __future__ import annotations
 
 import logging
+import os
+from typing import Optional
 
 logger = logging.getLogger(__name__)
 
+DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache",
+                           "imagetranslate_tpu_xla")
 
-def force_enable() -> bool:
-    """Mark the persistent compilation cache usable regardless of the
-    backend's platform name. Returns True if the latch was set. Must run
-    before the first jit compile of the process (later calls are no-ops
-    because jax caches the decision at first use)."""
-    try:
-        from jax._src import compilation_cache as cc
 
-        # Attribute assignment can't fail, so verify the latch variables
-        # actually exist — a jax rename would otherwise create orphan
-        # attributes and falsely report success.
-        if not (hasattr(cc, "_cache_checked") and hasattr(cc, "_cache_used")
-                and hasattr(cc, "_cache_initialized_mutex")):
-            raise AttributeError(
-                "compilation_cache latch variables not found")
-        with cc._cache_initialized_mutex:
-            cc._cache_checked = True
-            cc._cache_used = True
-        return True
-    except Exception as e:  # jax internals moved — degrade to default
-        logger.warning("could not force-enable the XLA persistent cache "
-                       "(jax internals changed?): %s", e)
-        return False
+def enable_persistent_cache(path: Optional[str] = None) -> str:
+    """Point jax's persistent compilation cache at `path` via runtime
+    config (immune to the env-var capture-timing trap above). Honors an
+    explicit argument over $JAX_COMPILATION_CACHE_DIR over the package
+    default. Returns the directory in effect."""
+    import jax
+
+    path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or DEFAULT_DIR)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    return path
+
+
+def maybe_enable_from_env() -> Optional[str]:
+    """enable_persistent_cache() iff $JAX_COMPILATION_CACHE_DIR is set —
+    the caller expressed intent through the env var; mirroring it into
+    jax.config makes that intent effective under sitecustomize hosts.
+    Never imports jax otherwise."""
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return enable_persistent_cache()
+    return None
+
+
+def force_enable() -> bool:  # pragma: no cover - compatibility shim
+    """Deprecated round-3 latch, kept so old call sites don't crash:
+    the allowlist gate it patched passes naturally on this jax/backend
+    (see module docstring). Now simply enables the cache."""
+    enable_persistent_cache()
+    return True
 
 
 def maybe_force_enable_from_env() -> bool:
-    """force_enable() iff IMAGETRANSLATE_FORCE_XLA_CACHE=1 is set."""
-    import os
-
+    """Back-compat: IMAGETRANSLATE_FORCE_XLA_CACHE=1 now routes to
+    enable_persistent_cache()."""
     if os.environ.get("IMAGETRANSLATE_FORCE_XLA_CACHE") == "1":
         return force_enable()
     return False

@@ -1,0 +1,68 @@
+"""utils/xla_cache: the runtime-config cache enabler (the env-var path is
+dead under eager-jax-import hosts — see the module docstring; the
+TPU-side cold/warm validation lives in docs/PERF.md round 4)."""
+
+import os
+
+import jax
+
+from imagetranslate_tpu.utils import xla_cache
+
+
+def test_enable_persistent_cache_sets_config(tmp_path, monkeypatch):
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        target = str(tmp_path / "cache")
+        got = xla_cache.enable_persistent_cache(target)
+        assert got == target
+        assert jax.config.jax_compilation_cache_dir == target
+        assert os.path.isdir(target)
+
+        # Env fallback order: explicit arg > env > default.
+        env_dir = str(tmp_path / "envcache")
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", env_dir)
+        assert xla_cache.enable_persistent_cache() == env_dir
+        assert xla_cache.maybe_enable_from_env() == env_dir
+
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+        assert xla_cache.maybe_enable_from_env() is None
+
+        # Back-compat shims still function.
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", env_dir)
+        assert xla_cache.force_enable() is True
+        monkeypatch.setenv("IMAGETRANSLATE_FORCE_XLA_CACHE", "1")
+        assert xla_cache.maybe_force_enable_from_env() is True
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_cache_round_trip_on_cpu(tmp_path):
+    """Entries are written and the second compile of the same program in
+    THIS process hits jax's in-memory layer; the cross-process warm-start
+    is the TPU-validated part (PERF.md). Here we only assert the write
+    side engages through our enabler on the test backend."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    prev = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_sz = jax.config.jax_persistent_cache_min_entry_size_bytes
+    target = str(tmp_path / "cache")
+    try:
+        xla_cache.enable_persistent_cache(target)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+        @jax.jit
+        def probe(x):
+            return (x @ x.T) * 3.0 + jnp.tanh(x[:, :1])
+
+        np.asarray(probe(jnp.ones((17, 5), jnp.float32)))
+        assert any("probe" in f for f in os.listdir(target)), (
+            os.listdir(target))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          prev_sz)
