@@ -40,12 +40,8 @@ class CaptionTrainer:
                  label_smoothing: float = 0.1, mm_mode: Optional[str] = None,
                  mask_prob: float = 0.5, img_size: Optional[int] = None,
                  mesh=None, seed: int = 0):
-        if getattr(cfg, "moe_experts", 0):
-            raise NotImplementedError(
-                "MoE FFNs are wired into the MT/MASS/MLM train steps only; "
-                "the captioning steps do not plumb the load-balance aux "
-                "loss (models/moe.py). Inference on an MoE checkpoint "
-                "works; training does not.")
+        # MoE FFNs train through every caption-family step — the aux loss
+        # is folded in by step._caption_apply_with_aux (tests/test_moe.py).
         # img_size arg overrides cfg; either way the config (and therefore
         # every checkpoint) records the resolution so serving follows it.
         if img_size is not None and img_size != cfg.img_size:

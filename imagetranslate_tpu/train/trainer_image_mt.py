@@ -52,12 +52,10 @@ class ImageMTTrainer(MTTrainer):
                  mesh=None, seed: int = 0, zero: bool = False):
         # Intentionally does not call MTTrainer.__init__: the model and
         # train-state types differ; only the scalar knobs are shared.
-        if getattr(cfg, "moe_experts", 0):
-            raise NotImplementedError(
-                "MoE FFNs are wired into the MT/MASS/MLM train steps only; "
-                "the image-stream caption steps do not plumb the "
-                "load-balance aux loss. Train the text phases with "
-                "cli.train_mt (no --train image stream).")
+        # MoE FFNs: every stream's step factory (caption/MASS/MT/
+        # contrastive) plumbs the load-balance aux loss via
+        # step._caption_apply_with_aux / _apply_with_aux (tests/test_moe.py
+        # caption coverage), so no moe_experts guard is needed here.
         # img_size arg overrides cfg; the config (and every checkpoint)
         # records the resolution so serving follows it (see CaptionTrainer).
         if img_size is not None and img_size != cfg.img_size:

