@@ -16,7 +16,11 @@ def get_parser():
                    help="folder of images")
     p.add_argument("--target", dest="target_lang", required=True)
     p.add_argument("--output", dest="output_path", required=True)
-    p.add_argument("--batch", dest="batch", type=int, default=32)
+    # 192 is the measured serving optimum on v5e for both the plain and
+    # the dual-stream (--obj) caption decode (PERF.md round-3 caption
+    # sweep 2,188 img/s vs 1,636 at 64; round-4 dual B-sweep 46.6k tok/s
+    # at 192 vs 35.7k at 64). The reference used 32 (caption.py:19).
+    p.add_argument("--batch", dest="batch", type=int, default=192)
     p.add_argument("--tok", dest="tokenizer_path", required=True)
     p.add_argument("--model", dest="model_path", required=True)
     p.add_argument("--beam", dest="beam_width", type=int, default=4)
