@@ -144,7 +144,41 @@ assert fetched["local"].shape == src.shape, fetched["local"].shape
 assert fetched["global"].shape == src.shape, fetched["global"].shape
 np.testing.assert_array_equal(fetched["global"], src)
 
+# --- checkpoint save/load round trip under the real 2-process cluster:
+# save_checkpoint runs the multi-host gather (_fetch_global on
+# cross-process params + opt state), rank-0-only write, and the device
+# barrier (checkpoint.py:69-99, commit cf0de4e) — then BOTH ranks load the
+# files back and must see the pre-save values bit-for-bit.
+from imagetranslate_tpu.train.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+)
+
+ckdir = os.path.join(outdir, "ckpt")
+save_checkpoint(ckdir, cfg, g_state.params, opt_state=g_state.opt_state,
+                step=7)
+tmpl = jax.tree.map(np.zeros_like, jax.tree.map(np.asarray, params))
+loaded, _, meta = load_checkpoint(ckdir, tmpl)
+assert meta["step"] == 7, meta
+ref_host = jax.tree.map(np.asarray, params)
+mismatch = jax.tree.leaves(jax.tree.map(
+    lambda a, b: not np.array_equal(a, b), loaded, ref_host))
+assert not any(mismatch), "checkpoint round trip diverged on some leaf"
+
+# --- rank-synced host RNG (cf0de4e): the trainers key their mixed-mode
+# coin / mask_prob draws on the synchronized step counter. Reproduce the
+# derivation for a few steps and ship the draws to the parent, which
+# asserts bit-equality across ranks (an unseeded draw here is exactly the
+# silent-divergence bug the commit fixed).
+import random as _random
+
+draws = []
+for host_step in range(3):
+    host_rnd = _random.Random(0x9E3779B9 ^ (host_step + 1))
+    draws.append(round(host_rnd.uniform(0.5, 1.0), 12))
+    draws.append(round(host_rnd.random(), 12))
+
 with open(os.path.join(outdir, f"rank{rank}.txt"), "w") as w:
-    w.write(f"{loss!r}\t{ntok!r}\t{loss2!r}\t{loss_g!r}\n")
+    w.write(f"{loss!r}\t{ntok!r}\t{loss2!r}\t{loss_g!r}\t{draws!r}\n")
 print(f"rank {rank}: loss={loss:.6f} ntok={ntok} loss2={loss2:.6f} "
-      f"loss_global_put={loss_g:.6f}", flush=True)
+      f"loss_global_put={loss_g:.6f} ckpt_ok=1", flush=True)

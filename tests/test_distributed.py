@@ -72,14 +72,15 @@ def test_two_process_mt_step(tmp_path):
                         f"{out.splitlines()[-1]}")
         assert p.returncode == 0, f"worker failed:\n{out}"
 
-    losses, ntoks, losses2, losses_g = [], [], [], []
+    losses, ntoks, losses2, losses_g, rank_draws = [], [], [], [], []
     for r in range(2):
         with open(tmp_path / f"rank{r}.txt") as f:
-            l, n, l2, lg = f.read().split("\t")
+            l, n, l2, lg, dr = f.read().split("\t")
         losses.append(float(l))
         ntoks.append(float(n))
         losses2.append(float(l2))
         losses_g.append(float(lg))
+        rank_draws.append(dr)
     # Same program over the same global data: both ranks must agree exactly
     # on the psum-reduced loss, on both the first and (post-update) second
     # step.
@@ -92,3 +93,12 @@ def test_two_process_mt_step(tmp_path):
     # put_global) must reproduce the same first-step loss on both ranks.
     np.testing.assert_allclose(losses_g[0], losses[0], rtol=1e-6)
     np.testing.assert_allclose(losses_g[1], losses[1], rtol=1e-6)
+    # Rank-synced host RNG (cf0de4e): the step-keyed draws the trainers use
+    # for mixed-mode coins / mask_prob must be bit-identical across ranks.
+    assert rank_draws[0] == rank_draws[1], (rank_draws[0], rank_draws[1])
+    # Checkpoint round trip ran inside the cluster (gather + rank0 write +
+    # barrier + both-rank load): workers assert content equality and print
+    # the marker; files must exist where rank 0 wrote them.
+    assert all("ckpt_ok=1" in o for o in outs)
+    assert (tmp_path / "ckpt" / "params.msgpack").exists()
+    assert (tmp_path / "ckpt" / "opt_state.msgpack").exists()
