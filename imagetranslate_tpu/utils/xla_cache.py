@@ -36,13 +36,29 @@ def enable_persistent_cache(path: Optional[str] = None) -> str:
     """Point jax's persistent compilation cache at `path` via runtime
     config (immune to the env-var capture-timing trap above). Honors an
     explicit argument over $JAX_COMPILATION_CACHE_DIR over the package
-    default. Returns the directory in effect."""
+    default. Returns the directory in effect.
+
+    jax latches BOTH the one-shot "is the cache used" decision and the
+    cache OBJECT (pinned to whatever dir was configured at the process's
+    first compile) — so on a process that already compiled anything, a
+    config update alone silently writes nowhere, or to the OLD directory
+    (caught by the full-suite ordering of tests/test_xla_cache.py).
+    reset_cache() clears both; the next compile re-evaluates against the
+    current config. Resetting an already-correct cache only drops its
+    in-memory handle, which jax rebuilds on the next compile."""
     import jax
 
     path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
             or DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
+    try:
+        from jax._src import compilation_cache as cc
+
+        cc.reset_cache()
+    except Exception as e:  # jax internals moved — config update stands
+        logger.warning("could not reset the XLA cache latch (jax internals "
+                       "changed?): %s", e)
     return path
 
 

@@ -36,6 +36,53 @@ def test_enable_persistent_cache_sets_config(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", prev)
 
 
+def test_enable_after_prior_compiles_redirects_cache(tmp_path):
+    """jax pins the cache OBJECT to whatever dir was configured at the
+    process's first compile; enable_persistent_cache must reset it so a
+    later redirect actually lands in the new directory (caught by
+    full-suite ordering: hundreds of compiles precede this module)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jax._src import compilation_cache as cc
+
+    prev = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_sz = jax.config.jax_persistent_cache_min_entry_size_bytes
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        dir_a = str(tmp_path / "a")
+        dir_b = str(tmp_path / "b")
+        xla_cache.enable_persistent_cache(dir_a)
+
+        @jax.jit
+        def pin_probe(x):
+            return x * 2.0 + 1.0
+
+        np.asarray(pin_probe(jnp.ones((4,), jnp.float32)))
+        assert any("pin_probe" in f for f in os.listdir(dir_a))
+
+        # The cache object is now pinned to dir_a; a redirect must land
+        # new entries in dir_b, not silently keep writing to dir_a.
+        xla_cache.enable_persistent_cache(dir_b)
+
+        @jax.jit
+        def late_probe(x):
+            return (x @ x.T) * 0.5 + jnp.cos(x[:, :1])
+
+        np.asarray(late_probe(jnp.ones((13, 7), jnp.float32)))
+        assert any("late_probe" in f for f in os.listdir(dir_b)), (
+            os.listdir(dir_b), os.listdir(dir_a))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          prev_sz)
+        cc.reset_cache()
+
+
 def test_cache_round_trip_on_cpu(tmp_path):
     """Entries are written and the second compile of the same program in
     THIS process hits jax's in-memory layer; the cross-process warm-start
