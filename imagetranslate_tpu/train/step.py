@@ -269,10 +269,13 @@ def make_sensim_train_step(model, optimizer, donate: bool = True) -> Callable:
     """SenSim InfoNCE step (train_txt_sim.py:40-80); batch carries the
     parallel pair plus negative pools."""
 
+    moe_w = _moe_weight(model)
+
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         def loss_fn(params):
-            loss = model.apply(
-                params, batch["src"], batch["src_mask"], batch["src_langs"],
+            loss, aux = _apply_with_aux(
+                model, params, batch["src"], batch["src_mask"],
+                batch["src_langs"],
                 batch["dst"], batch["dst_mask"], batch["dst_langs"],
                 batch.get("src_neg"), batch.get("src_neg_mask"),
                 batch.get("src_neg_langs"), batch.get("tgt_neg"),
@@ -281,6 +284,7 @@ def make_sensim_train_step(model, optimizer, donate: bool = True) -> Callable:
                 row_mask=batch.get("row_mask"),
                 src_neg_row_mask=batch.get("src_neg_row_mask"),
                 tgt_neg_row_mask=batch.get("tgt_neg_row_mask"))
+            loss = loss + moe_w * aux
             return loss, loss
 
         (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -301,17 +305,20 @@ def make_caption2image_train_step(c2i_model, optimizer,
     embeddings (train_txt2image.py:62-68). batch["target_grid"] is
     precomputed by the frozen captioner outside this step."""
 
+    moe_w = _moe_weight(c2i_model)
+
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         def loss_fn(params):
-            grid = c2i_model.apply(params, batch["src"], batch["src_mask"],
-                                   batch["src_langs"], deterministic=False,
-                                   rngs={"dropout": rng})
+            grid, aux = _apply_with_aux(
+                c2i_model, params, batch["src"], batch["src_mask"],
+                batch["src_langs"], deterministic=False,
+                rngs={"dropout": rng})
             target = jax.lax.stop_gradient(
                 batch["target_grid"].astype(jnp.float32))
             err = (grid - target) ** 2
             per_row = jnp.sum(err, axis=(1, 2))
             loss = jnp.sum(per_row * batch["row_mask"]) / jnp.maximum(
-                jnp.sum(batch["row_mask"]), 1.0)
+                jnp.sum(batch["row_mask"]), 1.0) + moe_w * aux
             return loss, loss
 
         (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(

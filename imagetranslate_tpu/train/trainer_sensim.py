@@ -28,10 +28,8 @@ class SenSimTrainer:
     def __init__(self, cfg: Seq2SeqConfig, tp: TextProcessor,
                  lr: float = 1e-4, warmup: int = 4000, clip: float = 1.0,
                  mesh=None, seed: int = 0):
-        if getattr(cfg, "moe_experts", 0):
-            raise NotImplementedError(
-                "MoE FFNs are wired into the MT/MASS/MLM train steps only; "
-                "the SenSim step does not plumb the load-balance aux loss.")
+        # MoE FFNs train here too: the step folds the load-balance aux
+        # loss via step._apply_with_aux (tests/test_moe.py).
         self.cfg = cfg
         self.mesh = mesh
         self.tp = tp

@@ -28,11 +28,8 @@ class Caption2ImageTrainer:
                  caption_model: ImageSeq2Seq, caption_variables,
                  lr: float = 1e-4, warmup: int = 4000, clip: float = 1.0,
                  mesh=None, seed: int = 0):
-        if getattr(cfg, "moe_experts", 0):
-            raise NotImplementedError(
-                "MoE FFNs are wired into the MT/MASS/MLM train steps only; "
-                "the Caption2Image step does not plumb the load-balance "
-                "aux loss.")
+        # MoE FFNs train here too: the step folds the load-balance aux
+        # loss via step._apply_with_aux (tests/test_moe.py).
         self.cfg = cfg
         self.tp = tp
         self.model = Caption2Image(cfg)

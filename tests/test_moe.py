@@ -253,6 +253,56 @@ def test_unwired_workloads_refuse_moe():
         MTTrainer(cfg, tp=None, mesh=make_mesh(4, 2), pp_microbatches=2)
 
 
+def test_moe_sensim_and_caption2image_steps_train_with_aux():
+    """Round 4 also lifted the SenSim / Caption2Image guards: both steps
+    fold the aux loss through _apply_with_aux and train finitely on MoE
+    configs."""
+    from imagetranslate_tpu.models.caption2image import (
+        GRID_SLOTS,
+        Caption2Image,
+    )
+    from imagetranslate_tpu.models.sensim import SenSim
+    from imagetranslate_tpu.train.step import (
+        _apply_with_aux,
+        create_train_state,
+        make_caption2image_train_step,
+        make_sensim_train_step,
+    )
+
+    cfg = _cfg()
+    r = np.random.RandomState(1)
+    B, S = 8, 10
+    src = jnp.asarray(r.randint(5, cfg.vocab_size, (B, S)))
+    mask = jnp.ones((B, S), bool)
+    langs = jnp.zeros((B,), jnp.int32)
+    optimizer = build_optimizer(lr=2e-3)
+
+    ss = SenSim(cfg)
+    ss_params = ss.init(jax.random.PRNGKey(0), src, mask, langs, src, mask,
+                        langs)
+    _, aux = _apply_with_aux(ss, ss_params, src, mask, langs, src, mask,
+                             langs)
+    assert float(aux) > 0.0
+    ss_state = create_train_state(ss_params, optimizer)
+    ss_step = make_sensim_train_step(ss, optimizer, donate=False)
+    ss_batch = {"src": src, "src_mask": mask, "src_langs": langs,
+                "dst": src, "dst_mask": mask, "dst_langs": langs,
+                "row_mask": jnp.ones((B,), bool)}
+    ss_state, sm = ss_step(ss_state, ss_batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(sm["sum_loss"]))
+
+    c2i = Caption2Image(cfg)
+    c2i_params = c2i.init(jax.random.PRNGKey(2), src, mask, langs)
+    c2i_state = create_train_state(c2i_params, optimizer)
+    c2i_step = make_caption2image_train_step(c2i, optimizer, donate=False)
+    c2i_batch = {"src": src, "src_mask": mask, "src_langs": langs,
+                 "target_grid": jnp.asarray(
+                     r.randn(B, GRID_SLOTS, cfg.hidden_size), jnp.float32),
+                 "row_mask": jnp.ones((B,), bool)}
+    c2i_state, cm = c2i_step(c2i_state, c2i_batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(cm["sum_loss"]))
+
+
 def test_moe_caption_step_trains_with_aux():
     """The captioning train step routes through MoE FFNs with the
     load-balance aux loss engaged (lifted trainer guard, VERDICT r3 weak
