@@ -92,6 +92,12 @@ int rec_writer_close(RecWriter* w) {
   fwrite(&n_records, 8, 1, out);
   fwrite(w->offsets.data(), 8, w->offsets.size(), out);
   FILE* in = fopen(w->tmp_path.c_str(), "rb");
+  if (!in) {  // tmp vanished underneath us (external cleanup)
+    fclose(out);
+    remove(w->path.c_str());
+    delete w;
+    return -1;
+  }
   std::vector<char> buf(1 << 20);
   size_t k;
   while ((k = fread(buf.data(), 1, buf.size(), in)) > 0)
@@ -114,6 +120,12 @@ struct RecReader {
   const int32_t* data;
 };
 
+// Opening VALIDATES the whole header + index against the mapped size: a
+// truncated or bit-flipped file (valid magic, bogus N/F, non-monotonic
+// or out-of-range offsets) must surface as a clean refusal (nullptr ->
+// OSError in Python, where the loaders fall back / report the path), not
+// as a segfault in the middle of an epoch. The monotonic index scan is a
+// one-time sequential read of 8 bytes/field — page-cache speed.
 RecReader* rec_open(const char* path) {
   int fd = open(path, O_RDONLY);
   if (fd < 0) return nullptr;
@@ -126,17 +138,36 @@ RecReader* rec_open(const char* path) {
   close(fd);
   if (m == MAP_FAILED) return nullptr;
   const char* p = (const char*)m;
-  if (memcmp(p, "ITR1", 4) != 0) {
+  uint32_t F;
+  uint64_t N;
+  memcpy(&F, p + 4, 4);
+  memcpy(&N, p + 8, 8);
+  const uint64_t size = (uint64_t)st.st_size;
+  bool ok = memcmp(p, "ITR1", 4) == 0 && F > 0;
+  // Overflow-safe: need 8*(N*F + 1) <= size - 16.
+  const uint64_t max_fields = (size - 16) / 8;  // >= N*F + 1 required
+  if (ok) ok = max_fields >= 1 && N <= (max_fields - 1) / F;
+  uint64_t nf = ok ? N * (uint64_t)F : 0;
+  const uint64_t* index = (const uint64_t*)(p + 16);
+  if (ok) {
+    const uint64_t data_bytes = size - 16 - 8 * (nf + 1);
+    const uint64_t data_elems = data_bytes / sizeof(int32_t);
+    ok = index[0] == 0 && index[nf] <= data_elems;
+    for (uint64_t k = 0; ok && k < nf; k++) {
+      if (index[k + 1] < index[k]) ok = false;
+    }
+  }
+  if (!ok) {
     munmap(m, st.st_size);
     return nullptr;
   }
   RecReader* r = new RecReader();
   r->map = m;
   r->size = st.st_size;
-  memcpy(&r->F, p + 4, 4);
-  memcpy(&r->N, p + 8, 8);
-  r->index = (const uint64_t*)(p + 16);
-  r->data = (const int32_t*)(p + 16 + 8 * (r->N * (uint64_t)r->F + 1));
+  r->F = F;
+  r->N = N;
+  r->index = index;
+  r->data = (const int32_t*)(p + 16 + 8 * (nf + 1));
   return r;
 }
 

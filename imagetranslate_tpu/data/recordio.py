@@ -196,8 +196,23 @@ class PackedReader:
                 raise OSError(f"not an ITR1 file: {path}")
             self.n_fields = int(self._mm[4:8].view(np.uint32)[0])
             self.n_records = int(self._mm[8:16].view(np.uint64)[0])
+            # Same validation the native reader performs (rec_open): a
+            # truncated/bit-flipped file must refuse cleanly here, not
+            # IndexError mid-epoch.
+            size = self._mm.size
+            if self.n_fields <= 0 or size < 16:
+                raise OSError(f"corrupt ITR1 header: {path}")
+            max_fields = (size - 16) // 8
+            if max_fields < 1 or \
+                    self.n_records > (max_fields - 1) // self.n_fields:
+                raise OSError(f"corrupt ITR1 (index exceeds file): {path}")
             n_idx = self.n_records * self.n_fields + 1
             self._index = self._mm[16:16 + 8 * n_idx].view(np.uint64)
+            data_elems = (size - 16 - 8 * n_idx) // 4
+            if int(self._index[0]) != 0 or \
+                    int(self._index[-1]) > data_elems or \
+                    bool(np.any(np.diff(self._index.astype(np.int64)) < 0)):
+                raise OSError(f"corrupt ITR1 (bad offset index): {path}")
             self._data = self._mm[16 + 8 * n_idx:].view(np.int32)
 
     def __len__(self):

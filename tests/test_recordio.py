@@ -220,3 +220,60 @@ def test_empty_fields_ok(tmp_path):
     assert r.field(0, 0).size == 0
     assert r.field(1, 0).tolist() == [1]
     assert r.scalars(1).tolist() == [7, 8]
+
+
+# ---------------------------------------------------------------- corruption
+
+def _corruptions(tmp_path):
+    """Yield (name, path) corrupt ITR1 variants built from a valid file."""
+    good = tmp_path / "good.itr"
+    write_sample(good)
+    blob = bytearray(good.read_bytes())
+
+    def variant(name, mutate):
+        b = bytearray(blob)
+        mutate(b)
+        p = tmp_path / f"{name}.itr"
+        p.write_bytes(bytes(b))
+        return name, p
+
+    def set_u64(b, off, v):
+        b[off:off + 8] = np.uint64(v).tobytes()
+
+    yield variant("huge_n", lambda b: set_u64(b, 8, 2 ** 48))
+    yield variant("overflow_nf", lambda b: set_u64(b, 8, 2 ** 62))
+    yield variant("zero_fields", lambda b: b.__setitem__(
+        slice(4, 8), np.uint32(0).tobytes()))
+    yield variant("truncated", lambda b: b.__delitem__(
+        slice(len(b) // 2, len(b))))
+    # Non-monotonic index: swap two index entries.
+    def swap_index(b):
+        a = b[16 + 8:16 + 16]
+        b[16 + 8:16 + 16] = b[16 + 16:16 + 24]
+        b[16 + 16:16 + 24] = a
+        # Make sure the swap actually broke monotonicity (index entries
+        # differ for this sample data).
+    yield variant("nonmonotonic", swap_index)
+    # Offset past the data region.
+    def oob_offset(b):
+        set_u64(b, 16 + 8, 2 ** 40)
+    yield variant("oob_offset", oob_offset)
+
+
+def test_corrupt_files_refuse_cleanly_native(tmp_path):
+    """A truncated/bit-flipped packed file must raise OSError at open —
+    never segfault or IndexError mid-epoch (the native reader validates
+    header + full index monotonicity on open, recordio.cpp::rec_open)."""
+    if rio.get_lib() is None:
+        pytest.skip("native recordio unavailable")
+    for name, p in _corruptions(tmp_path):
+        with pytest.raises(OSError, match="ITR1"):
+            PackedReader(str(p))
+
+
+def test_corrupt_files_refuse_cleanly_fallback(tmp_path, monkeypatch):
+    monkeypatch.setattr(rio, "_lib", None)
+    monkeypatch.setattr(rio, "_lib_tried", True)
+    for name, p in _corruptions(tmp_path):
+        with pytest.raises(OSError, match="ITR1"):
+            PackedReader(str(p))
