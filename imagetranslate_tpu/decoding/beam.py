@@ -376,8 +376,14 @@ def _beam_search_windowed(model, params, enc_states, src_mask, first_tokens,
 # decode semantics (consolidation is math-transparent; bf16 rounding can
 # flip exact near-ties, same class as any program-shape change).
 _TUNED_WINDOW = {
-    (192, 88): 36,   # flagship MT serving decode (S=64 -> L=88)
-    (192, 32): 18,   # captioning 32-token budget: 2,143 img/s vs 1,978 auto
+    (192, 88): 36,   # flagship MT serving decode (S=64 -> L=88). W=87
+                     # (single segment, no consolidation) collapses to
+                     # 10.7k tok/s — consolidation is load-bearing at L=88.
+    # Captioning 32-token budget: at short L the optimum is W = L-1 —
+    # ONE segment, zero consolidation folds (round-4 sweep: single-stream
+    # 84.0k tok/s vs 78.8k at the old tuned 18; dual-stream 54.8k vs 46.0k
+    # at auto W=27). Applies to both beam_search and beam_search_dual.
+    (192, 32): 31,
 }
 
 
@@ -705,7 +711,10 @@ def beam_search_dual(
             and windowed_init_method is not None):
         W = window
         if W is None:
-            W = max(8, min(64, int(round(4.7 * L ** 0.5))))
+            # Same measured-point table as beam_search (the dual window
+            # landscape tracks the single-stream one at the caption shape).
+            W = _TUNED_WINDOW.get(
+                (B, L), max(8, min(64, int(round(4.7 * L ** 0.5)))))
         W = min(W, max(1, L - 1))
         cbt = pad_bias(text_mask)
         cbi = (pad_bias(jnp.ones(grid.shape[:2], bool)) if grid_mask is None
