@@ -380,10 +380,14 @@ _TUNED_WINDOW = {
                      # (single segment, no consolidation) collapses to
                      # 10.7k tok/s — consolidation is load-bearing at L=88.
     # Captioning 32-token budget: at short L the optimum is W = L-1 —
-    # ONE segment, zero consolidation folds (round-4 sweep: single-stream
-    # 84.0k tok/s vs 78.8k at the old tuned 18; dual-stream 54.8k vs 46.0k
-    # at auto W=27). Applies to both beam_search and beam_search_dual.
+    # ONE segment, zero consolidation folds — at EVERY measured batch
+    # (round-4 sweeps, tok/s vs the auto/old window): B=64 71.1k vs 61.8k,
+    # B=192 84.0k vs 78.8k (old tuned 18), B=256 76.3k vs 67.9k;
+    # dual-stream at B=192 54.8k vs 46.0k (B=256 dual 44.2k — 192 stays
+    # the dual serving batch). Applies to beam_search and beam_search_dual.
+    (64, 32): 31,
     (192, 32): 31,
+    (256, 32): 31,
 }
 
 
