@@ -45,13 +45,30 @@ def enable_persistent_cache(path: Optional[str] = None) -> str:
     (caught by the full-suite ordering of tests/test_xla_cache.py).
     reset_cache() clears both; the next compile re-evaluates against the
     current config. Resetting an already-correct cache only drops its
-    in-memory handle, which jax rebuilds on the next compile."""
+    in-memory handle, which jax rebuilds on the next compile.
+
+    The directory is PARTITIONED by the process's platform profile
+    (`jax.config.jax_platforms`, read without initializing a backend):
+    jax's cache key does not capture the CPU target-feature set, and CPU
+    executables compiled in a TPU-plugin process ("axon,cpu") loaded into
+    a pure-CPU process ("cpu") carry mismatched feature profiles — the
+    loader warns about SIGILL, and in practice a poisoned 8-device
+    collective DEADLOCKED the test suite in an XLA CHECK failure
+    (xla::cpu::InProcessCommunicator::AllReduce rendezvous timeout).
+    Same-profile processes still share entries, which is the case that
+    pays (TPU bench/CLI reruns)."""
     import jax
 
-    path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    base = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
             or DEFAULT_DIR)
-    os.makedirs(path, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", path)
+    try:
+        plats = jax.config.jax_platforms
+    except Exception:
+        plats = None
+    tag = (plats or "default").replace(",", "-").replace("/", "_")
+    full = os.path.join(base, tag)
+    os.makedirs(full, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", full)
     try:
         from jax._src import compilation_cache as cc
 
@@ -59,7 +76,7 @@ def enable_persistent_cache(path: Optional[str] = None) -> str:
     except Exception as e:  # jax internals moved — config update stands
         logger.warning("could not reset the XLA cache latch (jax internals "
                        "changed?): %s", e)
-    return path
+    return full
 
 
 def maybe_enable_from_env() -> Optional[str]:

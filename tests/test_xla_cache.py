@@ -14,15 +14,20 @@ def test_enable_persistent_cache_sets_config(tmp_path, monkeypatch):
     try:
         target = str(tmp_path / "cache")
         got = xla_cache.enable_persistent_cache(target)
-        assert got == target
-        assert jax.config.jax_compilation_cache_dir == target
-        assert os.path.isdir(target)
+        # The dir is partitioned by the platform profile (see module
+        # docstring: cross-profile CPU AOT entries poisoned an 8-device
+        # collective). Under pytest the profile is "cpu".
+        assert got == os.path.join(target, "cpu")
+        assert jax.config.jax_compilation_cache_dir == got
+        assert os.path.isdir(got)
 
         # Env fallback order: explicit arg > env > default.
         env_dir = str(tmp_path / "envcache")
         monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", env_dir)
-        assert xla_cache.enable_persistent_cache() == env_dir
-        assert xla_cache.maybe_enable_from_env() == env_dir
+        assert xla_cache.enable_persistent_cache() == \
+            os.path.join(env_dir, "cpu")
+        assert xla_cache.maybe_enable_from_env() == \
+            os.path.join(env_dir, "cpu")
 
         monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
         assert xla_cache.maybe_enable_from_env() is None
@@ -52,9 +57,8 @@ def test_enable_after_prior_compiles_redirects_cache(tmp_path):
     try:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        dir_a = str(tmp_path / "a")
+        dir_a = xla_cache.enable_persistent_cache(str(tmp_path / "a"))
         dir_b = str(tmp_path / "b")
-        xla_cache.enable_persistent_cache(dir_a)
 
         @jax.jit
         def pin_probe(x):
@@ -65,7 +69,7 @@ def test_enable_after_prior_compiles_redirects_cache(tmp_path):
 
         # The cache object is now pinned to dir_a; a redirect must land
         # new entries in dir_b, not silently keep writing to dir_a.
-        xla_cache.enable_persistent_cache(dir_b)
+        dir_b = xla_cache.enable_persistent_cache(dir_b)
 
         @jax.jit
         def late_probe(x):
@@ -94,9 +98,8 @@ def test_cache_round_trip_on_cpu(tmp_path):
     prev = jax.config.jax_compilation_cache_dir
     prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     prev_sz = jax.config.jax_persistent_cache_min_entry_size_bytes
-    target = str(tmp_path / "cache")
     try:
-        xla_cache.enable_persistent_cache(target)
+        target = xla_cache.enable_persistent_cache(str(tmp_path / "cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
