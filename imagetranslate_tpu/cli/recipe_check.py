@@ -210,12 +210,18 @@ def run_umt(options, tp, results):
 
     # BT quality signal: the sample corpus is PARALLEL (fa.txt/en.txt line
     # aligned, README.md:169-186 uses it for the UMT recipe), so a held-out
-    # head slice is a real fa->en dev set. Forced-decode NLL on it is the
+    # slice is a real fa->en dev set. Forced-decode NLL on it is the
     # quality metric — far more sensitive than BLEU at sample scale, and it
     # can fail: a BT phase that degenerates (e.g. copies its input) does
-    # not reduce translation NLL.
+    # not reduce translation NLL. The slice starts BEYOND the 2000-line
+    # mono head used for the MASS/BT shards above (ADVICE r4: a head slice
+    # was in-training-distribution, making the gate optimistic). Measured
+    # margins per run live in RECIPES.md (round 4, in-distribution slice:
+    # 7.83 -> 7.05, ~39x the 0.02 threshold; round 5 rows use this
+    # held-out slice).
     from imagetranslate_tpu.data.loader import MTBatcher
 
+    _MONO_HEAD = 2000
     bt_dev_bin = os.path.join(wd, "btdev.mt")
     dev_fa2, dev_en2 = os.path.join(wd, "btdev.fa"), os.path.join(
         wd, "btdev.en")
@@ -223,7 +229,9 @@ def run_umt(options, tp, results):
         with open(os.path.join(options.sample_dir, f"{lang}.txt")) as r, \
                 open(path, "w") as w:
             for i, line in enumerate(r):
-                if i >= min(options.dev_size, 128):
+                if i < _MONO_HEAD:
+                    continue
+                if i >= _MONO_HEAD + min(options.dev_size, 128):
                     break
                 w.write(line)
     write_mt(tp, bt_dev_bin, dev_fa2, tp.token_id("<fa>"), dev_en2,

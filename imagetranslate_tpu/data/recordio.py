@@ -192,15 +192,18 @@ class PackedReader:
         else:
             self._h = None
             self._mm = np.memmap(path, np.uint8, "r")
-            if bytes(self._mm[:4].tobytes()) != MAGIC:
+            # Same validation order as the native reader (rec_open checks
+            # st_size < 16 before touching header fields): a file with a
+            # valid magic but a truncated 8-15 byte header must refuse
+            # with OSError, not ValueError from a short .view().
+            size = self._mm.size
+            if size < 16 or bytes(self._mm[:4].tobytes()) != MAGIC:
                 raise OSError(f"not an ITR1 file: {path}")
             self.n_fields = int(self._mm[4:8].view(np.uint32)[0])
             self.n_records = int(self._mm[8:16].view(np.uint64)[0])
-            # Same validation the native reader performs (rec_open): a
-            # truncated/bit-flipped file must refuse cleanly here, not
+            # A truncated/bit-flipped file must refuse cleanly here, not
             # IndexError mid-epoch.
-            size = self._mm.size
-            if self.n_fields <= 0 or size < 16:
+            if self.n_fields <= 0:
                 raise OSError(f"corrupt ITR1 header: {path}")
             max_fields = (size - 16) // 8
             if max_fields < 1 or \

@@ -1,4 +1,4 @@
-"""Persistent-XLA-cache enablement that works under eager-jax-import hosts.
+"""Persistent-XLA-cache enablement that is safe by construction.
 
 Round-3 shipped a ``force_enable()`` latch for jax's platform-allowlist
 gate, flagged "NOT yet validated". Round-4 validation on the axon TPU found
@@ -18,12 +18,61 @@ the premise obsolete and the real bug elsewhere:
 ``jax.config.update``, valid at any point before (or even after) the first
 compile. Measured on the axon TPU: cold 1.97 s -> warm 0.62 s on a small
 probe program, entries written and reloaded across processes.
+
+Why the directory is PARTITIONED by a full profile fingerprint
+--------------------------------------------------------------
+
+jax's cache key covers the HLO + compile options but NOT several inputs
+that change what executable those produce or whether it can run here.
+Two poisoning incidents, both root-caused on this repo:
+
+* round 4 (cross-profile): CPU executables compiled inside a TPU-plugin
+  process ("axon,cpu") loaded into a pure-CPU process ("cpu") carried
+  mismatched feature profiles; a poisoned 8-device collective deadlocked
+  the suite (InProcessCommunicator::AllReduce rendezvous timeout). Fixed
+  then by partitioning on ``jax_platforms`` — necessary, not sufficient.
+* round 5 (same-profile, cross-HOST): sessions run on a heterogeneous
+  fleet sharing this home directory. An entry compiled on a host whose
+  LLVM target added ``+prefer-no-scatter,+prefer-no-gather`` (microcode-
+  dependent tuning) hash-matched on a host whose XLA emits neither.
+  ``cpu_aot_loader.cc`` only WARNS on the machine-type mismatch and loads
+  anyway; executing the loaded 8-device SPMD train step then lost a
+  collective participant (3 of 4 reached the all-reduce rendezvous) and
+  XLA's 40 s rendezvous termination LOG(FATAL)'d the whole process —
+  ``tests/test_pipeline.py::test_pp_trainer_bt_smoke`` SIGABRTed 4/4,
+  killing pytest itself. Post-mortem: docs/PERF.md round 5.
+
+A bad entry aborts the process from a ThunkExecutor worker thread — there
+is nothing to catch in Python — so the only recovery story is PREVENTION:
+every machine-dependent compilation input that jax does not key must live
+in the partition path instead. The partition tag therefore fingerprints:
+
+- ``jax_platforms``  (round-4 vector),
+- jax + jaxlib versions (serialized-executable format compatibility),
+- host CPU identity: model name, microcode revision, feature flags from
+  /proc/cpuinfo (round-5 vector — microcode drives LLVM tuning features),
+- device topology: ``--xla_force_host_platform_device_count`` and the
+  multi-process cluster size (collective thunks bake in the topology),
+- the full ``XLA_FLAGS`` string (any codegen-affecting flag not captured
+  by CompileOptions),
+- a schema version, so future layout changes orphan rather than reuse.
+
+Partitions carry a ``PROFILE.json`` marker with the raw profile; on
+enable, a marker that disagrees with the current profile wipes the
+partition (belt-and-braces against hash collisions or hand-copied
+entries). Legacy layouts — bare ``*-cache`` files in the cache root and
+pre-schema partition dirs like ``cpu/`` — are purged on enable: they are
+exactly the entries that can no longer be trusted, and it is a cache.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import logging
 import os
+import re
+import shutil
 from typing import Optional
 
 logger = logging.getLogger(__name__)
@@ -31,12 +80,132 @@ logger = logging.getLogger(__name__)
 DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache",
                            "imagetranslate_tpu_xla")
 
+# Bump whenever the partition layout or fingerprint inputs change: old
+# partitions become unreachable (and are GC'd as legacy) instead of being
+# reinterpreted.
+SCHEMA_VERSION = 2
+
+_MARKER = "PROFILE.json"
+_SCHEMA_RE = re.compile(r"-v\d+-[0-9a-f]{12}$")
+
+
+def _read_cpuinfo() -> dict:
+    """Host CPU identity as it affects XLA:CPU codegen: model, microcode
+    (drives LLVM tuning features like prefer-no-gather — the round-5
+    poisoning vector), and the feature-flag set. Best-effort on
+    non-/proc platforms."""
+    info = {"model": "", "microcode": "", "flags": ""}
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if ":" not in line:
+                    continue
+                key, _, val = line.partition(":")
+                key, val = key.strip(), val.strip()
+                if key == "model name" and not info["model"]:
+                    info["model"] = val
+                elif key == "microcode" and not info["microcode"]:
+                    info["microcode"] = val
+                elif key == "flags" and not info["flags"]:
+                    info["flags"] = " ".join(sorted(val.split()))
+                if all(info.values()):
+                    break
+    except OSError:
+        import platform
+
+        info["model"] = platform.processor() or platform.machine()
+    return info
+
+
+def current_profile() -> dict:
+    """Every compilation-affecting input jax's cache key does NOT cover.
+    Pure read — never initializes a jax backend."""
+    import jax
+    import jaxlib
+
+    try:
+        plats = jax.config.jax_platforms
+    except Exception:
+        plats = None
+    cpu = _read_cpuinfo()
+    return {
+        "schema": SCHEMA_VERSION,
+        "platforms": plats or "default",
+        "jax": getattr(jax, "__version__", "?"),
+        "jaxlib": getattr(jaxlib, "__version__", "?"),
+        "cpu_model": cpu["model"],
+        "cpu_microcode": cpu["microcode"],
+        "cpu_flags_sha": hashlib.sha256(
+            cpu["flags"].encode()).hexdigest()[:16],
+        "xla_flags": os.environ.get("XLA_FLAGS", ""),
+        "num_processes": os.environ.get("JAX_NUM_PROCESSES", ""),
+    }
+
+
+def partition_tag(profile: Optional[dict] = None) -> str:
+    """Human-scannable prefix + schema version + fingerprint hash."""
+    prof = profile if profile is not None else current_profile()
+    plat = prof["platforms"].replace(",", "-").replace("/", "_")
+    digest = hashlib.sha256(
+        json.dumps(prof, sort_keys=True).encode()).hexdigest()[:12]
+    return f"{plat}-v{prof['schema']}-{digest}"
+
+
+def _purge_legacy(base: str) -> None:
+    """Remove cache state the current schema cannot vouch for: bare
+    ``*-cache`` files in the root (pre-partition era) and partition dirs
+    without the ``-vN-<hash>`` schema suffix (the round-4 ``cpu/`` /
+    ``axon-cpu/`` layout — where the round-5 cross-host poisoning lived).
+    Purging a compilation cache is always safe; the cost is a recompile."""
+    try:
+        names = os.listdir(base)
+    except OSError:
+        return
+    for name in names:
+        full = os.path.join(base, name)
+        try:
+            if os.path.isfile(full) and name.endswith("-cache"):
+                os.unlink(full)
+                logger.info("purged legacy cache entry %s", name)
+            elif os.path.isdir(full) and not _SCHEMA_RE.search(name):
+                shutil.rmtree(full, ignore_errors=True)
+                logger.info("purged legacy cache partition %s/", name)
+        except OSError as e:  # shared-FS races are non-fatal
+            logger.warning("could not purge legacy cache %s: %s", name, e)
+
+
+def _check_marker(partition: str, profile: dict) -> None:
+    """Wipe the partition if its PROFILE.json disagrees with the current
+    profile (hash collision or hand-copied entries); (re)write it."""
+    marker = os.path.join(partition, _MARKER)
+    try:
+        with open(marker) as fh:
+            prior = json.load(fh)
+        if prior != profile:
+            logger.warning(
+                "cache partition %s carries a foreign profile — wiping "
+                "(prior %s vs current %s)", partition, prior, profile)
+            shutil.rmtree(partition, ignore_errors=True)
+    except FileNotFoundError:
+        pass
+    except (OSError, json.JSONDecodeError):
+        shutil.rmtree(partition, ignore_errors=True)
+    os.makedirs(partition, exist_ok=True)
+    tmp = marker + f".tmp.{os.getpid()}"
+    try:
+        with open(tmp, "w") as fh:
+            json.dump(profile, fh, sort_keys=True, indent=1)
+        os.replace(tmp, marker)
+    except OSError as e:
+        logger.warning("could not write cache marker %s: %s", marker, e)
+
 
 def enable_persistent_cache(path: Optional[str] = None) -> str:
-    """Point jax's persistent compilation cache at `path` via runtime
-    config (immune to the env-var capture-timing trap above). Honors an
-    explicit argument over $JAX_COMPILATION_CACHE_DIR over the package
-    default. Returns the directory in effect.
+    """Point jax's persistent compilation cache at a profile-partitioned
+    subdirectory of `path` via runtime config (immune to the env-var
+    capture-timing trap above). Honors an explicit argument over
+    $JAX_COMPILATION_CACHE_DIR over the package default. Returns the
+    partition directory in effect.
 
     jax latches BOTH the one-shot "is the cache used" decision and the
     cache OBJECT (pinned to whatever dir was configured at the process's
@@ -45,29 +214,16 @@ def enable_persistent_cache(path: Optional[str] = None) -> str:
     (caught by the full-suite ordering of tests/test_xla_cache.py).
     reset_cache() clears both; the next compile re-evaluates against the
     current config. Resetting an already-correct cache only drops its
-    in-memory handle, which jax rebuilds on the next compile.
-
-    The directory is PARTITIONED by the process's platform profile
-    (`jax.config.jax_platforms`, read without initializing a backend):
-    jax's cache key does not capture the CPU target-feature set, and CPU
-    executables compiled in a TPU-plugin process ("axon,cpu") loaded into
-    a pure-CPU process ("cpu") carry mismatched feature profiles — the
-    loader warns about SIGILL, and in practice a poisoned 8-device
-    collective DEADLOCKED the test suite in an XLA CHECK failure
-    (xla::cpu::InProcessCommunicator::AllReduce rendezvous timeout).
-    Same-profile processes still share entries, which is the case that
-    pays (TPU bench/CLI reruns)."""
+    in-memory handle, which jax rebuilds on the next compile."""
     import jax
 
     base = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
             or DEFAULT_DIR)
-    try:
-        plats = jax.config.jax_platforms
-    except Exception:
-        plats = None
-    tag = (plats or "default").replace(",", "-").replace("/", "_")
-    full = os.path.join(base, tag)
+    profile = current_profile()
+    full = os.path.join(base, partition_tag(profile))
     os.makedirs(full, exist_ok=True)
+    _purge_legacy(base)
+    _check_marker(full, profile)
     jax.config.update("jax_compilation_cache_dir", full)
     try:
         from jax._src import compilation_cache as cc
@@ -83,8 +239,15 @@ def maybe_enable_from_env() -> Optional[str]:
     """enable_persistent_cache() iff $JAX_COMPILATION_CACHE_DIR is set —
     the caller expressed intent through the env var; mirroring it into
     jax.config makes that intent effective under sitecustomize hosts.
-    Never imports jax otherwise."""
+    Never imports jax otherwise, and never clobbers a cache dir the user
+    already configured directly via jax.config.update (ADVICE r4: the
+    mirror must not undo an explicit runtime setting)."""
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        import jax
+
+        configured = jax.config.jax_compilation_cache_dir
+        if configured:
+            return configured
         return enable_persistent_cache()
     return None
 

@@ -246,6 +246,11 @@ def _corruptions(tmp_path):
         slice(4, 8), np.uint32(0).tobytes()))
     yield variant("truncated", lambda b: b.__delitem__(
         slice(len(b) // 2, len(b))))
+    # Valid magic but the 16-byte header itself is cut short (ADVICE r4:
+    # the fallback reader read n_fields/n_records before the size guard
+    # and raised ValueError from .view on 8-15 byte files).
+    yield variant("truncated_header", lambda b: b.__delitem__(
+        slice(11, len(b))))
     # Non-monotonic index: swap two index entries.
     def swap_index(b):
         a = b[16 + 8:16 + 16]

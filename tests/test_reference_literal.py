@@ -1,0 +1,684 @@
+"""Literal-reference parity for the text processor, MASS masking, the
+warmup-Adam schedule, the smoothed loss, and the capacity batchers.
+
+tests/test_reference_decode.py closed the transcription self-confirmation
+loop for the DECODER by importing `/root/reference/src/seq_gen.py` itself.
+This module applies the same recipe to the other reference files whose
+dependencies exist in this image (VERDICT r4 "missing #1"):
+
+- `/root/reference/src/textprocessor.py` (needs numpy + HF `tokenizers`,
+  textprocessor.py:1-8 — both installed) vs `text/processor.py`, on the
+  reference's own sample corpus, including `split_tokenized`
+  (textprocessor.py:152-206);
+- `/root/reference/src/utils.py` (`from apex import amp` at :8 stubbed via
+  sys.modules): `mass_mask`/`mass_unmask` (:41-82) mechanical + corruption-
+  distribution parity vs `ops/masking.py`, and `AdamInverseSqrtWithWarmup`
+  (:105-156) schedule-curve + full-trajectory parity vs `train/optimizer.py`;
+- `/root/reference/src/loss.py` (`SmoothedNLLLoss`, :4-27, torch only) vs
+  `ops/losses.py` on random logits;
+- `/root/reference/src/dataset.py` (`MTDataset`/`MassDataset` capacity
+  formulas, :118-123 and :234-238; torchvision stubbed) vs `data/loader.py`
+  batch boundaries.
+
+Every test exec_module's the reference file unmodified.
+"""
+
+import contextlib
+import importlib.util
+import os
+import pickle
+import random as pyrandom
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_SRC = "/root/reference/src"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_SRC),
+    reason="reference checkout not present at /root/reference")
+
+
+def _load_ref(filename, modname, stubs=()):
+    """exec the literal reference file. `stubs` pre-seeds sys.modules for
+    dependencies absent from this image (apex) or unwanted (torchvision);
+    REF_SRC goes on sys.path so the reference's intra-src imports (`from
+    textprocessor import TextProcessor`) resolve to the reference's own
+    files."""
+    for name, mod in stubs:
+        sys.modules.setdefault(name, mod)
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    spec = importlib.util.spec_from_file_location(
+        modname, os.path.join(REF_SRC, filename))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _apex_stub():
+    apex = types.ModuleType("apex")
+    apex.amp = types.SimpleNamespace(
+        scale_loss=None, initialize=lambda *a, **k: a)
+    return ("apex", apex)
+
+
+def _torchvision_stub():
+    tv = types.ModuleType("torchvision")
+    tv.transforms = types.SimpleNamespace()
+    return ("torchvision", tv)
+
+
+# =====================================================================
+# (a) textprocessor.py — the literal reference TextProcessor and ours,
+#     loading the SAME artifacts our trainer wrote.
+# =====================================================================
+
+SAMPLE = os.path.join(REF_SRC, "tests", "sample.txt")
+SAMPLE_MT = os.path.join(REF_SRC, "tests", "sample_for_mt.txt")
+
+
+@pytest.fixture(scope="module")
+def processors(tmp_path_factory):
+    from imagetranslate_tpu.text.processor import TextProcessor
+
+    d = str(tmp_path_factory.mktemp("tok"))
+    ours = TextProcessor()
+    ours.train_tokenizer([SAMPLE], vocab_size=1000, to_save_dir=d,
+                         languages={"<mzn>": 0, "<glk>": 1})
+    ref_tp_mod = _load_ref("textprocessor.py", "ref_textprocessor_lit")
+    theirs = ref_tp_mod.TextProcessor(tok_model_path=d)
+    return ours, theirs
+
+
+def test_literal_textprocessor_specials_and_ids(processors):
+    ours, theirs = processors
+    assert theirs.special_tokens == ours.special_tokens
+    assert theirs.languages == ours.languages
+    for getter in ("pad_token_id", "mask_token_id", "unk_token_id",
+                   "bos_token_id", "sep_token_id", "vocab_size"):
+        assert getattr(theirs, getter)() == getattr(ours, getter)(), getter
+    for tok in ("<mzn>", "<glk>", "<en>", "▁the", "no-such-token"):
+        assert theirs.token_id(tok) == ours.token_id(tok), tok
+    for i in (0, 1, 5, 17, 999):
+        assert theirs.id2token(i) == ours.id2token(i), i
+        assert theirs.is_lang(i) == ours.is_lang(i), i
+    assert theirs.lang_id("<glk>") == ours.lang_id("<glk>") == 1
+    assert theirs.lang_id("<xx>") == ours.lang_id("<xx>") == 0
+
+
+def test_literal_textprocessor_sentence_and_line(processors):
+    ours, theirs = processors
+    with open(SAMPLE_MT) as fh:
+        mt_lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    for ln in mt_lines:
+        assert theirs.tokenize_one_sentence(ln) == \
+            ours.tokenize_one_sentence(ln), ln[:60]
+        assert theirs.tokenize_one_sentence_with_langid(ln, 7) == \
+            ours.tokenize_one_sentence_with_langid(ln, 7), ln[:60]
+    with open(SAMPLE) as fh:
+        doc_lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    for ln in doc_lines:
+        for ignore in (False, True):
+            assert theirs.tokenize_one_line(ln, ignore_middle_eos=ignore) \
+                == ours.tokenize_one_line(ln, ignore_middle_eos=ignore), \
+                (ignore, ln[:60])
+    # Batch tokenize (textprocessor.py:112-115).
+    text = "\n".join(doc_lines[:3])
+    assert theirs.tokenize(text) == ours.tokenize(text)
+
+
+def test_literal_textprocessor_tokenize_lines_and_split(processors):
+    """The doc chunkers, including split_tokenized
+    (textprocessor.py:84-110, 152-206) on the reference's own long docs."""
+    ours, theirs = processors
+    with open(SAMPLE) as fh:
+        doc_lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    for ln in doc_lines:
+        ref_blind = theirs.tokenize_lines(ln, blind_split=True, split_len=64)
+        our_blind = ours.tokenize_lines(ln, blind_split=True, split_len=64)
+        assert [list(map(int, r)) for r in ref_blind] == \
+            [list(map(int, r)) for r in our_blind], ln[:60]
+        ref_split = theirs.tokenize_lines(ln, blind_split=False)
+        our_split = ours.tokenize_lines(ln, blind_split=False)
+        assert [list(map(int, r)) for r in ref_split] == \
+            [list(map(int, r)) for r in our_split], ln[:60]
+    # split_tokenized directly at several max_lengths, lang-prefixed and not.
+    long_doc = theirs.tokenize_one_line(max(doc_lines, key=len))
+    no_lang = long_doc[1:]
+    for max_len in (64, 100, 173, 512):
+        for stream in (long_doc, no_lang):
+            assert [list(map(int, r))
+                    for r in theirs.split_tokenized(stream, max_len)] == \
+                [list(map(int, r))
+                 for r in ours.split_tokenized(stream, max_len)], max_len
+
+
+def test_literal_textprocessor_artifact_roundtrip(processors, tmp_path):
+    """Artifacts SAVED by the literal reference (textprocessor.py:42-45)
+    load back through OUR processor with identical encode behavior — the
+    contract that makes released reference tokenizers loadable."""
+    from imagetranslate_tpu.text.processor import TextProcessor
+
+    _, theirs = processors
+    d = str(tmp_path / "refsave")
+    os.makedirs(d)
+    # HF tokenizers >= 0.8 saves a model via save_model(dir); the 0.7-era
+    # .save(dir) the reference calls writes vocab/merges through the same
+    # underlying model files.
+    try:
+        theirs.save(d)
+    except Exception:
+        theirs.tokenizer.save_model(d)
+        with open(os.path.join(d, "langs"), "wb") as fp:
+            pickle.dump(theirs.languages, fp)
+    ours2 = TextProcessor(d)
+    with open(SAMPLE_MT) as fh:
+        for ln in fh.read().splitlines():
+            if ln.strip():
+                assert ours2.tokenize_one_sentence(ln) == \
+                    theirs.tokenize_one_sentence(ln)
+
+
+# =====================================================================
+# (b) utils.py — mass_mask / mass_unmask / AdamInverseSqrtWithWarmup
+# =====================================================================
+
+
+@pytest.fixture(scope="module")
+def ref_utils():
+    return _load_ref("utils.py", "ref_utils_lit",
+                     stubs=(_apex_stub(),))
+
+
+class _TP:
+    """Duck TextProcessor surface mass_mask reads (utils.py:68-75)."""
+
+    special_tokens = ["<pad>", "<s>", "<unk>", "<mask>", "</s>", "<aa>",
+                      "<bb>"]
+
+    def pad_token_id(self):
+        return 0
+
+    def mask_token_id(self):
+        return 3
+
+    def sep_token_id(self):
+        return 4
+
+    def vocab_size(self):
+        return 100
+
+
+@contextlib.contextmanager
+def _scripted_random(rand_values, randint_mid=True):
+    """Drive the literal module's `random.random`/`random.randint` with a
+    scripted stream so its draws are known exactly. randint returns the
+    range midpoint (deterministic)."""
+    it = iter(rand_values)
+    orig_rand, orig_randint = pyrandom.random, pyrandom.randint
+
+    def fake_random():
+        try:
+            return next(it)
+        except StopIteration:
+            return 0.99  # corruption draws beyond the script: keep original
+
+    def fake_randint(a, b):
+        return (a + b) // 2 if randint_mid else a
+
+    pyrandom.random, pyrandom.randint = fake_random, fake_randint
+    try:
+        yield
+    finally:
+        pyrandom.random, pyrandom.randint = orig_rand, orig_randint
+
+
+def _mass_batch(B=6, S=24, seed=3):
+    rng = np.random.RandomState(seed)
+    lengths = rng.randint(8, S + 1, (B,))
+    src = np.zeros((B, S), np.int64)
+    for i, L in enumerate(lengths):
+        src[i, 0] = 5 + (i % 2)                      # lang token
+        src[i, 1:L - 1] = rng.randint(7, 100, (L - 2,))
+        src[i, L - 1] = 4                            # </s>
+    return torch.LongTensor(src), torch.LongTensor(lengths)
+
+
+def test_literal_mass_mask_mechanics(ref_utils):
+    """Scripted randomness pins the literal mass_mask's span choices; its
+    outputs must then follow the documented law exactly — and OUR
+    mass_mask's outputs must follow the same law for its own drawn spans
+    (ops/masking.py mirrors utils.py:41-78)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imagetranslate_tpu.ops.masking import mass_mask as our_mass_mask
+
+    mask_prob = 0.5
+    src, lengths = _mass_batch()
+    B, S = src.shape
+    orig = src.clone()
+    # Per row one `r` draw: row kinds start/end/random; then corruption
+    # draws all > 0.9 (keep original tokens) so content is deterministic.
+    kinds = [0.85, 0.7, 0.3, 0.85, 0.7, 0.3]
+    with _scripted_random(kinds):
+        d = ref_utils.mass_mask(mask_prob, lengths.clone(), src, _TP())
+
+    # The law (utils.py:47-67), with randint pinned to the midpoint:
+    for i in range(B):
+        L = int(lengths[i])
+        range_size = L // 2
+        last_idx = int(np.ceil(mask_prob * L))
+        r = kinds[i]
+        if r > 0.8:
+            start = 1
+        elif r > 0.6:
+            start = last_idx
+        else:
+            start = (2 + last_idx) // 2 if last_idx >= 2 else 2
+        end = start + range_size
+        got_mask = d["src_mask"][i].numpy()
+        want = np.zeros(S, bool)
+        want[start:end] = True
+        assert (got_mask == want).all(), (i, start, end)
+        # to_recover = src[start-1:end] with positions arange(start-1, end)
+        # (utils.py:64-67); rows pad to the longest span with pad_id / S-1.
+        span = orig[i, start - 1:min(end, S)].tolist()
+        got_rec = d["to_recover"][i].tolist()
+        got_pos = d["positions"][i].tolist()
+        assert got_rec[:len(span)] == span
+        assert all(v == 0 for v in got_rec[len(span):])
+        pos = list(range(start - 1, min(end, S)))
+        assert got_pos[:len(pos)] == pos
+        assert all(v == S - 1 for v in got_pos[len(pos):])
+
+    # mass_unmask restores the original in place (utils.py:81-82).
+    ref_utils.mass_unmask(d["src_text"], d["src_mask"], d["mask_idx"])
+    assert torch.equal(d["src_text"], orig)
+
+    # Ours: same law, own RNG. Derive each row's span from span_mask.
+    npsrc = jnp.asarray(orig.numpy().astype(np.int32))
+    out = our_mass_mask(jax.random.PRNGKey(0), npsrc,
+                        jnp.asarray(lengths.numpy()), mask_prob,
+                        mask_id=3, pad_id=0, n_specials=7, vocab_size=100,
+                        span_width=S // 2 + 1)
+    span_mask = np.asarray(out.span_mask)
+    dec = np.asarray(out.dec_inputs)
+    posns = np.asarray(out.positions)
+    corrupted = np.asarray(out.src)
+    for i in range(B):
+        L = int(lengths[i])
+        idx = np.where(span_mask[i])[0]
+        assert idx.size > 0
+        start, end = int(idx[0]), int(idx[-1]) + 1
+        assert (np.diff(idx) == 1).all()          # contiguous span
+        last_idx = int(np.ceil(mask_prob * L))
+        assert 1 <= start <= max(last_idx, 2)
+        # Documented deviation (ops/masking.py docstring): ours clamps the
+        # span at the row length instead of running into pads.
+        assert end == min(start + L // 2, L)
+        span = orig[i, start - 1:end].numpy().tolist()
+        assert dec[i, :len(span)].tolist() == span
+        assert (dec[i, len(span):] == 0).all()
+        assert posns[i, :len(span)].tolist() == \
+            list(range(start - 1, end))
+        assert (posns[i, len(span):] == S - 1).all()
+        # Outside the span the source is untouched.
+        outside = ~span_mask[i]
+        assert (corrupted[i][outside] == orig.numpy()[i][outside]).all()
+
+
+def test_literal_mass_mask_distributions(ref_utils):
+    """Span-start category frequencies (20/20/60, utils.py:55-60) and the
+    80/10/10 corruption mix (utils.py:72-76): literal reference vs ours,
+    both estimated over many draws, must agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from imagetranslate_tpu.ops.masking import mass_mask as our_mass_mask
+
+    mask_prob = 0.5
+    B, S, T = 32, 32, 60
+    rng = np.random.RandomState(0)
+    lengths = np.full((B,), S)          # full rows: last_idx fixed at 16
+    base = rng.randint(7, 100, (B, S))
+    base[:, 0] = 5
+
+    def categories(starts, last_idx):
+        s = np.asarray(starts)
+        return (np.mean(s == 1), np.mean(s == last_idx),
+                np.mean((s != 1) & (s != last_idx)))
+
+    ref_starts, ref_mix = [], np.zeros(3)
+    pyrandom.seed(123)
+    for _ in range(T):
+        src = torch.LongTensor(base.copy())
+        d = ref_utils.mass_mask(mask_prob, torch.LongTensor(lengths), src,
+                                _TP())
+        m = d["src_mask"].numpy()
+        for i in range(B):
+            ref_starts.append(int(np.where(m[i])[0][0]))
+        masked_new = d["src_text"].numpy()[m]
+        masked_old = base[m]
+        ref_mix += [np.sum(masked_new == 3),
+                    np.sum((masked_new != 3) & (masked_new != masked_old)),
+                    np.sum((masked_new == masked_old) & (masked_new != 3))]
+    ref_cat = categories(ref_starts, 16)
+    ref_mix = ref_mix / ref_mix.sum()
+
+    our_starts, our_mix = [], np.zeros(3)
+    jsrc = jnp.asarray(base.astype(np.int32))
+    jlen = jnp.asarray(lengths.astype(np.int32))
+    for t in range(T):
+        out = our_mass_mask(jax.random.PRNGKey(t), jsrc, jlen, mask_prob,
+                            mask_id=3, pad_id=0, n_specials=7,
+                            vocab_size=100, span_width=S // 2 + 1)
+        m = np.asarray(out.span_mask)
+        for i in range(B):
+            our_starts.append(int(np.where(m[i])[0][0]))
+        masked_new = np.asarray(out.src)[m]
+        masked_old = base[m]
+        our_mix += [np.sum(masked_new == 3),
+                    np.sum((masked_new != 3) & (masked_new != masked_old)),
+                    np.sum((masked_new == masked_old) & (masked_new != 3))]
+    our_cat = categories(our_starts, 16)
+    our_mix = our_mix / our_mix.sum()
+
+    assert np.allclose(ref_cat, our_cat, atol=0.05), (ref_cat, our_cat)
+    assert np.allclose(ref_cat, (0.2, 0.2, 0.6), atol=0.05)
+    # The "unchanged" corruption bucket is under-observed when the random
+    # replacement happens to equal the original; both sides share the bias.
+    assert np.allclose(ref_mix, our_mix, atol=0.03), (ref_mix, our_mix)
+    assert np.allclose(ref_mix, (0.8, 0.1, 0.1), atol=0.03)
+
+
+def test_literal_warmup_adam_schedule_curve(ref_utils):
+    """inverse_sqrt_schedule(count) must equal the literal
+    AdamInverseSqrtWithWarmup.get_lr_for_step(count) (utils.py:142-148):
+    the lr applied at the (c+1)-th step is get_lr_for_step(c) on their
+    side and schedule(c) on ours (optax applies schedule(state.count))."""
+    from imagetranslate_tpu.train.optimizer import inverse_sqrt_schedule
+
+    for lr, warmup in ((1e-3, 4000), (5e-4, 100), (2e-4, 12500)):
+        p = torch.nn.Parameter(torch.zeros(3))
+        ref_opt = ref_utils.AdamInverseSqrtWithWarmup(
+            [p], lr=lr, betas=(0.9, 0.98), warmup_updates=warmup)
+        sched = inverse_sqrt_schedule(lr, warmup)
+        counts = list(range(0, 2 * warmup, max(1, warmup // 50))) + [
+            10 * warmup, 100 * warmup]
+        ref_lrs = np.array([ref_opt.get_lr_for_step(c) for c in counts])
+        our_lrs = np.array([float(sched(c)) for c in counts])
+        assert np.allclose(ref_lrs, our_lrs, rtol=2e-5, atol=1e-12), (
+            lr, warmup)
+
+
+def test_literal_warmup_adam_trajectory(ref_utils):
+    """Full optimizer parity: the literal AdamInverseSqrtWithWarmup
+    (torch Adam + schedule mutation in step(), utils.py:105-156) against
+    build_optimizer (optax adam(0.9,0.98) + the same schedule,
+    train/optimizer.py) on an identical gradient stream."""
+    import jax.numpy as jnp
+
+    from imagetranslate_tpu.train.optimizer import build_optimizer
+
+    lr, warmup, steps = 5e-4, 20, 120
+    g_rng = np.random.RandomState(7)
+    grads = g_rng.randn(steps, 16).astype(np.float32)
+
+    p = torch.nn.Parameter(torch.ones(16))
+    ref_opt = ref_utils.AdamInverseSqrtWithWarmup(
+        [p], lr=lr, betas=(0.9, 0.98), warmup_updates=warmup)
+
+    opt = build_optimizer(lr=lr, warmup_updates=warmup, clip_norm=None)
+    ours = jnp.ones((16,))
+    state = opt.init(ours)
+
+    for t in range(steps):
+        p.grad = torch.tensor(grads[t])
+        ref_opt.step()
+        upd, state = opt.update(jnp.asarray(grads[t]), state, ours)
+        ours = ours + upd
+        np.testing.assert_allclose(np.asarray(ours), p.detach().numpy(),
+                                   rtol=3e-4, atol=3e-6,
+                                   err_msg=f"step {t}")
+
+
+def test_literal_warmup_adam_reset_semantics(ref_utils):
+    """reset() restarts the schedule for the BT fine-tune phase
+    (utils.py:154-156, called at train_image_mt.py:511). Applied-lr
+    sequences must agree everywhere EXCEPT the single step right after the
+    reset: the literal optimizer applies the STALE pre-reset lr there
+    (step() consumes param_group['lr'] before recomputing it), while our
+    reset_schedule restarts cleanly at warmup_init_lr — a documented
+    non-replicated reference quirk, matching its step-0 behavior instead."""
+    from imagetranslate_tpu.train.optimizer import (
+        build_optimizer,
+        inverse_sqrt_schedule,
+        reset_schedule,
+    )
+
+    lr, warmup, steps, reset_at = 5e-4, 10, 40, 23
+    sched = inverse_sqrt_schedule(lr, warmup)
+    p = torch.nn.Parameter(torch.ones(4))
+    ref_opt = ref_utils.AdamInverseSqrtWithWarmup(
+        [p], lr=lr, betas=(0.9, 0.98), warmup_updates=warmup)
+    opt = build_optimizer(lr=lr, warmup_updates=warmup, clip_norm=None)
+    state = opt.init(np.ones(4, np.float32))
+
+    ref_lrs, our_lrs, our_count = [], [], 0
+    import jax.numpy as jnp
+
+    for t in range(steps):
+        if t == reset_at:
+            ref_opt.reset()
+            state = reset_schedule(state)
+            our_count = 0
+        ref_lrs.append(ref_opt.param_groups[0]["lr"])
+        our_lrs.append(float(sched(our_count)))
+        p.grad = torch.ones(4)
+        ref_opt.step()
+        _, state = opt.update(jnp.ones(4), state, jnp.ones(4))
+        our_count += 1
+
+    keep = [t for t in range(steps) if t != reset_at]
+    np.testing.assert_allclose(np.array(ref_lrs)[keep],
+                               np.array(our_lrs)[keep], rtol=2e-5)
+    # The quirk itself, pinned so a behavior change surfaces: stale lr on
+    # their side, clean warmup restart on ours.
+    assert ref_lrs[reset_at] == ref_opt.get_lr_for_step(reset_at)
+    assert our_lrs[reset_at] == pytest.approx(1e-7)
+
+
+# =====================================================================
+# (c) loss.py — SmoothedNLLLoss
+# =====================================================================
+
+
+def test_literal_smoothed_nll_loss():
+    """ops/losses.py smoothed_nll_loss on raw logits vs the literal
+    SmoothedNLLLoss (loss.py:4-27) on the log-softmax of the same logits
+    (the reference's output layer applies log_softmax before the loss,
+    seq2seq.py:175-178): identical per-token values and masked sum."""
+    import jax.numpy as jnp
+
+    loss_mod = _load_ref("loss.py", "ref_loss_lit")
+    from imagetranslate_tpu.ops.losses import nll_loss, smoothed_nll_loss
+
+    rng = np.random.RandomState(5)
+    N, V = 64, 37
+    logits = rng.randn(N, V).astype(np.float32) * 3.0
+    targets = rng.randint(0, V, (N,))
+    targets[::5] = 0                              # pad rows
+    for eps in (0.1, 0.3):
+        crit = loss_mod.SmoothedNLLLoss(ignore_index=0, epsilon=eps)
+        logp = torch.log_softmax(torch.tensor(logits), dim=-1)
+        ref = crit(logp, torch.tensor(targets)).squeeze(-1).numpy()
+        mask = targets != 0
+        s, n = smoothed_nll_loss(jnp.asarray(logits), jnp.asarray(targets),
+                                 jnp.asarray(mask), epsilon=eps)
+        # Per-token parity: recompute ours unmasked-elementwise.
+        per_tok = []
+        for i in range(N):
+            si, _ = smoothed_nll_loss(jnp.asarray(logits[i]),
+                                      jnp.asarray(targets[i]),
+                                      jnp.asarray(True), epsilon=eps)
+            per_tok.append(float(si))
+        per_tok = np.array(per_tok) * mask        # reference zeroes pads
+        np.testing.assert_allclose(per_tok, ref, rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(float(s), ref.sum(), rtol=2e-5)
+        assert float(n) == mask.sum()
+    # epsilon=0 == plain NLL (train_image_mt.py:63-66).
+    crit = loss_mod.SmoothedNLLLoss(ignore_index=0, epsilon=0.0)
+    logp = torch.log_softmax(torch.tensor(logits), dim=-1)
+    ref_sum = crit(logp, torch.tensor(targets)).sum().item()
+    s, _ = nll_loss(jnp.asarray(logits), jnp.asarray(targets),
+                    jnp.asarray(targets != 0))
+    np.testing.assert_allclose(float(s), ref_sum, rtol=2e-5)
+
+
+# =====================================================================
+# (d) dataset.py — MTDataset / MassDataset capacity batching
+# =====================================================================
+
+
+@pytest.fixture(scope="module")
+def ref_dataset():
+    return _load_ref("dataset.py", "ref_dataset_lit",
+                     stubs=(_torchvision_stub(),))
+
+
+def _uniform_mt_examples(n, sb, db):
+    return [([1] * sb, [2] * db, 0, 1) for _ in range(n)]
+
+
+def test_literal_mt_capacity_boundaries(ref_dataset):
+    """With uniform-length examples the literal MTDataset emits batches of
+    exactly min(max_batch // (sb+db), capacity*1e6 // ((sb²+db²)·db)) rows
+    (the flush keeps cur[:-1] at the first overflow, dataset.py:118-123) —
+    and our _rows_for computes the identical budget (loader.py). The
+    row_quantum=8 flooring our buckets apply on top is a deliberate,
+    conservative deviation: never above the reference's budget."""
+    from imagetranslate_tpu.data.loader import _rows_for
+
+    grid = [(32, 48, 4000, 600), (16, 16, 4000, 600), (48, 32, 1000, 600),
+            (160, 176, 4000, 600), (32, 32, 10 ** 9, 1), (64, 128, 500, 2)]
+    for sb, db, max_batch, cap in grid:
+        want = min(max_batch // (sb + db),
+                   cap * 1_000_000 // ((sb * sb + db * db) * db))
+        if want < 1:
+            continue
+        ds = ref_dataset.MTDataset(
+            max_batch_capacity=cap, max_batch=max_batch, pad_idx=0,
+            examples=_uniform_mt_examples(3 * want + 1, sb, db))
+        sizes = [b["src_texts"].shape[0] for b in ds.batches]
+        assert sizes[:-1] == [want] * (len(sizes) - 1), (sb, db, sizes)
+        ours = _rows_for(sb, db, max_batch, cap, row_quantum=1)
+        assert ours == want, (sb, db, ours, want)
+        floored = _rows_for(sb, db, max_batch, cap)
+        assert floored <= max(want, 8)
+
+
+def test_literal_mass_capacity_boundaries(ref_dataset):
+    """Same for MassDataset: 2·s token budget, 2·s³ capacity
+    (dataset.py:234-238) == our _rows_for(s, s, ...)"""
+    from imagetranslate_tpu.data.loader import _rows_for
+
+    for s, max_batch, cap in [(32, 4000, 600), (128, 4000, 600),
+                              (512, 20000, 600), (48, 700, 1)]:
+        want = min(max_batch // (2 * s), cap * 1_000_000 // (2 * s ** 3))
+        if want < 2:
+            continue
+        exs = [([1] * s, 0) for _ in range(3 * want + 1)]
+        ds = ref_dataset.MassDataset(
+            batch_pickle_dir=None, max_batch_capacity=cap,
+            max_batch=max_batch, pad_idx=0, example_list=[exs])
+        sizes = [b["src_texts"].shape[0] for b in ds.batches]
+        assert sizes[:-1] == [want] * (len(sizes) - 1), (s, sizes)
+        assert _rows_for(s, s, max_batch, cap, row_quantum=1) == want, s
+
+
+def test_literal_mt_batching_coverage_and_trim(ref_dataset):
+    """Mixed-length stream through the literal MTDataset and our MTBatcher:
+    identical example coverage — every reference row appears exactly once
+    in ours (as an unpadded row), overlong examples trimmed to max_seq_len
+    on both sides (dataset.py:97-98 vs loader.py), and per-row first-pad
+    indices agree wherever the row is not full-width (the reference's
+    full-row pad_idx = width-1 quirk, dataset.py:157-163, is documented,
+    not replicated — our src_sizes is the true length)."""
+    from imagetranslate_tpu.data.loader import MTBatcher
+
+    rng = np.random.RandomState(11)
+    examples = []
+    for _ in range(400):
+        ls = int(rng.randint(3, 40))
+        ld = int(rng.randint(3, 40))
+        examples.append((rng.randint(1, 50, ls).tolist(),
+                         rng.randint(1, 50, ld).tolist(),
+                         int(rng.randint(0, 2)), int(rng.randint(0, 2))))
+    examples.append((list(range(1, 60)), list(range(1, 45)), 0, 1))  # trim
+    examples.sort(key=lambda e: len(e[1]))
+
+    max_seq = 32
+    ds = ref_dataset.MTDataset(max_batch_capacity=600, max_batch=4000,
+                               pad_idx=0, max_seq_len=max_seq,
+                               examples=examples)
+    ref_rows = set()
+    for b in ds.batches:
+        src, dst = b["src_texts"].numpy(), b["dst_texts"].numpy()
+        for i in range(src.shape[0]):
+            s = tuple(src[i][src[i] != 0])
+            d = tuple(dst[i][dst[i] != 0])
+            ref_rows.add((s, d))
+        # pad_idx parity on non-full rows.
+        for i in range(src.shape[0]):
+            n_real = int((src[i] != 0).sum())
+            if n_real < src.shape[1]:
+                assert int(b["pad_idx"][i]) == n_real
+
+    ours = MTBatcher(examples, pad_id=0, max_seq_len=max_seq)
+    our_rows = set()
+    for b in ours.batches:
+        for i in range(b.src.shape[0]):
+            if not b.row_mask[i]:
+                continue
+            s = tuple(b.src[i][b.src[i] != 0])
+            d = tuple(b.dst[i][b.dst[i] != 0])
+            our_rows.add((s, d))
+            assert b.src_sizes[i] == len(s)
+    assert ref_rows == our_rows
+    # Both sides trimmed the overlong pair to max_seq.
+    assert max(len(s) for s, _ in our_rows) == max_seq
+
+
+def test_literal_mass_batching_skips_overlong(ref_dataset):
+    """MassDataset SKIPS (not trims) overlong rows (dataset.py:221-222);
+    MassBatcher does the same, with identical surviving coverage."""
+    from imagetranslate_tpu.data.loader import MassBatcher
+
+    rng = np.random.RandomState(13)
+    exs = [(rng.randint(1, 50, int(rng.randint(3, 48))).tolist(), 0)
+           for _ in range(300)]
+    exs.append((list(range(1, 90)), 0))            # overlong: skipped
+    exs.sort(key=lambda e: len(e[0]))
+    max_seq = 48
+    ds = ref_dataset.MassDataset(
+        batch_pickle_dir=None, max_batch_capacity=600, max_batch=4000,
+        pad_idx=0, max_seq_len=max_seq, example_list=[exs])
+    ref_rows = set()
+    for b in ds.batches:
+        src = b["src_texts"].numpy()
+        for i in range(src.shape[0]):
+            ref_rows.add(tuple(src[i][src[i] != 0]))
+    ours = MassBatcher(exs, pad_id=0, max_seq_len=max_seq)
+    our_rows = set()
+    for b in ours.batches:
+        for i in range(b.src.shape[0]):
+            if b.row_mask[i]:
+                our_rows.add(tuple(b.src[i][b.src[i] != 0]))
+    assert ref_rows == our_rows
+    assert all(len(r) <= max_seq for r in our_rows)

@@ -13,23 +13,33 @@ def test_enable_persistent_cache_sets_config(tmp_path, monkeypatch):
     prev = jax.config.jax_compilation_cache_dir
     try:
         target = str(tmp_path / "cache")
+        tag = xla_cache.partition_tag()
         got = xla_cache.enable_persistent_cache(target)
-        # The dir is partitioned by the platform profile (see module
-        # docstring: cross-profile CPU AOT entries poisoned an 8-device
-        # collective). Under pytest the profile is "cpu".
-        assert got == os.path.join(target, "cpu")
+        # The dir is partitioned by the full profile fingerprint (see
+        # module docstring: cross-profile AND cross-host entries have both
+        # poisoned collectives). Under pytest the platform prefix is "cpu".
+        assert got == os.path.join(target, tag)
+        assert tag.startswith("cpu-v")
         assert jax.config.jax_compilation_cache_dir == got
         assert os.path.isdir(got)
+        assert os.path.isfile(os.path.join(got, "PROFILE.json"))
 
         # Env fallback order: explicit arg > env > default.
         env_dir = str(tmp_path / "envcache")
         monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", env_dir)
         assert xla_cache.enable_persistent_cache() == \
-            os.path.join(env_dir, "cpu")
+            os.path.join(env_dir, tag)
+        # maybe_enable_from_env respects an already-configured dir
+        # (ADVICE r4: no clobbering of explicit jax.config settings).
         assert xla_cache.maybe_enable_from_env() == \
-            os.path.join(env_dir, "cpu")
+            os.path.join(env_dir, tag)
+        user_dir = str(tmp_path / "user_set")
+        jax.config.update("jax_compilation_cache_dir", user_dir)
+        assert xla_cache.maybe_enable_from_env() == user_dir
+        assert jax.config.jax_compilation_cache_dir == user_dir
 
         monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+        jax.config.update("jax_compilation_cache_dir", None)
         assert xla_cache.maybe_enable_from_env() is None
 
         # Back-compat shims still function.
@@ -37,6 +47,71 @@ def test_enable_persistent_cache_sets_config(tmp_path, monkeypatch):
         assert xla_cache.force_enable() is True
         monkeypatch.setenv("IMAGETRANSLATE_FORCE_XLA_CACHE", "1")
         assert xla_cache.maybe_force_enable_from_env() is True
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_partition_tag_fingerprints_machine_and_topology():
+    """The round-5 poisoning vectors: same "cpu" platform, different host
+    CPU or device topology, must land in different partitions — jax's own
+    cache key covers neither (docs/PERF.md round-5 post-mortem)."""
+    base = xla_cache.current_profile()
+    assert base["schema"] == xla_cache.SCHEMA_VERSION
+    same = xla_cache.partition_tag(dict(base))
+    assert same == xla_cache.partition_tag()
+
+    for field, value in [
+        ("cpu_microcode", "0xdeadbeef"),       # cross-host (microcode
+        ("cpu_model", "Imaginary CPU @ 9GHz"),  # drives LLVM tuning flags)
+        ("cpu_flags_sha", "0" * 16),
+        ("xla_flags", "--xla_force_host_platform_device_count=2"),
+        ("num_processes", "2"),                 # cluster topology
+        ("jaxlib", "0.0.1"),                    # serialization format
+        ("platforms", "axon,cpu"),              # round-4 vector
+    ]:
+        mutated = dict(base)
+        mutated[field] = value
+        assert xla_cache.partition_tag(mutated) != same, field
+
+
+def test_enable_purges_legacy_layouts_and_foreign_markers(tmp_path):
+    """Entries the current schema cannot vouch for are removed on enable:
+    pre-partition root files, pre-schema partition dirs (the layout the
+    round-5 cross-host poisoning lived in), and partitions whose
+    PROFILE.json disagrees with the current profile."""
+    prev = jax.config.jax_compilation_cache_dir
+    base = tmp_path / "cache"
+    # Legacy layouts.
+    base.mkdir()
+    (base / "jit_f-abc123-cache").write_bytes(b"legacy root entry")
+    (base / "cpu").mkdir()
+    (base / "cpu" / "jit_step_fn-def456-cache").write_bytes(b"poisoned")
+    (base / "axon-cpu").mkdir()
+    try:
+        got = xla_cache.enable_persistent_cache(str(base))
+        assert not (base / "jit_f-abc123-cache").exists()
+        assert not (base / "cpu").exists()
+        assert not (base / "axon-cpu").exists()
+        assert os.path.isdir(got)
+
+        # A schema-shaped partition with a foreign profile is wiped...
+        stale = os.path.join(got, "jit_g-789-cache")
+        with open(stale, "w") as fh:
+            fh.write("x")
+        import json
+
+        with open(os.path.join(got, "PROFILE.json"), "w") as fh:
+            json.dump({"schema": xla_cache.SCHEMA_VERSION,
+                       "platforms": "cpu", "cpu_model": "other host"}, fh)
+        assert xla_cache.enable_persistent_cache(str(base)) == got
+        assert not os.path.exists(stale)
+
+        # ...while a matching profile keeps its entries.
+        keep = os.path.join(got, "jit_h-101-cache")
+        with open(keep, "w") as fh:
+            fh.write("y")
+        assert xla_cache.enable_persistent_cache(str(base)) == got
+        assert os.path.exists(keep)
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
 
