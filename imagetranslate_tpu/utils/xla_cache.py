@@ -31,26 +31,33 @@ Two poisoning incidents, both root-caused on this repo:
   mismatched feature profiles; a poisoned 8-device collective deadlocked
   the suite (InProcessCommunicator::AllReduce rendezvous timeout). Fixed
   then by partitioning on ``jax_platforms`` — necessary, not sufficient.
-* round 5 (same-profile, cross-HOST): sessions run on a heterogeneous
-  fleet sharing this home directory. An entry compiled on a host whose
-  LLVM target added ``+prefer-no-scatter,+prefer-no-gather`` (microcode-
-  dependent tuning) hash-matched on a host whose XLA emits neither.
-  ``cpu_aot_loader.cc`` only WARNS on the machine-type mismatch and loads
-  anyway; executing the loaded 8-device SPMD train step then lost a
-  collective participant (3 of 4 reached the all-reduce rendezvous) and
-  XLA's 40 s rendezvous termination LOG(FATAL)'d the whole process —
-  ``tests/test_pipeline.py::test_pp_trainer_bt_smoke`` SIGABRTed 4/4,
-  killing pytest itself. Post-mortem: docs/PERF.md round 5.
+* round 5 (same-profile, cross-ENVIRONMENT): an entry for the 8-device
+  pipeline-parallel train step hash-matched a fresh compile of the same
+  program but contained a DIFFERENT executable (same size, same ELF
+  count, same target-feature string, fusion-emitter metadata reordered —
+  XLA:CPU compilation is not bit-deterministic across environments).
+  Loading the foreign variant from the cache and executing it hung some
+  of the 8 per-device executions before their collectives; the next
+  program's rendezvous then timed out with partial arrival and XLA's
+  40 s termination LOG(FATAL)'d the whole process —
+  ``tests/test_pipeline.py::test_pp_trainer_bt_smoke`` SIGABRTed 4/4.
+  The producing session ran on another fleet machine / resource profile
+  sharing this home directory. (The ``cpu_aot_loader`` "machine feature
+  +prefer-no-scatter not supported" warning seen alongside is a RED
+  HERRING: this host's own entries warn identically — the loader checks
+  LLVM *tuning* flags against a host-feature list that never contains
+  them.) Post-mortem: docs/PERF.md round 5.
 
-A bad entry aborts the process from a ThunkExecutor worker thread — there
-is nothing to catch in Python — so the only recovery story is PREVENTION:
-every machine-dependent compilation input that jax does not key must live
-in the partition path instead. The partition tag therefore fingerprints:
+A bad entry aborts the process from a worker thread — there is nothing to
+catch in Python — so the only recovery story is PREVENTION: keep every
+compile-environment dimension jax does not key out of the shared
+partition. The partition tag therefore fingerprints:
 
 - ``jax_platforms``  (round-4 vector),
 - jax + jaxlib versions (serialized-executable format compatibility),
-- host CPU identity: model name, microcode revision, feature flags from
-  /proc/cpuinfo (round-5 vector — microcode drives LLVM tuning features),
+- host CPU identity: model name, microcode revision, feature flags and
+  core count from /proc/cpuinfo (round-5 vector — fleet machines differ,
+  and compile-time parallelism shapes the emitted executable),
 - device topology: ``--xla_force_host_platform_device_count`` and the
   multi-process cluster size (collective thunks bake in the topology),
 - the full ``XLA_FLAGS`` string (any codegen-affecting flag not captured
@@ -137,6 +144,11 @@ def current_profile() -> dict:
         "cpu_microcode": cpu["microcode"],
         "cpu_flags_sha": hashlib.sha256(
             cpu["flags"].encode()).hexdigest()[:16],
+        # Visible core count: compile-time parallelism shapes the emitted
+        # executable (the round-5 poisoned variant differed from this
+        # host's compile of the same key), so same-machine-type sessions
+        # with different CPU quotas must not share entries either.
+        "cpu_count": os.cpu_count() or 0,
         "xla_flags": os.environ.get("XLA_FLAGS", ""),
         "num_processes": os.environ.get("JAX_NUM_PROCESSES", ""),
     }

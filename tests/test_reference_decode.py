@@ -46,6 +46,9 @@ nn = torch.nn
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from test_golden_decode import our_decode, shared  # noqa: E402,F401
+
+from imagetranslate_tpu.models.seq2seq import Seq2Seq  # noqa: E402
+from imagetranslate_tpu.train.torch_import import import_seq2seq  # noqa: E402
 from test_torch_parity import (  # noqa: E402
     E,
     NL,
@@ -108,8 +111,14 @@ class _RefDecoder(nn.Module):
         causal = torch.tril(tgt_attention_mask[:, None, None, :]
                             * torch.ones(T, T))
         self_bias = (1.0 - causal) * -10000.0
-        enc_bias = (1.0 - encoder_attention_mask[:, None, None, :].float()) \
-            * -10000.0
+        if encoder_attention_mask is None:
+            # Image-grid / object streams attend unmasked (the reference
+            # passes cur_src_mask=None on those paths, seq_gen.py:151-153,
+            # 163-176; HF-2.9 treats a missing mask as all-ones).
+            enc_bias = torch.zeros(B, 1, 1, encoder_states.size(1))
+        else:
+            enc_bias = (1.0 - encoder_attention_mask[:, None, None, :]
+                        .float()) * -10000.0
         for i in range(NL):
             p = f"decoder.decoder.layer.{i}"
             x = t_attention(sd, f"{p}.attention", x, x, self_bias)
@@ -153,7 +162,25 @@ class _RefSeq2Seq(nn.Module):
         self.config = SimpleNamespace(vocab_size=V)
         self.text_processor = SimpleNamespace(sep_token_id=lambda: EOS)
 
-    def encode(self, src_inputs, src_mask, src_langs):
+    # Image surface (seq_gen.py:81-106): grid / object states are set by
+    # the test; `encode(images=...)` ignores the pixels like the duck-model
+    # convention everywhere else in this harness — the decoder under test
+    # never looks inside encode.
+    _grid = None
+    _obj = None
+
+    def encode(self, src_inputs=None, src_mask=None, src_langs=None,
+               images=None):
+        if images is not None and src_inputs is None:
+            # caption path (seq_gen.py:97): (grid, obj_feat_fc-or-None)
+            return (self._grid, self._obj)
+        if images is not None:
+            # multimodal MT path (seq_gen.py:104): (text states, grid)
+            return (self._text_encode(src_inputs, src_mask, src_langs),
+                    self._grid)
+        return (self._text_encode(src_inputs, src_mask, src_langs),)
+
+    def _text_encode(self, src_inputs, src_mask, src_langs):
         # src_langs arrives row-expanded to (B, S) (seq_gen.py:95).
         sd = self.sd
         B, S = src_inputs.shape
@@ -164,7 +191,7 @@ class _RefSeq2Seq(nn.Module):
             p = f"encoder.encoder.layer.{i}"
             enc = t_attention(sd, f"{p}.attention", enc, enc, bias)
             enc = t_ffn(sd, p, enc)
-        return (enc,)
+        return enc
 
 
 @pytest.mark.parametrize("K", [1, 4])
@@ -216,3 +243,155 @@ def test_literal_reference_get_outputs_until_eos(shared):
     lengths = np.where(has_eos, eos_pos, limits)
     ours = trim_outputs(jnp.asarray(rows), jnp.asarray(lengths))
     assert ref == ours
+
+
+# ---------------- image decode paths (seq_gen.py:81-106, 163-179) --------
+
+G, O = 49, 5  # image-grid slots, detections per image
+
+
+@pytest.fixture(scope="module")
+def image_shared(shared):
+    """Shared fixtures for the caption arms: a fixed pseudo image grid and
+    object-stream states (the reference decoder treats encode() as a black
+    box — parity needs identical states on both sides, not a real CNN), an
+    independent object-decoder weight set, and the blend gates."""
+    sd, cfg, model, params, src, src_mask, sizes, langs, first = shared
+    from test_torch_parity import make_state_dict
+
+    # Seed chosen tie-free: with seed 21 one greedy row hit a genuine
+    # fp32 near-tie (top-2 log-probs 2e-5 apart) where torch and XLA round
+    # to different winners — a numeric artifact, not a semantic divergence
+    # (the text arm implicitly relies on its fixture being tie-free too).
+    rng = np.random.RandomState(22)
+    B = 24
+    grid = rng.normal(0, 0.5, (B, G, E)).astype(np.float32)
+    obj = rng.normal(0, 0.5, (B, O, E)).astype(np.float32)
+    sd2 = make_state_dict(seed=8)
+    gate_ms = rng.normal(0, 0.2, (1, E)).astype(np.float32)
+    first_b = np.full((B,), 6, np.int64)
+    langs_b = np.zeros((B,), np.int64)
+    return sd, sd2, cfg, grid, obj, gate_ms, first_b, langs_b
+
+
+def _ref_image_model(sd, sd2, grid, obj, gate_ms):
+    m = _RefSeq2Seq(sd)
+    m._grid = torch.tensor(grid)
+    m._obj = torch.tensor(obj) if obj is not None else None
+    if obj is not None:
+        m.obj_decoder = _RefDecoder(sd2)
+        m.multistream_attention_gate = torch.tensor(gate_ms)
+    return m
+
+
+def _our_image_variables(sd, sd2, cfg, gate_ms):
+    """ImageSeq2Seq variables whose core/object decoders are the imported
+    reference weights (train/torch_import), ResNet params unused (decode
+    starts from the provided states, exactly like the reference)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from imagetranslate_tpu.models.captioning import ImageSeq2Seq
+
+    cfg_img = dataclasses.replace(cfg, use_obj=True)
+    imodel = ImageSeq2Seq(cfg_img)
+    rng = np.random.RandomState(31)
+    B, T, IMG = 2, 6, 32
+    images = jnp.asarray(rng.uniform(0, 1, (B, IMG, IMG, 3)).astype(np.float32))
+    caps = jnp.asarray(rng.randint(5, V, (B, T)))
+    v0 = imodel.init(jax.random.PRNGKey(0), images, caps,
+                     jnp.ones((B, T), bool), jnp.zeros((B,), jnp.int32),
+                     method=ImageSeq2Seq.init_everything)
+    sd_np = {k: x.numpy() for k, x in sd.items()}
+    sd2_np = {k: x.numpy() for k, x in sd2.items()}
+    p = dict(v0["params"])
+    p["core"] = import_seq2seq(sd_np, cfg)["params"]
+    p["obj_decoder"] = import_seq2seq(sd2_np, cfg)["params"]["decoders_0"]
+    p["multistream_attention_gate"] = jnp.asarray(gate_ms)
+    return imodel, {"params": p}
+
+
+@pytest.mark.parametrize("K", [1, 4])
+def test_literal_reference_caption_decode(image_shared, K):
+    """Single-stream caption decode (images=, no object stream): the
+    literal BeamDecoder drives decode over the grid with NO encoder mask
+    and a constant max_len (seq_gen.py:87-94, 120-121); ours decodes the
+    same grid through beam_search with src_sizes=None."""
+    import jax.numpy as jnp
+
+    from imagetranslate_tpu.decoding.beam import beam_search, trim_outputs
+
+    sd, sd2, cfg, grid, obj, gate_ms, first, langs = image_shared
+    B = grid.shape[0]
+    max_len = 16
+    seq_gen = _load_reference_module()
+    ref_model = _ref_image_model(sd, sd2, grid, None, gate_ms)
+    decoder = seq_gen.BeamDecoder(ref_model, beam_width=K, max_len_a=1.3,
+                                  max_len_b=5, len_penalty_ratio=0.8)
+    with torch.no_grad(), pre_torch15_integer_division():
+        ref_rows = decoder(images=torch.zeros(B, 3, 8, 8),
+                           first_tokens=torch.tensor(first),
+                           tgt_langs=torch.tensor(langs), pad_idx=PAD,
+                           max_len=max_len)
+    ref = [r.tolist() for r in ref_rows]
+
+    model = Seq2Seq(cfg)
+    params = import_seq2seq({k: x.numpy() for k, x in sd.items()}, cfg)
+    best, lengths = beam_search(
+        model, params, jnp.asarray(grid), jnp.ones((B, G), bool),
+        jnp.asarray(first), jnp.asarray(langs), None, beam_width=K,
+        max_len=max_len, max_len_a=1.3, max_len_b=5, len_penalty_ratio=0.8,
+        pad_id=PAD, eos_id=EOS, ref_ties=(K > 1))
+    ours = trim_outputs(best, lengths)
+    mismatches = [r for r in range(B) if ref[r] != ours[r]]
+    assert not mismatches, (
+        f"{len(mismatches)}/{B} caption rows diverge at K={K}; first: row "
+        f"{mismatches[0]}\nref : {ref[mismatches[0]]}\n"
+        f"ours: {ours[mismatches[0]]}")
+
+
+@pytest.mark.parametrize("K", [1, 4])
+def test_literal_reference_caption_obj_decode(image_shared, K):
+    """Dual grid+object caption decode (--obj): the literal decoder blends
+    decoder and obj_decoder outputs with sigmoid(multistream gate + eps)
+    each step (seq_gen.py:163-179); ours drives beam_search_dual over the
+    same states with the imported object-decoder weights."""
+    import jax.numpy as jnp
+
+    from imagetranslate_tpu.decoding.beam import (
+        beam_search_dual,
+        trim_outputs,
+    )
+    from imagetranslate_tpu.models.captioning import ImageSeq2Seq
+
+    sd, sd2, cfg, grid, obj, gate_ms, first, langs = image_shared
+    B = grid.shape[0]
+    max_len = 16
+    seq_gen = _load_reference_module()
+    ref_model = _ref_image_model(sd, sd2, grid, obj, gate_ms)
+    decoder = seq_gen.BeamDecoder(ref_model, beam_width=K, max_len_a=1.3,
+                                  max_len_b=5, len_penalty_ratio=0.8)
+    with torch.no_grad(), pre_torch15_integer_division():
+        ref_rows = decoder(images=torch.zeros(B, 3, 8, 8),
+                           first_tokens=torch.tensor(first),
+                           tgt_langs=torch.tensor(langs), pad_idx=PAD,
+                           max_len=max_len)
+    ref = [r.tolist() for r in ref_rows]
+
+    imodel, variables = _our_image_variables(sd, sd2, cfg, gate_ms)
+    best, lengths = beam_search_dual(
+        imodel, variables, jnp.asarray(grid), jnp.ones((B, G), bool),
+        jnp.asarray(obj), jnp.asarray(first), jnp.asarray(langs), None,
+        grid_mask=jnp.ones((B, O), bool),
+        init_method=ImageSeq2Seq.init_obj_dual_cache,
+        step_method=ImageSeq2Seq.decode_step_obj_dual,
+        beam_width=K, max_len=max_len, max_len_a=1.3, max_len_b=5,
+        len_penalty_ratio=0.8, pad_id=PAD, eos_id=EOS, ref_ties=(K > 1))
+    ours = trim_outputs(best, lengths)
+    mismatches = [r for r in range(B) if ref[r] != ours[r]]
+    assert not mismatches, (
+        f"{len(mismatches)}/{B} obj-caption rows diverge at K={K}; first: "
+        f"row {mismatches[0]}\nref : {ref[mismatches[0]]}\n"
+        f"ours: {ours[mismatches[0]]}")

@@ -64,6 +64,7 @@ def test_partition_tag_fingerprints_machine_and_topology():
         ("cpu_microcode", "0xdeadbeef"),       # cross-host (microcode
         ("cpu_model", "Imaginary CPU @ 9GHz"),  # drives LLVM tuning flags)
         ("cpu_flags_sha", "0" * 16),
+        ("cpu_count", 4096),                    # compile-time parallelism
         ("xla_flags", "--xla_force_host_platform_device_count=2"),
         ("num_processes", "2"),                 # cluster topology
         ("jaxlib", "0.0.1"),                    # serialization format
