@@ -57,6 +57,7 @@ class ImageSeq2Seq(nn.Module):
             # over the 91 COCO classes (image_model.py:44-75, 111-122).
             from imagetranslate_tpu.models.transformer import (
                 Decoder,
+                Embeddings,
                 dense_init,
             )
 
@@ -65,11 +66,22 @@ class ImageSeq2Seq(nn.Module):
             # and its obj_decoder[batch_lang] selection (seq_gen.py:168-169,
             # image_model.py:358). Single-decoder models keep the bare
             # `obj_decoder` name so existing param trees load unchanged.
+            # The object stream embeds its token prefix with its OWN
+            # embedding table: the reference's obj_decoder is a fresh
+            # BertDecoderModel whose input embeddings are never tied to the
+            # text stack (image_model.py:281-284 ties only the output
+            # layer). Documented deviation: under lang_dec the reference
+            # additionally ties token_type (and, with tie_embed, position)
+            # embeddings into each copy (image_model.py:290-294); ours are
+            # fully independent — a strict superset that can still
+            # represent any tied checkpoint on import.
             n_dec = cfg.num_languages if cfg.lang_dec else 1
             if n_dec == 1:
                 self.obj_decoder = Decoder(cfg)
+                self.obj_embeddings = Embeddings(cfg)
             else:
                 self.obj_decoder = [Decoder(cfg) for _ in range(n_dec)]
+                self.obj_embeddings = [Embeddings(cfg) for _ in range(n_dec)]
             self.multistream_attention_gate = self.param(
                 "multistream_attention_gate", nn.initializers.constant(0.1),
                 (1, cfg.hidden_size))
@@ -196,8 +208,11 @@ class ImageSeq2Seq(nn.Module):
         grid_mask = jnp.ones(grid.shape[:2], bool)
         main_out = core._run_decoder(lang_idx, x, grid, self_bias,
                                      pad_bias(grid_mask), deterministic)
-        obj_out = self._run_obj_decoder(lang_idx, x, obj_states, self_bias,
-                                        pad_bias(obj_keep), deterministic)
+        x_obj = self._obj_embed(dec_in, pos, lang_ids, deterministic,
+                                lang_idx)
+        obj_out = self._run_obj_decoder(lang_idx, x_obj, obj_states,
+                                        self_bias, pad_bias(obj_keep),
+                                        deterministic)
         gate = jax.nn.sigmoid(self.multistream_attention_gate + 1e-7)
         gate = gate.astype(main_out.dtype)
         blended = gate * main_out + (1.0 - gate) * obj_out
@@ -329,6 +344,24 @@ class ImageSeq2Seq(nn.Module):
     def _obj_decoders(self):
         od = self.obj_decoder
         return list(od) if isinstance(od, (list, tuple)) else [od]
+
+    def _obj_embeds(self):
+        oe = self.obj_embeddings
+        return list(oe) if isinstance(oe, (list, tuple)) else [oe]
+
+    def _obj_embed(self, ids, positions, lang_ids, deterministic, lang_idx):
+        """Object-stream input embedding (own table, see setup note)."""
+        embs = self._obj_embeds()
+        if len(embs) == 1:
+            return embs[0](ids, positions, lang_ids, deterministic)
+        if self.is_initializing():
+            return [e(ids, positions, lang_ids, deterministic)
+                    for e in embs][0]
+        branches = [
+            (lambda m, *a, _i=i: m._obj_embeds()[_i](*a, deterministic))
+            for i in range(len(embs))
+        ]
+        return nn.switch(lang_idx, branches, self, ids, positions, lang_ids)
 
     def _run_obj_decoder(self, lang_idx, x, obj_states, self_bias,
                          cross_bias, deterministic):
@@ -535,9 +568,11 @@ class ImageSeq2Seq(nn.Module):
         positions = jnp.full((B, 1), index, jnp.int32)
         lang_ids = expand_langs(tgt_langs, 1)
         x = core.embeddings(prev_token, positions, lang_ids, True)
+        x_obj = self._obj_embed(prev_token, positions, lang_ids, True,
+                                lang_idx)
         h_img, c_img = self._core_step(x, cache["img"], index,
                                        cross_bias_img, lang_idx)
-        h_obj, c_obj = self._obj_step(x, cache["obj"], index,
+        h_obj, c_obj = self._obj_step(x_obj, cache["obj"], index,
                                       cross_bias_obj, lang_idx)
         gate = jax.nn.sigmoid(self.multistream_attention_gate + 1e-7)
         blended = gate.astype(h_img.dtype) * h_img \
@@ -569,10 +604,13 @@ class ImageSeq2Seq(nn.Module):
         positions = jnp.full((B, 1), index, jnp.int32)
         lang_ids = expand_langs(tgt_langs, 1)
         x = core.embeddings(prev_token, positions, lang_ids, True)
+        x_obj = self._obj_embed(prev_token, positions, lang_ids, True,
+                                lang_idx)
         h_img, c_img = self._core_step_windowed(
             x, cache["img"], j, cross_bias_img, rowsel, wanc, t0, lang_idx)
         h_obj, c_obj = self._obj_step_windowed(
-            x, cache["obj"], j, cross_bias_obj, rowsel, wanc, t0, lang_idx)
+            x_obj, cache["obj"], j, cross_bias_obj, rowsel, wanc, t0,
+            lang_idx)
         gate = jax.nn.sigmoid(self.multistream_attention_gate + 1e-7)
         blended = gate.astype(h_img.dtype) * h_img \
             + (1.0 - gate).astype(h_obj.dtype) * h_obj

@@ -31,27 +31,33 @@ Two poisoning incidents, both root-caused on this repo:
   mismatched feature profiles; a poisoned 8-device collective deadlocked
   the suite (InProcessCommunicator::AllReduce rendezvous timeout). Fixed
   then by partitioning on ``jax_platforms`` — necessary, not sufficient.
-* round 5 (same-profile, cross-ENVIRONMENT): an entry for the 8-device
-  pipeline-parallel train step hash-matched a fresh compile of the same
-  program but contained a DIFFERENT executable (same size, same ELF
-  count, same target-feature string, fusion-emitter metadata reordered —
-  XLA:CPU compilation is not bit-deterministic across environments).
-  Loading the foreign variant from the cache and executing it hung some
-  of the 8 per-device executions before their collectives; the next
-  program's rendezvous then timed out with partial arrival and XLA's
-  40 s termination LOG(FATAL)'d the whole process —
-  ``tests/test_pipeline.py::test_pp_trainer_bt_smoke`` SIGABRTed 4/4.
-  The producing session ran on another fleet machine / resource profile
-  sharing this home directory. (The ``cpu_aot_loader`` "machine feature
-  +prefer-no-scatter not supported" warning seen alongside is a RED
-  HERRING: this host's own entries warn identically — the loader checks
-  LLVM *tuning* flags against a host-feature list that never contains
-  them.) Post-mortem: docs/PERF.md round 5.
+* round 5 (same-profile): reloading ANY serialized entry for a
+  multi-device CPU SPMD program (the 8-device pipeline-parallel train
+  step) hangs its collectives — some per-device executions never reach
+  the all-reduce rendezvous — and XLA's 40 s rendezvous termination
+  LOG(FATAL)s the whole process. Reproduced with full controls on one
+  host, one environment, one code state, solo: fresh compile passes and
+  writes the entry; the very next process reloads it and SIGABRTs;
+  delete only the step_fn entries and it passes again (docs/PERF.md
+  round 5). This is a jaxlib 0.9.0 XLA:CPU AOT-reload defect for
+  collective-bearing executables, not a cache-key collision. (Two red
+  herrings for the record: the ``cpu_aot_loader`` "machine feature
+  +prefer-no-scatter not supported" warning is noise — this host's own
+  entries warn identically, the loader checks LLVM *tuning* flags
+  against a hardware-feature list that never contains them; and
+  byte-differences between same-key entries are ordinary — XLA:CPU
+  codegen is not bit-deterministic even in one fixed environment.)
 
-A bad entry aborts the process from a worker thread — there is nothing to
-catch in Python — so the only recovery story is PREVENTION: keep every
-compile-environment dimension jax does not key out of the shared
-partition. The partition tag therefore fingerprints:
+A bad reload aborts the process from a worker thread — there is nothing
+to catch in Python — so the only safe behavior is REFUSAL:
+``enable_persistent_cache`` is a logged no-op on CPU multi-device
+profiles (forced host device count > 1 or a multi-process cluster),
+the only profiles that compile collective-bearing CPU executables.
+Single-device CPU and the TPU profiles — where the cache pays (bench
+cold 997 s -> warm 614 s, round 4) — keep it.
+
+For the profiles that do cache, entries must still never be shared
+across compile environments. The partition tag fingerprints:
 
 - ``jax_platforms``  (round-4 vector),
 - jax + jaxlib versions (serialized-executable format compatibility),
@@ -154,6 +160,29 @@ def current_profile() -> dict:
     }
 
 
+def unsafe_cache_profile(profile: Optional[dict] = None) -> Optional[str]:
+    """Non-None (with the reason) when the current profile compiles
+    multi-device CPU SPMD programs: jaxlib 0.9.0's XLA:CPU AOT reload of
+    collective-bearing executables deterministically hangs the collective
+    rendezvous and LOG(FATAL)s the process after 40 s (module docstring,
+    round-5 incident). No per-program filter exists at the jax API, so
+    the whole profile must refuse the persistent cache."""
+    prof = profile if profile is not None else current_profile()
+    primary = (prof.get("platforms") or "default").split(",")[0]
+    if primary != "cpu":
+        return None
+    m = re.search(r"xla_force_host_platform_device_count=(\d+)",
+                  prof.get("xla_flags") or "")
+    if m and int(m.group(1)) > 1:
+        return ("multi-device CPU profile (forced host device count "
+                f"{m.group(1)}): XLA:CPU cannot safely reload serialized "
+                "collective executables")
+    if prof.get("num_processes"):
+        return ("multi-process CPU cluster: XLA:CPU cannot safely reload "
+                "serialized collective executables")
+    return None
+
+
 def partition_tag(profile: Optional[dict] = None) -> str:
     """Human-scannable prefix + schema version + fingerprint hash."""
     prof = profile if profile is not None else current_profile()
@@ -212,12 +241,16 @@ def _check_marker(partition: str, profile: dict) -> None:
         logger.warning("could not write cache marker %s: %s", marker, e)
 
 
-def enable_persistent_cache(path: Optional[str] = None) -> str:
+def enable_persistent_cache(path: Optional[str] = None,
+                            force: bool = False) -> Optional[str]:
     """Point jax's persistent compilation cache at a profile-partitioned
     subdirectory of `path` via runtime config (immune to the env-var
     capture-timing trap above). Honors an explicit argument over
     $JAX_COMPILATION_CACHE_DIR over the package default. Returns the
-    partition directory in effect.
+    partition directory in effect, or None when the profile is refused
+    as cache-unsafe (see unsafe_cache_profile; `force=True` overrides,
+    for tests of the partitioning machinery only — forcing on a
+    multi-device CPU profile reintroduces the reload SIGABRT).
 
     jax latches BOTH the one-shot "is the cache used" decision and the
     cache OBJECT (pinned to whatever dir was configured at the process's
@@ -229,9 +262,27 @@ def enable_persistent_cache(path: Optional[str] = None) -> str:
     in-memory handle, which jax rebuilds on the next compile."""
     import jax
 
+    profile = current_profile()
+    reason = None if force else unsafe_cache_profile(profile)
+    if reason is not None:
+        logger.info("persistent XLA cache refused: %s", reason)
+        # Still garbage-collect pre-schema layouts: the poisoned legacy
+        # entries are exactly what a refusing profile left behind.
+        _purge_legacy(path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                      or DEFAULT_DIR)
+        if jax.config.jax_compilation_cache_dir:
+            # An env-var capture would otherwise leave the unsafe cache on.
+            jax.config.update("jax_compilation_cache_dir", None)
+            try:
+                from jax._src import compilation_cache as cc
+
+                cc.reset_cache()
+            except Exception:
+                pass
+        return None
+
     base = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
             or DEFAULT_DIR)
-    profile = current_profile()
     full = os.path.join(base, partition_tag(profile))
     os.makedirs(full, exist_ok=True)
     _purge_legacy(base)
@@ -252,13 +303,20 @@ def maybe_enable_from_env() -> Optional[str]:
     the caller expressed intent through the env var; mirroring it into
     jax.config makes that intent effective under sitecustomize hosts.
     Never imports jax otherwise, and never clobbers a cache dir the user
-    already configured directly via jax.config.update (ADVICE r4: the
-    mirror must not undo an explicit runtime setting)."""
-    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    configured directly via jax.config.update (ADVICE r4: the mirror must
+    not undo an explicit runtime setting). A configured value EQUAL to the
+    env var is jax's own import-time capture of that env var, not a
+    runtime override — that case must still be partitioned (an eager-jax
+    host with the env var set pre-interpreter would otherwise write
+    UNPARTITIONED entries, the exact poisoning vector this module
+    exists to close), and re-partitioning an already-partitioned value
+    is idempotent."""
+    env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if env:
         import jax
 
         configured = jax.config.jax_compilation_cache_dir
-        if configured:
+        if configured and configured != env:
             return configured
         return enable_persistent_cache()
     return None

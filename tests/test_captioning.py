@@ -370,13 +370,14 @@ def test_lang_dec_dual_and_object_decode():
     model1 = ImageSeq2Seq(cfg1)
     pA = variables["params"]
     p1 = {k: v for k, v in pA.items()
-          if not k.startswith(("obj_decoder_",))}
+          if not k.startswith(("obj_decoder_", "obj_embeddings_"))}
     core = {k: v for k, v in pA["core"].items()
             if not k.startswith(("decoders_", "output_layers_"))}
     core["decoders_0"] = pA["core"]["decoders_1"]
     core["output_layers_0"] = pA["core"]["output_layers_1"]
     p1["core"] = core
     p1["obj_decoder"] = pA["obj_decoder_1"]
+    p1["obj_embeddings"] = pA["obj_embeddings_1"]
     v1 = {"params": p1}
     for fn in (dual, objdual):
         bA, lA = fn(model, variables, ones, "gather")

@@ -10,6 +10,11 @@ from imagetranslate_tpu.utils import xla_cache
 
 
 def test_enable_persistent_cache_sets_config(tmp_path, monkeypatch):
+    # The pytest profile (8-device CPU) is refused by the reload-safety
+    # guard; neutralize it here to test the partition/env mechanics (the
+    # guard itself is pinned in test_unsafe_cpu_multidevice_profile).
+    monkeypatch.setattr(xla_cache, "unsafe_cache_profile",
+                        lambda *a, **k: None)
     prev = jax.config.jax_compilation_cache_dir
     try:
         target = str(tmp_path / "cache")
@@ -37,6 +42,16 @@ def test_enable_persistent_cache_sets_config(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", user_dir)
         assert xla_cache.maybe_enable_from_env() == user_dir
         assert jax.config.jax_compilation_cache_dir == user_dir
+
+        # ...but a configured value EQUAL to the env var is jax's own
+        # import-time env capture (eager-jax host with the var set before
+        # the interpreter started) — that must still get partitioned, or
+        # the entries land unpartitioned: the poisoning vector itself.
+        jax.config.update("jax_compilation_cache_dir", env_dir)
+        assert xla_cache.maybe_enable_from_env() == \
+            os.path.join(env_dir, tag)
+        assert jax.config.jax_compilation_cache_dir == \
+            os.path.join(env_dir, tag)
 
         monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
         jax.config.update("jax_compilation_cache_dir", None)
@@ -75,11 +90,14 @@ def test_partition_tag_fingerprints_machine_and_topology():
         assert xla_cache.partition_tag(mutated) != same, field
 
 
-def test_enable_purges_legacy_layouts_and_foreign_markers(tmp_path):
+def test_enable_purges_legacy_layouts_and_foreign_markers(tmp_path,
+                                                          monkeypatch):
     """Entries the current schema cannot vouch for are removed on enable:
     pre-partition root files, pre-schema partition dirs (the layout the
-    round-5 cross-host poisoning lived in), and partitions whose
-    PROFILE.json disagrees with the current profile."""
+    round-5 poisoning lived in), and partitions whose PROFILE.json
+    disagrees with the current profile."""
+    monkeypatch.setattr(xla_cache, "unsafe_cache_profile",
+                        lambda *a, **k: None)
     prev = jax.config.jax_compilation_cache_dir
     base = tmp_path / "cache"
     # Legacy layouts.
@@ -117,11 +135,13 @@ def test_enable_purges_legacy_layouts_and_foreign_markers(tmp_path):
         jax.config.update("jax_compilation_cache_dir", prev)
 
 
-def test_enable_after_prior_compiles_redirects_cache(tmp_path):
+def test_enable_after_prior_compiles_redirects_cache(tmp_path, monkeypatch):
     """jax pins the cache OBJECT to whatever dir was configured at the
     process's first compile; enable_persistent_cache must reset it so a
     later redirect actually lands in the new directory (caught by
     full-suite ordering: hundreds of compiles precede this module)."""
+    monkeypatch.setattr(xla_cache, "unsafe_cache_profile",
+                        lambda *a, **k: None)
     import jax.numpy as jnp
     import numpy as np
 
@@ -163,11 +183,13 @@ def test_enable_after_prior_compiles_redirects_cache(tmp_path):
         cc.reset_cache()
 
 
-def test_cache_round_trip_on_cpu(tmp_path):
+def test_cache_round_trip_on_cpu(tmp_path, monkeypatch):
     """Entries are written and the second compile of the same program in
     THIS process hits jax's in-memory layer; the cross-process warm-start
     is the TPU-validated part (PERF.md). Here we only assert the write
     side engages through our enabler on the test backend."""
+    monkeypatch.setattr(xla_cache, "unsafe_cache_profile",
+                        lambda *a, **k: None)
     import jax.numpy as jnp
     import numpy as np
 
@@ -192,3 +214,35 @@ def test_cache_round_trip_on_cpu(tmp_path):
                           prev_min)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes",
                           prev_sz)
+
+
+def test_unsafe_cpu_multidevice_profile(tmp_path):
+    """jaxlib 0.9.0 XLA:CPU deterministically SIGABRTs when RELOADING a
+    serialized multi-device SPMD executable (collective rendezvous hang +
+    40s termination; PERF.md round 5) — so the cache must refuse exactly
+    the profiles that compile such programs. The pytest profile (forced
+    8-device CPU) is one of them."""
+    reason = xla_cache.unsafe_cache_profile()
+    assert reason is not None and "multi-device CPU" in reason
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # Refusal: no dir returned, and a lingering env-captured config
+        # value is cleared rather than left pointing at an unsafe cache.
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+        assert xla_cache.enable_persistent_cache(str(tmp_path)) is None
+        assert jax.config.jax_compilation_cache_dir is None
+        # force=True still partitions (tests of the machinery use this).
+        got = xla_cache.enable_persistent_cache(str(tmp_path), force=True)
+        assert got is not None and got.startswith(str(tmp_path))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+    # Profile-level classification: single-device CPU and TPU are safe.
+    prof = xla_cache.current_profile()
+    single = dict(prof, xla_flags="", num_processes="")
+    assert xla_cache.unsafe_cache_profile(single) is None
+    tpu = dict(prof, platforms="axon,cpu")
+    assert xla_cache.unsafe_cache_profile(tpu) is None
+    cluster = dict(prof, xla_flags="", num_processes="2")
+    assert xla_cache.unsafe_cache_profile(cluster) is not None
