@@ -178,8 +178,8 @@ def main():
 
     step_rng = train_rng(0)
 
-    def measure_train(bt, fn=None):
-        fn = fn or step_fn
+    def measure_train(bt):
+        fn = step_fn
         b_ids = jax.random.randint(rng, (bt, S), 5, cfg.vocab_size)
         batch = {
             "src": b_ids, "src_mask": jnp.ones((bt, S), bool), "dst": b_ids,
@@ -350,6 +350,153 @@ def main():
     _prog("measuring caption (real input path)")
     caption_ips_real = measure_caption_real_pipeline()
 
+    # ---- caption real-path DECOMPOSITION (VERDICT r4 #8): the end-to-end
+    # number above rides the tunnel's H2D bandwidth, which swings 4-38 MB/s
+    # hour to hour (PERF.md round-4 "tunnel weather"); publishing the parts
+    # makes cross-round comparisons of it meaningful.
+    def probe_h2d_mb_s(mb=16, iters=5):
+        """Median host->device throughput on an INCOMPRESSIBLE buffer
+        (ones-buffers compress in transit and read 10-100x high)."""
+        buf = np.random.RandomState(0).randint(
+            0, 255, (mb * 1024 * 1024,), np.uint8)
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            _ = jnp.asarray(buf).block_until_ready()
+            times.append(time.perf_counter() - t0)
+        return mb / float(np.median(times))
+
+    def measure_host_decode_ips(n_images=192, batch_size=64):
+        """Host-side JPEG decode+resize alone: drain the folder batcher
+        (native imagedec thread pool), no device involved."""
+        import tempfile
+
+        from PIL import Image
+
+        from imagetranslate_tpu.data.images import ImageFolderBatcher
+
+        rs = np.random.RandomState(0)
+        with tempfile.TemporaryDirectory() as td:
+            for i in range(n_images):
+                Image.fromarray(
+                    rs.randint(0, 255, (480, 640, 3), np.uint8)).save(
+                        os.path.join(td, f"{i:05d}.jpg"), quality=90)
+            batcher = ImageFolderBatcher(td, batch_size, 0, 6)
+            for b in batcher:      # page-cache warm
+                pass
+            t0 = time.perf_counter()
+            done = 0
+            for b in batcher:
+                done += len(b["paths"])
+            return done / (time.perf_counter() - t0)
+
+    _prog("measuring caption decomposition (H2D probe, host decode)")
+    h2d_mb_s = probe_h2d_mb_s()
+    host_decode_ips = measure_host_decode_ips()
+    # Tunnel-free device-side img/s at the real path's batch/beam settings
+    # is the synthetic measurement above (device-resident images, same
+    # grid-encode + beam-4 decode) at the real path's batch size of 64.
+    caption_ips_decode_only = caption_per_batch.get(64, caption_ips)
+
+    # ---- long-document LM (VERDICT r4 #4): the Reformer-capability
+    # replacement (models/longdoc.py, blockwise local attention) gets a
+    # speed number: 4096-position MLM train tok/s + MFU, and the S>=1024
+    # flash-attention inference A/B on the seq2seq encoder.
+    def measure_longdoc():
+        from imagetranslate_tpu.models.longdoc import (
+            LongDocLM,
+            longdoc_config,
+        )
+        from imagetranslate_tpu.train.step import make_mlm_train_step
+
+        lcfg = longdoc_config(vocab_size=cfg.vocab_size, num_languages=2,
+                              size=3)
+        lmodel = LongDocLM(lcfg)
+        T = 4096
+        lopt = build_optimizer(lr=1e-4)
+        lstep = make_mlm_train_step(lmodel, lopt, lcfg)
+        results = {}
+        for bt in (2, 4, 8):
+            texts = jax.random.randint(rng, (bt, T), 6, lcfg.vocab_size)
+            batch = {"texts": texts, "pad_mask": jnp.ones((bt, T), bool),
+                     "langs": jnp.zeros((bt,), jnp.int32),
+                     "row_mask": jnp.ones((bt,), bool)}
+            lparams = lmodel.init(jax.random.PRNGKey(2), texts[:1],
+                                  jnp.ones((1, T), bool),
+                                  jnp.zeros((1,), jnp.int32))
+            st = create_train_state(jax.tree.map(jnp.array, lparams), lopt)
+            try:
+                st, m = lstep(st, batch, step_rng)
+                _sync(m["sum_loss"])
+            except Exception as e:  # OOM at this batch: report smaller
+                _prog(f"longdoc B={bt} failed ({type(e).__name__})")
+                break
+            st, m = lstep(st, batch, step_rng)
+            _sync(m["sum_loss"])
+            iters = 10
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                st, m = lstep(st, batch, step_rng)
+            _sync(m["sum_loss"])
+            dt = (time.perf_counter() - t0) / iters
+            results[bt] = bt * T / dt   # processed positions/sec
+        best_b = max(results, key=results.get)
+        tps = results[best_b]
+        n_lp = sum(x.size for x in jax.tree_util.tree_leaves(lparams))
+        emb = (lcfg.vocab_size + lcfg.max_position_embeddings
+               + max(1, lcfg.num_languages)) * lcfg.hidden_size
+        p_mm = n_lp - emb
+        # local attention: each token attends its block + one neighbor
+        # each side (3w keys), QK^T + PV = 4*H*3w per layer per token.
+        attn_ft = 4 * lcfg.hidden_size * 3 * 128 * lcfg.enc_layers
+        ft = 3 * (2 * p_mm + attn_ft)
+        return tps, best_b, ft * tps / 197e12, results
+
+    _prog("measuring longdoc LM train")
+    longdoc_tps, longdoc_B, longdoc_mfu, longdoc_per_batch = \
+        measure_longdoc()
+
+    def measure_flash_ab(S_long=2048, bt=8, n=20):
+        """Seq2Seq encoder at S>=1024: the flash-attention kernel's gate
+        region, measured on/off (in-graph chain; per-call dispatch through
+        the tunnel is ~3-4 ms and would swamp single encodes)."""
+        import dataclasses as _dc
+
+        res = {}
+        for on in (True, False):
+            fcfg = _dc.replace(cfg, use_pallas_attention=on, dropout=0.0)
+            fmodel = Seq2Seq(fcfg)
+            b_src = jax.random.randint(rng, (bt, S_long), 5, cfg.vocab_size)
+            b_mask = jnp.ones((bt, S_long), bool)
+            b_langs = jnp.zeros((bt,), jnp.int32)
+            fparams = fmodel.init(jax.random.PRNGKey(3), b_src[:1],
+                                  b_mask[:1], b_src[:1], b_mask[:1],
+                                  b_langs[:1], b_langs[:1])
+            fparams = cast_params(fparams)
+
+            @jax.jit
+            def chain(x):
+                def one(c, _):
+                    enc = fmodel.apply(fparams, c, b_mask, b_langs,
+                                       method=Seq2Seq.encode)
+                    # Data dependency XLA cannot fold away (a *0 or &0
+                    # would dead-code the whole encode): the sum is real,
+                    # the scaled cast is 0 in practice but not provably.
+                    dep = (jnp.sum(enc.astype(jnp.float32))
+                           * 1e-30).astype(jnp.int32)
+                    return c + dep, None
+                out, _ = jax.lax.scan(one, x, None, length=n)
+                return out
+            _sync(chain(b_src))
+            _sync(chain(b_src))
+            t0 = time.perf_counter()
+            _sync(chain(b_src))
+            res[on] = bt * S_long / ((time.perf_counter() - t0) / n)
+        return res
+
+    _prog("measuring flash-attention inference A/B")
+    flash_ab = measure_flash_ab()
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
     vs = 1.0
@@ -373,6 +520,19 @@ def main():
         "caption_ips_per_batch": {str(k): round(v, 1)
                                   for k, v in caption_per_batch.items()},
         "caption_images_per_sec_real_pipeline": round(caption_ips_real, 1),
+        # Decomposition of the real-path number (PERF.md "tunnel weather"):
+        # the end-to-end value is H2D-bound on this tunneled chip; compare
+        # rounds on the parts, not the headline.
+        "caption_ips_decode_only": round(caption_ips_decode_only, 1),
+        "caption_host_decode_ips": round(host_decode_ips, 1),
+        "h2d_mb_s": round(h2d_mb_s, 2),
+        "longdoc_train_tokens_per_sec": round(longdoc_tps, 1),
+        "longdoc_batch": longdoc_B,
+        "longdoc_mfu": round(longdoc_mfu, 4),
+        "longdoc_tps_per_batch": {str(k): round(v, 1)
+                                  for k, v in longdoc_per_batch.items()},
+        "flash_encode_tokens_per_sec_s2048": round(flash_ab[True], 1),
+        "xla_encode_tokens_per_sec_s2048": round(flash_ab[False], 1),
         "train_tps_per_batch": {str(k): round(v, 1)
                                 for k, v in train_per_batch.items()},
         "decode_batch": decode_B, "decode_src_len": S, "decode_max_len": L,

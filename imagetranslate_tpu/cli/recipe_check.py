@@ -57,6 +57,12 @@ def get_parser():
                    help="required dev-loss improvement (nats/token)")
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--dev-size", type=int, default=300)
+    p.add_argument("--deep", action="store_true",
+                   help="one-off deep quality row (VERDICT r4 #9): 2000 "
+                        "supervised steps, 600 MASS + 400 BT steps, and a "
+                        "BT-phase BLEU delta (beam decode before/after) "
+                        "next to the NLL gate; recorded in the ledger as "
+                        "the 'deep' row, not a per-round cadence")
     return p
 
 
@@ -238,25 +244,42 @@ def run_umt(options, tp, results):
              tp.token_id("<en>"))
     from imagetranslate_tpu.data.binarize import load_mt
 
-    bt_dev = MTBatcher(load_mt(bt_dev_bin),
-                       pad_id=tp.pad_token_id()).batches[:6]
+    bt_dev_batcher = MTBatcher(load_mt(bt_dev_bin), pad_id=tp.pad_token_id())
+    bt_dev = bt_dev_batcher.batches[:6]
     nll0 = dev_loss(trainer, bt_dev)
+    bleu0 = bleu1 = None
+    if options.deep:
+        # BT-phase BLEU delta (beam decode of the held-out fa->en slice
+        # before/after the fine-tune) — the deep row's quality evidence
+        # beyond the NLL gate.
+        bleu0 = trainer.eval_bleu(bt_dev_batcher,
+                                  os.path.join(wd, "umt_bleu0"))
 
     # Phase 2: optimizer reset + BT fine-tune with direction flipping.
     trainer.reset_for_finetune()
     directions = MTTrainer.lang_directions(["en", "fa"], tp)
     bt_target = step + options.bt_steps
-    step = trainer.train_epoch(
-        step, os.path.join(wd, "umt_ckpt"), mass_batcher=batcher,
-        max_step=bt_target, fine_tune=True, lang_directions=directions,
-        eval_every=10 ** 9, save_every=10 ** 9, epoch_seed=99)
+    epoch = 99
+    while step < bt_target:
+        step = trainer.train_epoch(
+            step, os.path.join(wd, "umt_ckpt"), mass_batcher=batcher,
+            max_step=bt_target, fine_tune=True, lang_directions=directions,
+            eval_every=10 ** 9, save_every=10 ** 9, epoch_seed=epoch)
+        epoch += 1
     nll1 = dev_loss(trainer, bt_dev)
+    if options.deep:
+        bleu1 = trainer.eval_bleu(bt_dev_batcher,
+                                  os.path.join(wd, "umt_bleu1"))
 
     results["umt"] = {
         "mass_steps": options.mass_steps, "bt_steps": step - options.mass_steps,
         "mass_loss_before": round(m0, 4), "mass_loss_after": round(m1, 4),
         "bt_dev_nll_before": round(nll0, 4), "bt_dev_nll_after": round(nll1, 4),
     }
+    if options.deep:
+        results["umt"]["bt_bleu_before"] = round(bleu0, 3)
+        results["umt"]["bt_bleu_after"] = round(bleu1, 3)
+        results["umt"]["deep"] = True
     assert m1 < m0 - 0.2, f"MASS loss did not drop: {m0:.3f} -> {m1:.3f}"
     assert step >= bt_target, "BT phase did not step"
     assert nll1 < nll0 - options.bt_nll_drop, (
@@ -346,6 +369,10 @@ def append_ledger(path, results, ok: bool):
 
 def main(argv=None):
     options = get_parser().parse_args(argv)
+    if options.deep:
+        options.steps = max(options.steps, 2000)
+        options.mass_steps = max(options.mass_steps, 600)
+        options.bt_steps = max(options.bt_steps, 400)
     os.makedirs(options.workdir, exist_ok=True)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 

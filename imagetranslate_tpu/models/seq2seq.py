@@ -228,6 +228,61 @@ class Seq2Seq(nn.Module):
                 in_specs=(P("data", None), P(None, None), P(None)),
                 out_specs=(P("data", None), P("data", None), P("data")),
             )(h.astype(cd), w, b)
+        # Vocab-sharded (tensor-parallel) mesh: the projection weight is
+        # sharded over the model axis (parallel/mesh.py TP rules), so each
+        # shard runs the fused kernel over its own vocab slice and the
+        # k-candidate lists are merged with one all_gather + final top_k
+        # (ops/topk_project.sharded_project_topk) — identical triple,
+        # identical tie-break. Closes round-4's "decode top-k falls back
+        # under TP" gap.
+        tp_mesh = (runtime.head_shard_mesh()
+                   if runtime.spmd_lowering() and dp_mesh is None else None)
+        if tp_mesh is not None:
+            tp_sizes = dict(zip(tp_mesh.axis_names, tp_mesh.devices.shape))
+            n_dp_tp = tp_sizes.get("data", 1)
+            n_tp = tp_sizes.get("model", 1)
+        else:
+            n_dp_tp = n_tp = 0
+        if (cfg.fused_project_topk and single_head
+                and not self.is_initializing()
+                and runtime.tpu_lowering()
+                and n_tp > 1 and cfg.vocab_size % n_tp == 0
+                and m % n_dp_tp == 0
+                and tkp.supported(m // n_dp_tp, e, cfg.vocab_size // n_tp,
+                                  k, jnp.dtype(cfg.compute_dtype).itemsize)):
+            from jax.sharding import PartitionSpec as P
+
+            cd = cfg.compute_dtype
+            vs = cfg.vocab_size // n_tp
+            if cfg.tie_embed:
+                # Tied bias is replicated (no TP rule): slice per shard.
+                bias = (self.out_bias[0] if len(self.out_bias) == 1
+                        else jnp.stack(self.out_bias)[lang_idx])
+                w, layout = self.embeddings.word.embedding.astype(cd), "ve"
+                w_spec, b_spec = P("model", None), P(None)
+
+                def body(hh, ww, bb):
+                    sidx = jax.lax.axis_index("model")
+                    bl = jax.lax.dynamic_slice(
+                        bb.astype(jnp.float32), (sidx * vs,), (vs,))
+                    return tkp.sharded_project_topk(hh, ww, bl, k,
+                                                    w_layout="ve")
+            else:
+                pv = self.output_layers[0].proj.variables["params"]
+                w, layout = pv["kernel"].astype(cd), "ev"
+                bias = pv["bias"]
+                w_spec, b_spec = P(None, "model"), P("model")
+
+                def body(hh, ww, bb):
+                    return tkp.sharded_project_topk(hh, ww, bb, k,
+                                                    w_layout="ev")
+
+            return runtime.dp_shard_map(
+                body,
+                in_specs=(P("data", None), w_spec, b_spec),
+                out_specs=(P("data", None), P("data", None), P("data")),
+                mesh=tp_mesh,
+            )(h.astype(cd), w, bias)
         logits = self.project(h[:, None, :], lang_idx)[:, 0, :]
         logits = logits.astype(jnp.float32)
         lse = jax.scipy.special.logsumexp(logits, axis=-1)

@@ -300,3 +300,43 @@ def reference_topk(h, w, b, k, *, w_layout="ev"):
     lse = jax.scipy.special.logsumexp(logits, axis=-1)
     val, idx = jax.lax.top_k(logits, k)
     return val, idx.astype(jnp.int32), lse
+
+
+def sharded_project_topk(
+    h: jnp.ndarray,                # [m_local, E] (batch-sharded rows)
+    w_local: jnp.ndarray,          # local vocab shard of the weight
+    b_local: Optional[jnp.ndarray],  # [V_local] local bias shard or None
+    k: int,
+    *,
+    w_layout: str = "ev",
+    axis_name: str = "model",
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Vocab-sharded fused projection+top-k for TP decode (shard_map body).
+
+    Each model shard runs the fused kernel over its own vocab slice, then
+    the k-candidate lists are all_gathered and merged with one final
+    top_k; the global logsumexp is the logsumexp of the shard lses. The
+    merge preserves lax.top_k's lowest-vocab-index tie break exactly: the
+    gathered candidates are laid out shard-major (ascending global vocab
+    ranges), each shard's list is already idx-ascending among equal
+    values (kernel contract), and top_k over the concatenation picks the
+    lowest position among equals. Replaces the round-4 behavior where
+    vocab-sharded decode lost the kernel entirely (README fallback note).
+    """
+    v_local = w_local.shape[0] if w_layout == "ve" else w_local.shape[1]
+    val, idx, lse = project_topk(h, w_local, b_local, k,
+                                 w_layout=w_layout, interpret=interpret)
+    shard = jax.lax.axis_index(axis_name)
+    idx = idx + (shard * v_local).astype(jnp.int32)
+    vals_all = jax.lax.all_gather(val, axis_name)    # [n, m, k]
+    idxs_all = jax.lax.all_gather(idx, axis_name)
+    lse_all = jax.lax.all_gather(lse, axis_name)     # [n, m]
+    m = h.shape[0]
+    n = vals_all.shape[0]
+    cand_v = jnp.moveaxis(vals_all, 0, 1).reshape(m, n * k)
+    cand_i = jnp.moveaxis(idxs_all, 0, 1).reshape(m, n * k)
+    v, pos = jax.lax.top_k(cand_v, k)
+    i = jnp.take_along_axis(cand_i, pos, axis=1)
+    lse_g = jax.scipy.special.logsumexp(lse_all, axis=0)
+    return v, i.astype(jnp.int32), lse_g
