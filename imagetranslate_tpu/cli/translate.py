@@ -35,6 +35,15 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--len-penalty", dest="len_penalty_ratio", type=float,
                    default=0.8)
     p.add_argument("--capacity", dest="total_capacity", type=int, default=600)
+    p.add_argument("--clean-ties", dest="clean_ties", action="store_true",
+                   default=False,
+                   help="use the clean beam tie/limit semantics instead of "
+                        "reproducing the reference decoder's quirks. "
+                        "WARNING: output comparisons against the released "
+                        "reference models require the DEFAULT (reference) "
+                        "mode — the clean mode changes the returned top "
+                        "beam on a meaningful share of length-limited rows "
+                        "(measured ~1/3; decoding/beam.py docstring)")
     p.add_argument("--dict", dest="dict_path", default=None,
                    help="lexical proposal dictionary")
     p.add_argument("--bucket_step", type=int, default=16,
@@ -207,7 +216,8 @@ def translate_batches(model, cfg, params, tp, batcher, options,
                 max_len=L, max_len_a=options.max_len_a,
                 max_len_b=options.max_len_b,
                 len_penalty_ratio=options.len_penalty_ratio,
-                pad_id=tp.pad_token_id(), eos_id=tp.sep_token_id())
+                pad_id=tp.pad_token_id(), eos_id=tp.sep_token_id(),
+                ref_ties=not getattr(options, "clean_ties", False))
             if pending is not None:
                 flush(pending)
             pending = (b, n_real, best, lengths)
