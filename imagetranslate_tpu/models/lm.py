@@ -37,8 +37,13 @@ class LM(nn.Module):
         x = self.embeddings(texts, pos, lang_ids, deterministic)
         return self.encoder(x, pad_bias(pad_mask), deterministic)
 
+    def project_hidden(self, h):
+        """Tied vocab projection of flat [N, E] hidden -> fp32 [N, V]
+        (the MLM step's masked-budget gather projects only ~the masked
+        positions; see train/step.py make_mlm_train_step)."""
+        return self.embeddings.attend(h).astype(jnp.float32) + self.out_bias
+
     def __call__(self, texts, pad_mask, langs, deterministic: bool = True):
         """Returns fp32 logits [B, T, V]."""
         hidden = self.encode(texts, pad_mask, langs, deterministic)
-        logits = self.embeddings.attend(hidden).astype(jnp.float32)
-        return logits + self.out_bias
+        return self.project_hidden(hidden)

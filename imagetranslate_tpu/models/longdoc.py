@@ -151,7 +151,9 @@ class LongDocLM(nn.Module):
         self.out_bias = self.param("out_bias", nn.initializers.zeros,
                                    (cfg.vocab_size,))
 
-    def __call__(self, texts, pad_mask, langs, deterministic: bool = True):
+    def encode(self, texts, pad_mask, langs, deterministic: bool = True):
+        """Trunk only: [B, T, E] hidden states (same surface as LM.encode,
+        so the train step's masked-budget projection works on both)."""
         B, T = texts.shape
         assert T % self.block == 0, (
             f"long-doc sequences must be multiples of block={self.block}")
@@ -164,5 +166,16 @@ class LongDocLM(nn.Module):
         x = self._constrain(x)
         for layer in self.layers:
             x = self._constrain(layer(x, pad_mask, deterministic))
-        logits = self.word.attend(x).astype(jnp.float32)
-        return logits + self.out_bias
+        return x
+
+    def project_hidden(self, h):
+        """Tied vocab projection of a flat [N, E] hidden set -> fp32
+        [N, V] logits (the MLM loss only reads masked positions; the
+        train step gathers a fixed budget of them before projecting —
+        at T=4096 the full [B*T, V] fp32 logits are ~2 GB of HBM traffic
+        for ~15% useful rows)."""
+        return self.word.attend(h).astype(jnp.float32) + self.out_bias
+
+    def __call__(self, texts, pad_mask, langs, deterministic: bool = True):
+        x = self.encode(texts, pad_mask, langs, deterministic)
+        return self.project_hidden(x)

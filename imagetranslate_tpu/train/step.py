@@ -222,6 +222,19 @@ def make_mlm_train_step(model, optimizer, cfg: Seq2SeqConfig,
     positions (train_lm.py:33 uses NLLLoss, not the smoothed one)."""
     from imagetranslate_tpu.ops.masking import mask_text
 
+    # Masked-budget projection: the MLM loss reads only the ~mask_prob
+    # fraction of positions, but projecting every position materializes
+    # [B*T, V] fp32 logits — at the longdoc shape (T=4096, V=32k) that is
+    # ~2 GB of HBM traffic per step for ~15% useful rows (measured 0.084
+    # MFU, BENCH_r05 before this change). When the model exposes the
+    # encode/project split, gather a FIXED budget of positions (static
+    # shapes; masked-first order via top_k) and project only those. The
+    # budget 2x mask_prob makes overflow (masked count > budget) a
+    # ~38-sigma binomial event at B*T >= 8192; smaller batches keep the
+    # full-logits path, where there is nothing to win.
+    split_ok = (hasattr(type(model), "encode")
+                and hasattr(type(model), "project_hidden"))
+
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         r_mask, r_drop = jax.random.split(rng)
         masked = mask_text(r_mask, batch["texts"], batch["pad_mask"],
@@ -229,14 +242,33 @@ def make_mlm_train_step(model, optimizer, cfg: Seq2SeqConfig,
                            n_specials=n_specials, vocab_size=cfg.vocab_size)
 
         moe_w = _moe_weight(model)
+        B, T = batch["texts"].shape
+        use_budget = split_ok and B * T >= 8192
+        budget = -(-int(B * T * min(1.0, 2.0 * mask_prob)) // 128) * 128
 
         def loss_fn(params):
-            logits, aux = _apply_with_aux(
-                model, params, masked.texts, batch["pad_mask"],
-                batch["langs"], deterministic=False,
-                rngs={"dropout": r_drop})
-            mask = masked.target_mask & batch["row_mask"][:, None]
-            sum_l, n = nll_loss(logits, batch["texts"], mask)
+            if use_budget:
+                h, aux = _apply_with_aux(
+                    model, params, masked.texts, batch["pad_mask"],
+                    batch["langs"], deterministic=False,
+                    rngs={"dropout": r_drop},
+                    method=type(model).encode)
+                flat = (masked.target_mask
+                        & batch["row_mask"][:, None]).reshape(-1)
+                _, order = jax.lax.top_k(flat.astype(jnp.int32), budget)
+                h_sel = h.reshape(B * T, -1)[order]
+                logits = model.apply(params, h_sel,
+                                     method=type(model).project_hidden)
+                sum_l, n = nll_loss(logits,
+                                    batch["texts"].reshape(-1)[order],
+                                    flat[order])
+            else:
+                logits, aux = _apply_with_aux(
+                    model, params, masked.texts, batch["pad_mask"],
+                    batch["langs"], deterministic=False,
+                    rngs={"dropout": r_drop})
+                mask = masked.target_mask & batch["row_mask"][:, None]
+                sum_l, n = nll_loss(logits, batch["texts"], mask)
             n = jnp.maximum(n, 1.0)
             return sum_l / n + moe_w * aux, (sum_l, n)
 

@@ -216,3 +216,58 @@ def test_longdoc_local_attention_locality():
                                np.asarray(out_b[0, :2 * block]), atol=1e-5)
     assert not np.allclose(np.asarray(out_a[0, -block:]),
                            np.asarray(out_b[0, -block:]))
+
+
+def test_mlm_masked_budget_projection_parity():
+    """At B*T >= 8192 the MLM step projects only a fixed budget of
+    gathered positions (train/step.py: the full [B*T, V] fp32 logits are
+    ~2 GB of HBM traffic at the longdoc shape for ~15% useful rows). The
+    loss must equal the full-logits computation exactly: every masked
+    position is inside the 2x-mask_prob budget and the extra gathered
+    rows carry zero loss weight."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imagetranslate_tpu.models.config import Seq2SeqConfig
+    from imagetranslate_tpu.models.lm import LM
+    from imagetranslate_tpu.ops.losses import nll_loss
+    from imagetranslate_tpu.ops.masking import mask_text
+    from imagetranslate_tpu.train.optimizer import build_optimizer
+    from imagetranslate_tpu.train.step import (
+        create_train_state,
+        make_mlm_train_step,
+    )
+
+    cfg = Seq2SeqConfig(vocab_size=256, num_languages=2, hidden_size=64,
+                        num_heads=4, intermediate_size=128,
+                        max_position_embeddings=512, enc_layers=2,
+                        dec_layers=1, dropout=0.1, attention_dropout=0.0,
+                        dtype="float32", use_pallas_attention=False)
+    model = LM(cfg)
+    B, T = 16, 512                      # B*T = 8192: budget path engages
+    rng = jax.random.PRNGKey(5)
+    texts = jax.random.randint(rng, (B, T), 6, cfg.vocab_size)
+    batch = {"texts": texts, "pad_mask": jnp.ones((B, T), bool),
+             "langs": jnp.zeros((B,), jnp.int32),
+             "row_mask": jnp.ones((B,), bool)}
+    params = model.init(jax.random.PRNGKey(0), texts[:1],
+                        jnp.ones((1, T), bool), jnp.zeros((1,), jnp.int32))
+    opt = build_optimizer(lr=1e-3)
+    step = make_mlm_train_step(model, opt, cfg, donate=False)
+    state = create_train_state(params, opt)
+    _, m = step(state, batch, rng)
+
+    # Full-logits reference with the identical rng stream.
+    r_mask, r_drop = jax.random.split(rng)
+    masked = mask_text(r_mask, texts, batch["pad_mask"], 0.15, mask_id=3,
+                       eos_id=cfg.eos_id, n_specials=5,
+                       vocab_size=cfg.vocab_size)
+    logits = model.apply(params, masked.texts, batch["pad_mask"],
+                         batch["langs"], deterministic=False,
+                         rngs={"dropout": r_drop})
+    mask = masked.target_mask & batch["row_mask"][:, None]
+    sum_l, n = nll_loss(logits, texts, mask)
+    np.testing.assert_allclose(float(m["sum_loss"]), float(sum_l),
+                               rtol=1e-5)
+    assert float(m["ntokens"]) == float(n)
