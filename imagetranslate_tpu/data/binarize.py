@@ -9,9 +9,11 @@ interchanged:
   (text_processor.languages values), not token ids (create_mt_batches.py:12-15).
 - MASS binary (`.mass.N` shards): list of (ids, lang_type), sorted by length,
   sharded every `shard_size` examples (create_mt_batches.py:43-71).
-- Doc-LM blocks (create_batches.py:9-53): fixed-seq_len vectors in `N.pkl`
-  blocks of sen_block_size plus an `info.txt` header
-  "block_size\tline_num\tfile_count".
+- Doc-LM blocks (create_batches.py:9-54): `N.pkl` blocks each marshalling a
+  dict {global_line_num: (ids, lang_type)} of sen_block_size fixed-seq_len
+  rows, plus an `info.txt` header "block_size\tline_num\tfile_count" — the
+  reference TextDataset (dataset.py:30-70) indexes blocks by GLOBAL line
+  number, so the dict keys must be global, not block-local.
 """
 
 from __future__ import annotations
@@ -144,39 +146,60 @@ def load_mass(path_prefix: str):
 def write_doc_blocks(tp: TextProcessor, txt_file: str, cache_dir: str,
                      seq_len: int = 512, sen_block_size: int = 10_000,
                      packed: bool = False):
-    """Doc-level LM binaries (create_batches.py:9-53). packed=True stores
-    each block as an ITR1 record file (same `{N}.pkl` names + info.txt so
-    DocBlockDataset sniffs per block)."""
+    """Doc-level LM binaries in the reference's exact on-disk format
+    (create_batches.py:9-54): each `{N}.pkl` marshals a dict
+    {global_line_num: (ids, lang_type)} — lang_type taken from the doc's
+    first token, i.e. its language token (create_batches.py:22) — so the
+    reference TextDataset reads our caches and DocBlockDataset reads the
+    reference's. The reference dumps the tail `examples` dict even when a
+    block-boundary flush just emptied it (`if len(examples) >= 0`,
+    create_batches.py:46-49), emitting a final EMPTY block at exact
+    sen_block_size multiples; replicated for byte parity. NOT replicated:
+    the reference drops up-to-block_size trailing rows when the corpus row
+    count is an exact multiple of its 100k doc buffer (the final dump is
+    guarded by `len(current_cache) > 0`, create_batches.py:36) — we always
+    dump what remains.
+
+    packed=True stores each block as an ITR1 record file instead (fields =
+    (ids, lang_type); same `{N}.pkl` names + info.txt so DocBlockDataset
+    sniffs per block)."""
     os.makedirs(cache_dir, exist_ok=True)
 
-    def dump_block(rows, path):
+    def dump_block(examples, path):
         if packed:
             from imagetranslate_tpu.data.recordio import PackedWriter
 
-            with PackedWriter(path, 1) as w:
-                for r in rows:
-                    w.add(r)
+            with PackedWriter(path, 2) as w:
+                for ids, lang in examples.values():
+                    w.add(ids, lang)
         else:
             with open(path, "wb") as fw:
-                marshal.dump(rows, fw)
+                marshal.dump(examples, fw)
 
-    sentences = []
+    examples = {}
     line_num, file_count = 0, 0
+    any_rows = False
     with open(txt_file) as fp:
         for doc in fp:
             if not doc.strip():
                 continue
-            for seq in tp.tokenize_lines(doc.strip(), blind_split=True,
-                                         split_len=seq_len):
-                sentences.append([int(x) for x in seq])
+            rows = tp.tokenize_lines(doc.strip(), blind_split=True,
+                                     split_len=seq_len)
+            if len(rows) == 0:
+                continue
+            lang = tp.languages[tp.id2token(int(rows[0][0]))] \
+                if tp.languages else 0
+            for seq in rows:
+                any_rows = True
+                examples[line_num] = ([int(x) for x in seq], lang)
                 line_num += 1
-                if len(sentences) >= sen_block_size:
-                    dump_block(sentences,
+                if len(examples) >= sen_block_size:
+                    dump_block(examples,
                                os.path.join(cache_dir, f"{file_count}.pkl"))
-                    sentences = []
+                    examples = {}
                     file_count += 1
-    if sentences:
-        dump_block(sentences, os.path.join(cache_dir, f"{file_count}.pkl"))
+    if any_rows:
+        dump_block(examples, os.path.join(cache_dir, f"{file_count}.pkl"))
         file_count += 1
     with open(os.path.join(cache_dir, "info.txt"), "w") as fw:
         fw.write(f"{sen_block_size}\t{line_num}\t{file_count}")

@@ -289,9 +289,14 @@ class MTBatcher:
 
 class DocBlockDataset:
     """Block-cached random access over create_batches output (reference
-    TextDataset, dataset.py:30-70): `N.pkl` marshal blocks + info.txt header
+    TextDataset, dataset.py:30-70): `N.pkl` blocks + info.txt header
     "block_size\\tline_num\\tfile_count". Rows are fixed seq_len vectors, so
-    batches are trivially fixed-shape."""
+    batches are trivially fixed-shape.
+
+    Reads all three block layouts: the reference's marshal dict
+    {global_line_num: (ids, lang_type)} (create_batches.py:30-48), the
+    pre-r5 first-party marshal list of bare id rows, and ITR1 packed blocks
+    (1 field = ids, 2 fields = ids + lang_type)."""
 
     def __init__(self, cache_dir: str, max_cache_size: int = 100,
                  load_all: bool = False):
@@ -308,13 +313,33 @@ class DocBlockDataset:
             self.line_num = int(spl[1])
             self.file_count = int(spl[2])
         self.cache: Dict[int, list] = {}
+        self._langs: Dict[int, list] = {}
         if load_all:
             self._fill(0, self.file_count)
+
+    @staticmethod
+    def _normalize(block):
+        """-> (rows, langs). Reference dict blocks carry GLOBAL line-number
+        keys (dataset.py:66-70 indexes them globally); sorted keys recover
+        block-local order because consecutive line numbers fill each block."""
+        if isinstance(block, dict):
+            block = [block[k] for k in sorted(block)]
+        rows, langs = [], []
+        for r in block:
+            if (isinstance(r, (tuple, list)) and len(r) == 2
+                    and isinstance(r[0], (list, tuple))):
+                rows.append(list(r[0]))
+                langs.append(int(r[1]))
+            else:
+                rows.append(list(r))
+                langs.append(0)
+        return rows, langs
 
     def _fill(self, start: int, end: int):
         from imagetranslate_tpu.data.recordio import is_packed
 
         self.cache = {}
+        self._langs = {}
         for n in range(start, min(end, self.file_count)):
             path = self._os.path.join(self.cache_dir, f"{n}.pkl")
             if is_packed(path):
@@ -322,10 +347,16 @@ class DocBlockDataset:
 
                 r = PackedReader(path)
                 self.cache[n] = [r.field(i, 0).tolist() for i in range(len(r))]
+                if r.n_fields >= 2:
+                    self._langs[n] = [int(r.field(i, 1)[0])
+                                      for i in range(len(r))]
+                else:
+                    self._langs[n] = [0] * len(r)
                 r.close()
             else:
                 with open(path, "rb") as fp:
-                    self.cache[n] = self._marshal.load(fp)
+                    block = self._marshal.load(fp)
+                self.cache[n], self._langs[n] = self._normalize(block)
 
     def __len__(self):
         return self.line_num
@@ -336,20 +367,32 @@ class DocBlockDataset:
             self._fill(file_num, file_num + self.max_cache_size)
         return self.cache[file_num][item % self.sentence_block_size]
 
+    def lang_at(self, item: int) -> int:
+        """Language TYPE id stored with the row (reference (ids, lang)
+        tuples); 0 for formats that carry none."""
+        file_num = item // self.sentence_block_size
+        if file_num not in self.cache:
+            self._fill(file_num, file_num + self.max_cache_size)
+        return self._langs[file_num][item % self.sentence_block_size]
+
     def batches(self, batch_rows: int, pad_id: int = 0, lang_of=None):
         """Fixed-shape [batch_rows, seq_len] batches; the trailing partial
         batch pads with replicated rows masked out via row_mask. lang_of:
-        fn(row_ids) -> language type id (default 0)."""
+        fn(row_ids) -> language type id; default = the per-row lang stored
+        in the binary (reference train_lm.py:58 feeds it as token types)."""
         n = len(self)
         for start in range(0, n, batch_rows):
-            rows = [self[i] for i in range(start, min(n, start + batch_rows))]
+            idx = list(range(start, min(n, start + batch_rows)))
+            rows = [self[i] for i in idx]
             real = len(rows)
             while len(rows) < batch_rows:
                 rows.append(rows[0])
+                idx.append(idx[0])
             texts = np.asarray(rows, np.int32)
-            langs = np.zeros((batch_rows,), np.int32)
             if lang_of is not None:
                 langs = np.array([lang_of(r) for r in rows], np.int32)
+            else:
+                langs = np.array([self.lang_at(i) for i in idx], np.int32)
             row_mask = np.zeros((batch_rows,), bool)
             row_mask[:real] = True
             yield {"texts": texts, "pad_mask": texts != pad_id,

@@ -682,3 +682,232 @@ def test_literal_mass_batching_skips_overlong(ref_dataset):
                 our_rows.add(tuple(b.src[i][b.src[i] != 0]))
     assert ref_rows == our_rows
     assert all(len(r) <= max_seq for r in our_rows)
+
+
+# =====================================================================
+# (e) binarizers — the literal reference CLIs' write() functions vs ours,
+#     BYTE-level marshal parity on shared tokenizer artifacts.
+# =====================================================================
+
+
+def _assert_marshal_equal(ref_path, our_path):
+    """Marshal parity up to CPython's FLAG_REF liveness artifact: dump
+    bytes differ when an object's refcount at dump time differs (marshal.c
+    w_ref skips the ref table for refcount-1 objects), so raw files from
+    the reference (which keeps its examples dict alive while dumping the
+    sorted list) and ours are not always bit-identical even for identical
+    values (and load re-materializes the sharing, so a default-version
+    re-dump keeps the artifact). Canonicalize by load + re-dump at marshal
+    version 2 — the last format WITHOUT object sharing — then require byte
+    equality: this still proves identical types, values and ordering."""
+    import marshal as m
+
+    with open(ref_path, "rb") as a, open(our_path, "rb") as b:
+        ra, rb = m.load(a), m.load(b)
+    assert m.dumps(ra, 2) == m.dumps(rb, 2)
+
+
+@pytest.fixture(scope="module")
+def parallel_corpus(processors, tmp_path_factory):
+    """Small src/dst line files drawn from the reference sample corpus,
+    with an empty line and an overlong line to exercise the [min,max]
+    length filter on both sides."""
+    sents = []
+    with open(SAMPLE) as fp:
+        for doc in fp:
+            for sen in doc.split("</s>"):
+                sen = sen.replace("<mzn>", "").replace("<glk>", "").strip()
+                if sen:
+                    sents.append(sen)
+            if len(sents) >= 121:
+                break
+    d = tmp_path_factory.mktemp("mtcorpus")
+    src, dst = d / "src.txt", d / "dst.txt"
+    src_lines = sents[:120]
+    dst_lines = sents[1:121]
+    src_lines[40] = ""                       # empty: skipped (both sides)
+    src_lines[40 + 1] = " ".join(sents[:60])  # overlong: length-filtered
+    src.write_text("\n".join(src_lines) + "\n")
+    dst.write_text("\n".join(dst_lines) + "\n")
+    return str(src), str(dst)
+
+
+@pytest.fixture(scope="module")
+def ref_create_mt(ref_utils):  # ref_utils pre-stubs apex for train-y imports
+    return _load_ref("create_mt_batches.py", "ref_create_mt_lit")
+
+
+def test_literal_create_mt_batches_parallel_bytes(
+        processors, parallel_corpus, ref_create_mt, tmp_path):
+    """create_mt_batches.write (parallel mode, create_mt_batches.py:8-40)
+    and our write_mt produce BYTE-identical .mt marshal files: same
+    tokenization (lang-id prefix + </s>, 1..max_len filter), same stable
+    sort by target length, same (src, dst, src_lang_type, dst_lang_type)
+    tuples."""
+    ours_tp, ref_tp = processors
+    src, dst = parallel_corpus
+    ref_out = str(tmp_path / "ref.mt")
+    our_out = str(tmp_path / "ours.mt")
+    sl, dl = ref_tp.token_id("<mzn>"), ref_tp.token_id("<glk>")
+    ref_create_mt.write(ref_tp, ref_out, src, sl, dst, dl, max_len=64)
+
+    from imagetranslate_tpu.data.binarize import load_mt, write_mt
+
+    n = write_mt(ours_tp, our_out, src, ours_tp.token_id("<mzn>"),
+                 dst, ours_tp.token_id("<glk>"), max_len=64)
+    assert n > 10
+    _assert_marshal_equal(ref_out, our_out)
+    # And the filters actually fired: fewer examples than input lines.
+    assert n < 120
+    assert len(load_mt(our_out)) == n
+
+
+def test_literal_create_mt_batches_mono_bytes(
+        processors, parallel_corpus, ref_create_mt, tmp_path):
+    """Monolingual/MASS mode (create_mt_batches.py:43-71): byte-identical
+    `.0` shard of (ids, lang_type) sorted by length."""
+    ours_tp, ref_tp = processors
+    src, _ = parallel_corpus
+    ref_out = str(tmp_path / "ref.mass")
+    our_out = str(tmp_path / "ours.mass")
+    ref_create_mt.write(ref_tp, ref_out, src, ref_tp.token_id("<mzn>"),
+                        max_len=64)
+
+    from imagetranslate_tpu.data.binarize import write_mt
+
+    write_mt(ours_tp, our_out, src, ours_tp.token_id("<mzn>"), max_len=64)
+    _assert_marshal_equal(ref_out + ".0", our_out + ".0")
+
+
+@pytest.fixture(scope="module")
+def ref_create_batches(ref_utils):
+    return _load_ref("create_batches.py", "ref_create_batches_lit")
+
+
+def test_literal_create_batches_bytes_and_interop(
+        processors, ref_create_batches, tmp_path):
+    """Doc-LM block caches (create_batches.py:9-54): byte-identical
+    {N.pkl, info.txt} trees from the literal reference write() and our
+    write_doc_blocks — dict blocks keyed by GLOBAL line number holding
+    (ids, lang_type) — and full reader interop both ways: DocBlockDataset
+    over the reference-written cache (incl. an index into block>0, which
+    needs the global-key handling) and the literal reference TextDataset
+    over ours."""
+    ours_tp, ref_tp = processors
+    ref_dir, our_dir = str(tmp_path / "ref"), str(tmp_path / "ours")
+    os.makedirs(ref_dir)
+    seq_len, block = 37, 7
+    old_max = ref_tp.max_len
+    try:
+        ref_create_batches.write(ref_tp, ref_dir, seq_len, SAMPLE,
+                                 sen_block_size=block)
+    finally:
+        ref_tp.max_len = old_max
+
+    from imagetranslate_tpu.data.binarize import write_doc_blocks
+    from imagetranslate_tpu.data.loader import DocBlockDataset
+
+    n = write_doc_blocks(ours_tp, SAMPLE, our_dir, seq_len=seq_len,
+                         sen_block_size=block)
+    assert n > 2 * block   # multiple blocks, partial tail
+    for name in sorted(os.listdir(ref_dir)):
+        with open(os.path.join(ref_dir, name), "rb") as a, \
+                open(os.path.join(our_dir, name), "rb") as b:
+            assert a.read() == b.read(), name
+    assert sorted(os.listdir(ref_dir)) == sorted(os.listdir(our_dir))
+
+    # Our reader over the REFERENCE cache: global dict keys + (ids, lang).
+    ds = DocBlockDataset(ref_dir, max_cache_size=1)
+    assert len(ds) == n
+    import marshal as m
+    with open(os.path.join(ref_dir, "1.pkl"), "rb") as fp:
+        blk1 = m.load(fp)
+    probe = block + 3                     # sits inside block 1
+    assert ds[probe] == list(blk1[probe][0])
+    assert ds.lang_at(probe) == blk1[probe][1]
+    langs_seen = {ds.lang_at(i) for i in range(len(ds))}
+    assert langs_seen <= set(ref_tp.languages.values()) and langs_seen
+
+    # batches() carries the stored per-row langs (train_lm.py:58 parity).
+    b0 = next(ds.batches(4))
+    assert b0["langs"].tolist() == [ds.lang_at(i) for i in range(4)]
+
+    # The literal reference TextDataset over OUR cache.
+    ref_ds_mod = _load_ref("dataset.py", "ref_dataset_interop",
+                           stubs=(_torchvision_stub(),))
+    ref_ds = ref_ds_mod.TextDataset(save_cache_dir=our_dir)
+    assert len(ref_ds) == n
+    ids, lang = ref_ds[probe]
+    assert ids == ds[probe] and lang == ds.lang_at(probe)
+
+
+def test_literal_create_batches_exact_multiple_quirk(
+        processors, ref_create_batches, tmp_path):
+    """At an exact sen_block_size multiple the reference dumps a final
+    EMPTY dict block and counts it in file_count (`if len(examples) >= 0`,
+    create_batches.py:46-49). write_doc_blocks replicates it — still
+    byte-identical — and both readers agree on the row count."""
+    ours_tp, ref_tp = processors
+    probe_dir = str(tmp_path / "probe")
+    os.makedirs(probe_dir)
+    old_max = ref_tp.max_len
+    try:
+        ref_create_batches.write(ref_tp, probe_dir, 37, SAMPLE,
+                                 sen_block_size=10 ** 9)
+        with open(os.path.join(probe_dir, "info.txt")) as fr:
+            n_rows = int(fr.read().split("\t")[1])
+        assert n_rows > 0
+        ref_dir, our_dir = str(tmp_path / "ref"), str(tmp_path / "ours")
+        os.makedirs(ref_dir)
+        ref_create_batches.write(ref_tp, ref_dir, 37, SAMPLE,
+                                 sen_block_size=n_rows)
+    finally:
+        ref_tp.max_len = old_max
+
+    from imagetranslate_tpu.data.binarize import write_doc_blocks
+    from imagetranslate_tpu.data.loader import DocBlockDataset
+
+    write_doc_blocks(ours_tp, SAMPLE, our_dir, seq_len=37,
+                     sen_block_size=n_rows)
+    with open(os.path.join(ref_dir, "info.txt")) as fr:
+        assert int(fr.read().split("\t")[2]) == 2      # incl. empty block
+    for name in sorted(os.listdir(ref_dir)):
+        with open(os.path.join(ref_dir, name), "rb") as a, \
+                open(os.path.join(our_dir, name), "rb") as b:
+            assert a.read() == b.read(), name
+    assert len(DocBlockDataset(our_dir)) == n_rows
+
+
+def test_literal_binarize_captions_from_list_bytes(
+        processors, parallel_corpus, tmp_path):
+    """binarize_captions_from_list.write (:12-66) vs our write_from_list:
+    byte-identical (unique_images, caption_sorted) marshal — image-path
+    dedup order, caption length sort stability, overlong skip, and the
+    "<lang> ... </s>" wrapping of untagged captions."""
+    ours_tp, ref_tp = processors
+    src, _ = parallel_corpus
+    with open(src) as fp:
+        sents = [ln.strip() for ln in fp if ln.strip()][:40]
+    tsv = tmp_path / "caps.tsv"
+    rows = []
+    for i, s in enumerate(sents):
+        rows.append(f"img_{i % 13}.jpg\t{s}")          # dup paths: dedup
+    rows.append("img_long.jpg\t" + " ".join(sents))     # overlong: skipped
+    rows.append(f"img_tagged.jpg\t<mzn> {sents[0]} </s>")  # pre-tagged
+    tsv.write_text("\n".join(rows) + "\n")
+
+    ref_mod = _load_ref("binarize_captions_from_list.py", "ref_bin_caps_lit")
+    ref_out, our_out = str(tmp_path / "ref.bin"), str(tmp_path / "ours.bin")
+    ref_mod.write(ref_tp, ref_out, str(tsv), max_len=64, sample_size=-1,
+                  lang="mzn")
+
+    from imagetranslate_tpu.data.binarize_captions import write_from_list
+
+    n = write_from_list(ours_tp, our_out, str(tsv), max_len=64,
+                        sample_size=-1, lang="mzn")
+    import marshal as m
+    with open(ref_out, "rb") as fp:
+        _, ref_caps = m.load(fp)
+    assert n == len(ref_caps) > 5             # same survivors of max_len
+    assert n < len(rows)                      # ... and some were dropped
+    _assert_marshal_equal(ref_out, our_out)
