@@ -19,13 +19,21 @@ from imagetranslate_tpu.text.processor import TextProcessor
 
 def _finalize(tp: TextProcessor, output_file: str,
               captions: Iterable[Tuple[str, str]], max_len: int,
-              sample_size: int = -1, path_fixer=None, packed: bool = False):
+              sample_size: int = -1, path_fixer=None, packed: bool = False,
+              path_checker=None):
     """Tokenize, dedup image paths, length-sort, dump.
+
+    path_checker: optional fn(path) -> bool run the first time a path is
+    seen (the reference's image-openability probe,
+    binarize_image_caption_data.py:108-119); a failing path drops the
+    caption and stays unregistered, so later captions for it re-probe —
+    reference behavior.
 
     packed=True writes the first-party ITR1 record file (records =
     (image_id, caption_ids)) plus a `<output>.paths.json` sidecar for the
     {image_id: path} table, instead of the reference marshal tuple."""
     skipped = 0
+    skipped_imgs = 0
     image_path_dict: Dict[str, int] = {}
     unique_images: Dict[int, str] = {}
     tok_captions: Dict[int, List[int]] = {}
@@ -38,6 +46,9 @@ def _finalize(tp: TextProcessor, output_file: str,
         if path_fixer is not None:
             path = path_fixer(path)
         if path not in image_path_dict:
+            if path_checker is not None and not path_checker(path):
+                skipped_imgs += 1
+                continue
             image_id = len(unique_images)
             unique_images[image_id] = path
             image_path_dict[path] = image_id
@@ -50,6 +61,8 @@ def _finalize(tp: TextProcessor, output_file: str,
             break
 
     print(f"Skipped long sentences: {skipped}")
+    if skipped_imgs:
+        print(f"Skipped unreadable images: {skipped_imgs}")
     by_len = sorted(tok_captions.items(), key=lambda kv: len(kv[1]))
     caption_sorted = [(image_ids[cid], ids) for cid, ids in by_len]
     if packed:
@@ -124,12 +137,27 @@ def write_from_coco(tp: TextProcessor, output_file: str, input_file: str,
 
 def write_from_wiki_json(tp: TextProcessor, output_file: str, input_file: str,
                          max_len: int = 256, only_captions: bool = False,
-                         choose_relevant: bool = True, packed: bool = False):
+                         choose_relevant: bool = True, packed: bool = False,
+                         root_img_dir: Optional[str] = None,
+                         skip_check: bool = False,
+                         ref_file: Optional[str] = None):
     """Wiki-doc JSON [{content, images: [{img_path, caption}]}] with three
     caption-selection modes (binarize_image_caption_data.py:20-66):
-    only captions / word-overlap-relevant sentences / all long sentences."""
+    only captions / word-overlap-relevant sentences / all long sentences.
+
+    ref_file: a second wiki-doc JSON; docs sharing no img_path with it are
+    dropped entirely (binarize_image_caption_data.py:21-24, the bilingual
+    caption-alignment filter). Unless skip_check, each image is probed to
+    open + convert to RGB the first time it is seen and unreadable ones
+    drop their captions (binarize_image_caption_data.py:108-119)."""
     with open(input_file) as fp:
         doc_dicts = json.load(fp)
+
+    ref_images = None
+    if ref_file is not None:
+        with open(ref_file) as fp:
+            ref_images = {im["img_path"] for v in json.load(fp)
+                          for im in v["images"]}
 
     def doc_sentences(v):
         spl = v["content"].strip().split(" ")
@@ -139,6 +167,9 @@ def write_from_wiki_json(tp: TextProcessor, output_file: str, input_file: str,
 
     def gen():
         for v in doc_dicts:
+            if ref_images is not None and not any(
+                    im["img_path"] in ref_images for im in v["images"]):
+                continue
             if only_captions:
                 for img in v["images"]:
                     yield img["img_path"], img["caption"]
@@ -162,4 +193,17 @@ def write_from_wiki_json(tp: TextProcessor, output_file: str, input_file: str,
                     for s in sens:
                         yield img["img_path"], s
 
-    return _finalize(tp, output_file, gen(), max_len, packed=packed)
+    checker = None
+    if not skip_check:
+        from PIL import Image
+
+        def checker(path):
+            try:
+                with Image.open(os.path.join(root_img_dir or "", path)) as im:
+                    im.convert("RGB")
+                return True
+            except Exception:
+                return False
+
+    return _finalize(tp, output_file, gen(), max_len, packed=packed,
+                     path_checker=checker)

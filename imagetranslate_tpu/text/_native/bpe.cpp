@@ -4,7 +4,7 @@
 // textprocessor.py:7,14-17). This is a from-scratch implementation of the
 // same SentencePiece-BPE encode algorithm, exposed over a C ABI for ctypes:
 // Metaspace pre-tokenization (space -> U+2581, prefix space), greedy
-// lowest-rank-first merges, vocab lookup with fused-unk fallback. NFKC
+// lowest-rank-first merges, vocab lookup with per-char unk fallback (fuse_unk=false). NFKC
 // normalization happens on the Python side (unicodedata) before the call.
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 -o libbpe.so bpe.cpp
@@ -94,24 +94,23 @@ void encode_word(Bpe* bpe, const std::string& word, std::vector<int>* ids) {
   std::vector<std::string> parts;
   merge_word(bpe, word, &parts);
   std::vector<int> word_ids;
-  bool prev_unk = false;
   for (const auto& tok : parts) {
     auto it = bpe->vocab.find(tok);
     if (it != bpe->vocab.end()) {
       word_ids.push_back(it->second);
-      prev_unk = false;
     } else {
-      // fuse_unk over unknown characters inside an unknown piece
+      // fuse_unk=false (the reference's SentencePieceBPETokenizer
+      // default): one <unk> PER unknown character, never fused — a run
+      // of N unknown chars is N <unk> tokens. Known chars inside an
+      // unknown piece emit their own ids.
       std::vector<std::string> chars;
       utf8_chars(tok, &chars);
       for (const auto& ch : chars) {
         auto ct = bpe->vocab.find(ch);
         if (ct != bpe->vocab.end()) {
           word_ids.push_back(ct->second);
-          prev_unk = false;
-        } else if (!prev_unk && bpe->unk_id >= 0) {
+        } else if (bpe->unk_id >= 0) {
           word_ids.push_back(bpe->unk_id);
-          prev_unk = true;
         }
       }
     }

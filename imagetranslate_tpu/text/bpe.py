@@ -10,7 +10,8 @@ vocab.json/merges.txt artifacts load compatibly:
   prefixed to the text, and the text splits into word pieces each starting
   with '▁'
 - model: greedy lowest-rank-first BPE merges over the merges.txt table;
-  unknown characters map to <unk> with consecutive unks fused
+  each unknown character maps to its own <unk> (fuse_unk=False, the
+  SentencePieceBPETokenizer default the reference constructs)
 - decoding: concatenate token strings, map '▁' back to space, strip the
   leading space
 
@@ -136,29 +137,28 @@ class BPE:
         ids: List[int] = []
         text = normalize(text)
         for piece in metaspace_split(text):
-            # fuse_unk scope is the PRE-TOKEN (word): HF's BPE model runs
-            # per Metaspace piece, so unknown runs fuse within a word but
-            # never across a word boundary (one <unk> per unknown word,
-            # not one for a run of unknown words). The C++ encoder
-            # (_native/bpe.cpp::encode_word) has the same per-word scope.
-            prev_unk = False
+            # fuse_unk=False — the SentencePieceBPETokenizer default the
+            # reference constructs (tokenizers sentencepiece_bpe.py:24):
+            # every unknown symbol emits its OWN <unk>, so a run of N
+            # unknown characters is N <unk> tokens, never one. (Verified
+            # against the literal reference tokenizer on the glk.json
+            # captions, where fused unks reordered the length-sorted
+            # binaries.) The C++ encoder (_native/bpe.cpp::encode_word)
+            # matches.
             for tok in self._merge_word(piece):
                 tid = self.vocab.get(tok)
                 if tid is None:
-                    # fuse_unk: split the piece into chars, unknown chars
-                    # fuse into a single <unk>, known chars emit their ids.
+                    # unknown piece: emit known chars' ids, one <unk> per
+                    # unknown char.
                     for ch in tok:
                         cid = self.vocab.get(ch)
                         if cid is None:
-                            if not prev_unk and self.unk_id is not None:
+                            if self.unk_id is not None:
                                 ids.append(self.unk_id)
-                            prev_unk = True
                         else:
                             ids.append(cid)
-                            prev_unk = False
                 else:
                     ids.append(tid)
-                    prev_unk = False
         return ids
 
     def decode(self, ids: Iterable[int], skip_special: Optional[set] = None) -> str:

@@ -40,18 +40,19 @@ def test_native_matches_python(bpe):
         assert native.encode(text) == bpe.encode(text), repr(text)
 
 
-def test_unk_fuses_per_word_not_across_words():
-    """fuse_unk scope is the pre-token (HF's BPE model runs per Metaspace
-    piece): adjacent all-unknown WORDS emit one <unk> each, never fuse into
-    a single <unk> across the word boundary."""
+def test_unk_per_character_never_fused():
+    """fuse_unk=False (the SentencePieceBPETokenizer default the reference
+    constructs, sentencepiece_bpe.py:24): every unknown character emits its
+    OWN <unk> — a run of N unknown chars is N <unk> tokens, within and
+    across words alike. (The pre-r5 fused behavior reordered length-sorted
+    caption binaries vs the literal reference on glk.json.)"""
     from imagetranslate_tpu.text.bpe import BPE
 
     # No METASPACE in the vocab, so every char of '▁x' / '▁y' is unknown.
     py = BPE({"<unk>": 0, "a": 1}, [], unk_token="<unk>")
-    assert py.encode("x y") == [0, 0]
-    assert py.encode("x a y") == [0, 0, 1, 0]  # [unk][unk 'a'][unk]
-    # Within one word, unknown runs still fuse to a single <unk>.
-    assert py.encode("xyz") == [0]
+    assert py.encode("x y") == [0, 0, 0, 0]      # ▁,x,▁,y each unknown
+    assert py.encode("x a y") == [0, 0, 0, 1, 0, 0]
+    assert py.encode("xyz") == [0, 0, 0, 0]      # ▁xyz: 4 unknown chars
     native = NativeBPE(py)
     if native.ok:
         for text in ["x y", "x a y", "xyz", "ax xa", "a a"]:

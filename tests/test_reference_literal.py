@@ -25,6 +25,7 @@ Every test exec_module's the reference file unmodified.
 
 import contextlib
 import importlib.util
+import json
 import os
 import pickle
 import random as pyrandom
@@ -911,3 +912,146 @@ def test_literal_binarize_captions_from_list_bytes(
     assert n == len(ref_caps) > 5             # same survivors of max_len
     assert n < len(rows)                      # ... and some were dropped
     _assert_marshal_equal(ref_out, our_out)
+
+
+def _tv_transforms_stub():
+    """torchvision.transforms stub rich enough for
+    binarize_image_caption_data.py's module-level import and its
+    write()-time `transforms.Compose([...])` (the composed transform is
+    only applied inside the openability probe). Enriches any stub already
+    seeded in sys.modules (the fixtures use setdefault)."""
+    tv = sys.modules.get("torchvision")
+    if tv is None:
+        tv = types.ModuleType("torchvision")
+    noop = lambda *a, **k: None                         # noqa: E731
+    tv.transforms = types.SimpleNamespace(
+        Compose=lambda fns: (lambda im: im),
+        Resize=noop, CenterCrop=noop, ToTensor=noop, Normalize=noop)
+    return ("torchvision", tv)
+
+
+def test_literal_tokenize_file_bytes(processors, tmp_path):
+    """tokenize_file.write (:6-17) vs our cli.tokenize_file.write: byte-
+    identical outputs in both id mode and --txt mode (lang tag kept,
+    middle </s> dropped, first/last stripped, <unk> -> 'unk')."""
+    ours_tp, ref_tp = processors
+    ref_mod = _load_ref("tokenize_file.py", "ref_tokenize_file_lit")
+
+    from imagetranslate_tpu.cli.tokenize_file import write as our_write
+
+    for txt in (False, True):
+        ref_out = str(tmp_path / f"ref{txt}.txt")
+        our_out = str(tmp_path / f"ours{txt}.txt")
+        ref_mod.write(ref_tp, ref_out, SAMPLE, output_txt=txt)
+        our_write(ours_tp, our_out, SAMPLE, output_txt=txt)
+        with open(ref_out, "rb") as a, open(our_out, "rb") as b:
+            ra, rb = a.read(), b.read()
+        assert ra == rb and len(ra) > 100, f"txt={txt}"
+
+
+def test_literal_binarize_coco_bytes(processors, parallel_corpus, tmp_path):
+    """binarize_coco_data.write (:12-56) vs our write_from_coco: identical
+    marshal — 12-digit zero-padded .jpg names, '<en> ... </s>' wrapping,
+    dedup by image_id, length sort."""
+    ours_tp, ref_tp = processors
+    src, _ = parallel_corpus
+    with open(src) as fp:
+        sents = [ln.strip() for ln in fp if ln.strip()][:30]
+    ann = [{"image_id": 10 ** (i % 5) + i % 7, "caption": s}
+           for i, s in enumerate(sents)]
+    ann.append({"image_id": 3, "caption": " ".join(sents)})  # overlong
+    coco = tmp_path / "coco.json"
+    coco.write_text(json.dumps({"annotations": ann}))
+
+    ref_mod = _load_ref("binarize_coco_data.py", "ref_bin_coco_lit")
+    ref_out, our_out = str(tmp_path / "ref.bin"), str(tmp_path / "ours.bin")
+    ref_mod.write(ref_tp, ref_out, str(coco), max_len=64, sample_size=-1)
+
+    from imagetranslate_tpu.data.binarize_captions import write_from_coco
+
+    n = write_from_coco(ours_tp, our_out, str(coco), max_len=64)
+    assert 5 < n <= len(sents)
+    _assert_marshal_equal(ref_out, our_out)
+
+
+@pytest.fixture(scope="module")
+def ref_wiki_binarizer():
+    return _load_ref("binarize_image_caption_data.py", "ref_bin_wiki_lit",
+                     stubs=(_tv_transforms_stub(),))
+
+
+WIKI_JSON = os.path.join(REF_SRC, "tests", "image_jsons", "glk.json")
+
+
+def test_literal_binarize_wiki_modes_bytes(processors, ref_wiki_binarizer,
+                                           tmp_path):
+    """binarize_image_caption_data.write on the reference's own glk.json
+    fixture, all three caption-selection modes (only-captions / relevant
+    word-overlap / all long sentences), skip_check: identical marshal to
+    write_from_wiki_json for each mode."""
+    ours_tp, ref_tp = processors
+
+    from imagetranslate_tpu.data.binarize_captions import write_from_wiki_json
+
+    for mode, (oc, cr) in {"caps": (True, True), "rel": (False, True),
+                           "sens": (False, False)}.items():
+        ref_out = str(tmp_path / f"ref.{mode}")
+        our_out = str(tmp_path / f"ours.{mode}")
+        ref_wiki_binarizer.write(ref_tp, ref_out, WIKI_JSON, "/nonexistent",
+                                 skip_check=True, max_len=256,
+                                 choose_relevant=cr, only_captions=oc)
+        n = write_from_wiki_json(ours_tp, our_out, WIKI_JSON, max_len=256,
+                                 only_captions=oc, choose_relevant=cr,
+                                 skip_check=True)
+        assert n > 10, mode
+        _assert_marshal_equal(ref_out, our_out)
+
+
+def test_literal_binarize_wiki_ref_filter_and_openability(
+        processors, ref_wiki_binarizer, tmp_path):
+    """The ref_file doc filter (docs sharing no img_path with the ref JSON
+    are dropped, :21-24) and the image-openability probe (unreadable
+    images drop their captions on first sight, :108-119) both match the
+    literal reference."""
+    ours_tp, ref_tp = processors
+    imgroot = tmp_path / "imgs"
+    imgroot.mkdir()
+    PIL_Image = pytest.importorskip("PIL.Image")
+    PIL_Image.new("RGB", (8, 8), (90, 10, 10)).save(imgroot / "a.jpg")
+    PIL_Image.new("RGB", (8, 8), (10, 90, 10)).save(imgroot / "b.jpg")
+    (imgroot / "bad.jpg").write_bytes(b"not a jpeg at all")
+
+    def doc(content_words, imgs):
+        return {"content": "<glk> " + " </s> ".join(content_words) + " </s>",
+                "lang": "glk",
+                "images": [{"img_path": p,
+                            "caption": f"<glk> caption for {p} </s>"}
+                           for p in imgs]}
+
+    docs = [doc(["one two three four five six", "seven eight nine ten"],
+                ["a.jpg", "bad.jpg"]),
+            doc(["alpha beta gamma delta epsilon"], ["b.jpg"])]
+    main_json = tmp_path / "docs.json"
+    main_json.write_text(json.dumps(docs))
+    # ref JSON shares an image only with doc 1 -> doc 2 dropped entirely.
+    ref_json = tmp_path / "ref.json"
+    ref_json.write_text(json.dumps([doc(["x y z w v"], ["a.jpg"])]))
+
+    from imagetranslate_tpu.data.binarize_captions import write_from_wiki_json
+
+    ref_out, our_out = str(tmp_path / "ref.bin"), str(tmp_path / "ours.bin")
+    ref_wiki_binarizer.write(ref_tp, ref_out, str(main_json), str(imgroot),
+                             skip_check=False, max_len=256,
+                             ref_file=str(ref_json), only_captions=True,
+                             choose_relevant=False)
+    n = write_from_wiki_json(ours_tp, our_out, str(main_json), max_len=256,
+                             only_captions=True, choose_relevant=False,
+                             root_img_dir=str(imgroot), skip_check=False,
+                             ref_file=str(ref_json))
+    assert n == 1                                     # a.jpg survives only
+    _assert_marshal_equal(ref_out, our_out)
+    import marshal as m
+    with open(our_out, "rb") as fp:
+        unique_images, caps = m.load(fp)
+    assert list(unique_images.values()) == ["a.jpg"]
+    assert len(caps) == 1

@@ -52,12 +52,14 @@ def test_save_load_identical(corpus, tmp_path):
     assert bpe.encode(text) == bpe2.encode(text)
 
 
-def test_unknown_chars_fuse_to_unk(corpus):
+def test_unknown_chars_one_unk_each(corpus):
     bpe = train_bpe([corpus], vocab_size=200,
                     special_tokens=["<pad>", "<s>", "<unk>", "<mask>", "</s>"])
     ids = bpe.encode("fox 世界 fox")  # CJK chars unseen in training
     unk = bpe.token_to_id("<unk>")
-    assert ids.count(unk) == 1  # consecutive unknowns fuse
+    # fuse_unk=False: one <unk> per unknown character (HF default the
+    # reference constructs) — 世 and 界 each emit their own.
+    assert ids.count(unk) == 2
 
 
 def test_hf_parity_on_our_artifacts(corpus, tmp_path):
@@ -77,6 +79,9 @@ def test_hf_parity_on_our_artifacts(corpus, tmp_path):
         "zebras jump quickly over jugs",
         "vexingly daft wizards",
         "a b c d unseen tokens xyzzy",
+        # unknown-char runs: fuse_unk=False means one <unk> per char
+        "fox 世界柏林 fox",
+        "ˇˇ x؟؟ aˇb 世a界",
     ]:
         assert bpe.encode(text) == hf.encode(text).ids, text
 
