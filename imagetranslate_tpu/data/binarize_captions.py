@@ -96,7 +96,10 @@ def write_from_list(tp: TextProcessor, output_file: str, input_file: str,
                     max_len: int = 256, sample_size: int = -1,
                     lang: Optional[str] = None, packed: bool = False):
     """TSV "path<TAB>caption" list (binarize_captions_from_list.py:12-66).
-    Prepends "<lang> ... </s>" when the caption lacks the lang tag."""
+    Prepends "<lang> ... </s>" when the caption lacks the lang tag.
+    Documented deviation: sample_size counts parseable lines here; the
+    reference counts raw lines including malformed ones (its bare except
+    at :56-57 also skips the sample_size check for that line)."""
     lang_tok = f"<{lang}>" if lang is not None else None
 
     def gen():
