@@ -1055,3 +1055,63 @@ def test_literal_binarize_wiki_ref_filter_and_openability(
         unique_images, caps = m.load(fp)
     assert list(unique_images.values()) == ["a.jpg"]
     assert len(caps) == 1
+
+
+def test_literal_image_caption_dataset_coverage(processors, parallel_corpus,
+                                                tmp_path):
+    """The literal ImageCaptionDataset (dataset.py:278-359) vs our
+    CaptionBatcher on the SAME caption binary: identical (image, caption)
+    coverage in identical order (incl. the .png skip at :309), identical
+    language type, per-row first-pad parity on non-full rows, and our
+    batches never exceed the reference's max_img_per_batch / 2·maxlen³
+    capacity budgets."""
+    ours_tp, ref_tp = processors
+    src, _ = parallel_corpus
+    with open(src) as fp:
+        sents = [ln.strip() for ln in fp if ln.strip()][:60]
+    tsv = tmp_path / "caps.tsv"
+    rows = [f"img_{i % 23}.jpg\t{s}" for i, s in enumerate(sents)]
+    rows.insert(7, f"skipme.png\t{sents[0]}")          # png: skipped
+    tsv.write_text("\n".join(rows) + "\n")
+
+    from imagetranslate_tpu.data.binarize_captions import write_from_list
+    from imagetranslate_tpu.data.images import CaptionBatcher
+
+    bin_path = str(tmp_path / "caps.bin")
+    write_from_list(ours_tp, bin_path, str(tsv), max_len=256,
+                    sample_size=-1, lang="mzn")
+
+    ref_ds_mod = _load_ref("dataset.py", "ref_dataset_caps",
+                           stubs=(_tv_transforms_stub(),))
+    M, C = 8, 1
+    ref_ds = ref_ds_mod.ImageCaptionDataset(
+        root_img_dir="/x", data_bin_file=bin_path, max_capacity=C,
+        text_processor=ref_tp, max_img_per_batch=M)
+    ours = CaptionBatcher(bin_path, ours_tp, max_capacity_mb=C,
+                          max_img_per_batch=M)
+    assert ours.lang == ref_ds.lang
+
+    ref_seq, ref_pad_parity = [], []
+    for i, (bt, pads, pad_idx, _) in enumerate(ref_ds.batches):
+        arr = bt.numpy()
+        for r in range(arr.shape[0]):
+            cap = tuple(arr[r][arr[r] != 0])
+            img = ref_ds.unique_images[ref_ds.image_batches[i][r]]
+            ref_seq.append((img, cap))
+            if len(cap) < arr.shape[1]:
+                assert int(pad_idx[r]) == len(cap)
+
+    our_seq = []
+    for b in ours.batches:
+        n_real = int(b.row_mask.sum())
+        assert n_real <= M
+        t = b.captions.shape[1]
+        assert 2 * (t ** 3) * n_real <= max(
+            C * 1_000_000, 2 * (t ** 3))         # capacity (single row may
+        for r in range(n_real):                  # legitimately exceed it)
+            cap = tuple(b.captions[r][:int(b.lengths[r])])
+            our_seq.append((b.image_paths[r], cap))
+            assert int(b.lengths[r]) == len(cap)
+    assert ref_seq == our_seq
+    assert all(not p.endswith(".png") for p, _ in our_seq)
+    assert len({p for p, _ in our_seq}) == 23    # the .png image dropped

@@ -158,3 +158,38 @@ def test_blind_split_exact_multiple_has_no_pad_row(corpus, tmp_path):
     # Force the exact-multiple case: split_len == token count -> ONE row.
     rows = tp.tokenize_lines(doc, blind_split=True, split_len=n_tok)
     assert rows.shape == (1, n_tok)
+
+
+def test_hf_parity_fuzz(corpus, tmp_path):
+    """Randomized unicode fuzz: 300 mixed-script strings (known words,
+    unknown CJK/Arabic/symbol runs, NFKC-normalizing forms, stray spaces)
+    must encode identically through our engine and HF's SentencePieceBPE
+    on shared artifacts. Guards the fuse_unk=False and Metaspace corner
+    cases the hand-picked texts miss."""
+    pytest.importorskip("tokenizers")
+    import random
+
+    from tokenizers import SentencePieceBPETokenizer
+
+    bpe = train_bpe([corpus], vocab_size=220,
+                    special_tokens=["<pad>", "<s>", "<unk>", "<mask>", "</s>"])
+    bpe.save(str(tmp_path))
+    hf = SentencePieceBPETokenizer(str(tmp_path / "vocab.json"),
+                                   str(tmp_path / "merges.txt"))
+    rng = random.Random(7)
+    known = ["the", "quick", "fox", "dog", "jumps", "a", "over"]
+    exotic = ["世", "界", "ؤ", "ژ", "ˇ", "ﬁ", "ﬂ", "①", "½", "Ａ", "é",
+              "‌", "𝒜", "🌍", "²"]
+    pools = [known, exotic, [""]]
+    for case in range(300):
+        parts = []
+        for _ in range(rng.randint(1, 12)):
+            pool = rng.choice(pools)
+            tok = rng.choice(pool)
+            if pool is exotic and rng.random() < 0.5:
+                tok = tok * rng.randint(1, 4)      # unknown runs
+            parts.append(tok)
+        text = (" " * rng.randint(0, 2)).join(parts)
+        if not text.strip():
+            continue
+        assert bpe.encode(text) == hf.encode(text).ids, (case, repr(text))
