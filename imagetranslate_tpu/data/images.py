@@ -278,7 +278,12 @@ class CaptionEvalGroup:
 
 class CaptionEvalSet:
     """Dedup images, collect multi-reference captions, expose max_len =
-    longest ref + 10 (reference ImageCaptionTestDataset, dataset.py:401-423)."""
+    longest ref + 10 (reference ImageCaptionTestDataset, dataset.py:401-423).
+    Deliberate deviation: the reference dedups PER capacity batch, so an
+    image whose captions straddle a batch boundary is evaluated as two
+    entries with split reference sets; we dedup globally, which keeps every
+    image's references together (literal single-batch parity pinned in
+    tests/test_reference_literal.py)."""
 
     def __init__(self, data_bin_file: str, tp):
         unique_images, captions = load_caption_bin(data_bin_file)

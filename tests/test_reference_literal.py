@@ -1115,3 +1115,93 @@ def test_literal_image_caption_dataset_coverage(processors, parallel_corpus,
     assert ref_seq == our_seq
     assert all(not p.endswith(".png") for p, _ in our_seq)
     assert len({p for p, _ in our_seq}) == 23    # the .png image dropped
+
+
+def _tv_transforms_tensor_stub():
+    """Like _tv_transforms_stub but the composed image ops return real
+    torch tensors, so reference __getitem__ paths (torch.stack over
+    transformed images) execute."""
+    tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+    ident = lambda *a, **k: (lambda x: x)                   # noqa: E731
+    tv.transforms = types.SimpleNamespace(
+        Compose=lambda fns: (lambda im: im),
+        Resize=ident, CenterCrop=ident,
+        ToTensor=lambda: (lambda im: torch.zeros(3, 4, 4)),
+        Normalize=lambda **kw: (lambda t: t))
+    return ("torchvision", tv)
+
+
+def test_literal_caption_test_dataset_eval_semantics(
+        processors, parallel_corpus, tmp_path):
+    """ImageCaptionTestDataset (dataset.py:401-423) vs our CaptionEvalSet
+    on one batch: identical image dedup, multi-reference caption grouping,
+    per-image first tokens, and max_len = longest ref + 10. (Documented
+    deviation: the reference dedups PER capacity batch, so an image whose
+    captions straddle a batch boundary evaluates as two entries; we dedup
+    globally — single-batch data makes the two coincide.)"""
+    ours_tp, ref_tp = processors
+    src, _ = parallel_corpus
+    with open(src) as fp:
+        sents = [ln.strip() for ln in fp if ln.strip()][:12]
+    tsv = tmp_path / "caps.tsv"
+    # 4 images, multi-reference: image k gets captions k, k+4, k+8.
+    tsv.write_text("\n".join(
+        f"img_{i % 4}.jpg\t{s}" for i, s in enumerate(sents)) + "\n")
+
+    from imagetranslate_tpu.data.binarize_captions import write_from_list
+    from imagetranslate_tpu.data.images import CaptionEvalSet
+
+    bin_path = str(tmp_path / "caps.bin")
+    write_from_list(ours_tp, bin_path, str(tsv), max_len=256,
+                    sample_size=-1, lang="mzn")
+
+    ref_mod = _load_ref("dataset.py", "ref_dataset_evalcaps",
+                        stubs=(_tv_transforms_tensor_stub(),))
+    ref_ds = ref_mod.ImageCaptionTestDataset(
+        root_img_dir=str(tmp_path), data_bin_file=bin_path,
+        max_capacity=10 ** 6, text_processor=ref_tp,
+        max_img_per_batch=10 ** 6)
+    assert len(ref_ds.batches) == 1
+    item = ref_ds[0]
+
+    ours = CaptionEvalSet(bin_path, ours_tp)
+    ref_caps = {ref_ds.unique_images[im]:
+                sorted(tuple(int(x) for x in c if int(x) != 0)
+                       for c in caps)
+                for im, caps in item["captions"].items()}
+    our_caps = {g.image_path: sorted(tuple(r) for r in g.references)
+                for g in ours.groups}
+    assert ref_caps == our_caps and len(our_caps) == 4
+    assert int(item["max_len"]) == ours.max_len
+    ref_first = {ref_ds.unique_images[im]: int(caps[0][0])
+                 for im, caps in item["captions"].items()}
+    assert ref_first == {g.image_path: g.first_token for g in ours.groups}
+    assert all(g.first_token == ours_tp.token_id("<mzn>")
+               for g in ours.groups)
+
+
+def test_literal_image_folder_dataset(tmp_path):
+    """ImageDataset (dataset.py:426-476) vs our ImageFolderBatcher over the
+    same folder: .png skipped, identical path coverage, identical
+    max_img_per_batch partitioning sizes. (Documented deviation: we sort
+    paths for determinism; the reference batches in os.listdir order.)"""
+    ref_mod = _load_ref("dataset.py", "ref_dataset_folder",
+                        stubs=(_tv_transforms_tensor_stub(),))
+    from imagetranslate_tpu.data.images import ImageFolderBatcher
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(11):
+        (d / f"im_{i:02d}.jpg").write_bytes(b"x")
+    (d / "nope.png").write_bytes(b"x")
+
+    ref_ds = ref_mod.ImageDataset(root_img_dir=str(d), max_img_per_batch=4,
+                                  target_lang=3, first_token=9)
+    ours = ImageFolderBatcher(str(d), max_img_per_batch=4, target_lang=3,
+                              first_token=9)
+    ref_paths = [p for b in ref_ds.image_batches for p in b]
+    our_paths = [p for b in ours.batches for p in b]
+    assert sorted(ref_paths) == sorted(our_paths) == \
+        sorted(str(d / f"im_{i:02d}.jpg") for i in range(11))
+    assert sorted(len(b) for b in ref_ds.image_batches) == \
+        sorted(len(b) for b in ours.batches) == [3, 4, 4]
