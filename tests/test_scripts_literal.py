@@ -160,3 +160,25 @@ def test_eval_sacre_bleu_stdout(tmp_path):
     our_lines = [l for l in our_out.splitlines() if l.strip()]
     assert our_lines[:len(ref_lines)] == ref_lines
     assert any(l.replace(".", "").strip().isdigit() for l in ref_lines)
+
+
+def test_eval_caption_sacre_stdout(tmp_path):
+    """Multi-reference caption BLEU keyed on image basename
+    (scripts/eval_caption_sacre.py): identical stdout, incl. the
+    None-padded uneven reference sets and path-basename keying."""
+    pytest.importorskip("sacrebleu")
+    refs = ["a/b/img1.jpg\ta red cat sits",
+            "img1.jpg\tthe red cat is sitting",
+            "c/img2.jpg\ta dog runs fast",
+            "img3.jpg\tbirds fly high",
+            "img3.jpg\tthe birds are flying",
+            "img3.jpg\tbirds in the sky",
+            "malformed-line-no-tab"]
+    hyps = ["x/img1.jpg\ta red cat sits",
+            "img2.jpg\tthe dog runs",
+            "y/z/img3.jpg\tbirds fly in the sky"]
+    (tmp_path / "ref.tsv").write_text("\n".join(refs) + "\n")
+    (tmp_path / "hyp.tsv").write_text("\n".join(hyps) + "\n")
+    argv = [tmp_path / "ref.tsv", tmp_path / "hyp.tsv"]
+    assert run_ref("eval_caption_sacre.py", argv) == \
+        run_ours("eval_caption_sacre", argv)
