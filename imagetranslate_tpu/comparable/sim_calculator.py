@@ -42,7 +42,11 @@ def read_embed(path):
             vectors.append(v)
             index[spl[0]] = len(index) + 1
     arr = np.stack([np.full((dim,), 1e-4, np.float32)] + vectors)
-    arr /= np.linalg.norm(arr, axis=-1, keepdims=True) + 1e-4
+    arr[1:] /= np.linalg.norm(arr[1:], axis=-1, keepdims=True) + 1e-4
+    # Row 0 (OOV/pad) stays the raw 1e-4 vector: normalizing it would give
+    # OOV words a ~unit embedding and real cosine mass; the reference's OOV
+    # contribution is ~1e-4-scale (sim_calculator.py:154, and its src side
+    # never normalizes at all — a defect we don't replicate for real rows).
     return arr, index
 
 def read_dict(path):

@@ -39,10 +39,15 @@ def main():
 
     with open(a.output, "w") as w:
         for word, cands in trans.items():
-            denom = counts[word]
-            scored = sorted(((c / denom, t) for t, c in cands.items()),
+            # (The reference divides by counts[word] before sorting; the
+            # per-word denominator is constant so count order == normalized
+            # order and the division is output-invariant.)
+            # Stable sort on the count alone (== the reference's normalized
+            # score, build_alignment_dict.py:57): equal-count candidates
+            # keep first-seen order, NOT token-id order.
+            scored = sorted(cands.items(), key=lambda kv: kv[1],
                             reverse=True)[:5]
-            w.write(" ".join([str(word)] + [str(t) for _, t in scored])
+            w.write(" ".join([str(word)] + [str(t) for t, _ in scored])
                     + "\n")
 
 if __name__ == "__main__":

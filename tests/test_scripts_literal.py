@@ -182,3 +182,179 @@ def test_eval_caption_sacre_stdout(tmp_path):
     argv = [tmp_path / "ref.tsv", tmp_path / "hyp.tsv"]
     assert run_ref("eval_caption_sacre.py", argv) == \
         run_ours("eval_caption_sacre", argv)
+
+
+def test_build_alignment_dict_bytes(tmp_path):
+    """Top-5 normalized alignment dict over token ids
+    (build_alignment_dict.py:30-62, lives in src/ not scripts/): identical
+    output incl. TIE order — the reference's stable value-sort keeps
+    first-seen candidates ahead of equal-count later ones (our pre-r5
+    tuple sort broke ties by token id instead)."""
+    from imagetranslate_tpu.text.processor import TextProcessor
+
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("ha he hi ho hu " * 30)
+    tok_dir = str(tmp_path / "tok")
+    TextProcessor().train_tokenizer([str(corpus)], 60, tok_dir, {"<xx>": 0})
+
+    # Words that are whole vocab tokens: the specials. Engineer a tie for
+    # '<mask>' -> {'<s>'(id 1) x1 first, '</s>'(id 4) x1 later}; stable
+    # order puts id 1 first, id-sorted(desc) would put 4 first.
+    src_lines = ["<mask> <pad>", "<mask>", "<unk> <mask>"]
+    dst_lines = ["<s> <unk>", "</s>", "<pad> <s>"]
+    aligns = ["0-0 1-1", "0-0", "0-0 1-1"]
+    (tmp_path / "s.txt").write_text("\n".join(src_lines) + "\n")
+    (tmp_path / "d.txt").write_text("\n".join(dst_lines) + "\n")
+    (tmp_path / "a.txt").write_text("\n".join(aligns) + "\n")
+
+    ref_src_dir = os.path.dirname(REF_SCRIPTS)          # /root/reference/src
+    if ref_src_dir not in sys.path:
+        sys.path.insert(0, ref_src_dir)
+    argv = lambda out: ["--src", tmp_path / "s.txt", "--dst",     # noqa: E731
+                        tmp_path / "d.txt", "--align", tmp_path / "a.txt",
+                        "--tok", tok_dir, "--output", out]
+    old = sys.argv
+    sys.argv = ["build_alignment_dict.py"] + \
+        [str(a) for a in argv(tmp_path / "ref.dict")]
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            runpy.run_path(os.path.join(ref_src_dir,
+                                        "build_alignment_dict.py"),
+                           run_name="__main__")
+    finally:
+        sys.argv = old
+    run_ours("build_alignment_dict", argv(tmp_path / "our.dict"))
+    assert_files_equal(tmp_path / "ref.dict", tmp_path / "our.dict")
+    # The tie case actually fired: <mask>'s first two candidates are the
+    # first-seen id-1 then id-4.
+    rows = {l.split(" ")[0]: l.split(" ")[1:]
+            for l in (tmp_path / "our.dict").read_text().splitlines()}
+    mask_id = str(TextProcessor(tok_dir).token_id("<mask>"))
+    assert rows[mask_id][:2] == ["1", "4"]
+
+
+def test_extract_best_comparable_bytes(tmp_path):
+    """Mutual-best filtering with length-normalized scores
+    (comparable/extract_best_comparable.py:18-60): identical output file —
+    max-len normalization, bidirectional best agreement, min-sim cut,
+    score-descending stable order, str(float) formatting."""
+    rows = [
+        ("the cat sits", "le chat est assis", 2.4),      # mutual best
+        ("the cat sits", "un chien", 1.0),               # worse for same src
+        ("a dog", "un chien", 1.9),                      # steals dst best
+        ("a dog", "le chien court vite la", 2.0),        # norm kills score
+        ("tiny", "mini", 0.05),                          # below --min
+        ("same norm", "meme norme", 1.2),                # mutual best, tie-ish
+    ]
+    (tmp_path / "s").write_text("\n".join(r[0] for r in rows) + "\n")
+    (tmp_path / "d").write_text("\n".join(r[1] for r in rows) + "\n")
+    (tmp_path / "sc").write_text("\n".join(str(r[2]) for r in rows) + "\n")
+
+    comp_dir = os.path.join(os.path.dirname(REF_SCRIPTS), "comparable")
+    argv = lambda out: ["--src", tmp_path / "s", "--dst",       # noqa: E731
+                        tmp_path / "d", "--scores", tmp_path / "sc",
+                        "--output", out, "--min", "0.1"]
+    old = sys.argv
+    sys.argv = ["extract_best_comparable.py"] + \
+        [str(x) for x in argv(tmp_path / "ref.out")]
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            runpy.run_path(os.path.join(comp_dir,
+                                        "extract_best_comparable.py"),
+                           run_name="__main__")
+    finally:
+        sys.argv = old
+    import importlib
+    mod = importlib.import_module(
+        "imagetranslate_tpu.comparable.extract_best_comparable")
+    old = sys.argv
+    sys.argv = ["extract_best_comparable"] + \
+        [str(x) for x in argv(tmp_path / "our.out")]
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            mod.main()
+    finally:
+        sys.argv = old
+    assert_files_equal(tmp_path / "ref.out", tmp_path / "our.out")
+    out = (tmp_path / "our.out").read_text().splitlines()
+    assert len(out) == 3 and all("|||" in l and "\t" in l for l in out)
+    # the 0.6-score tie kept insertion order on both sides
+    assert out[1].startswith("the cat sits") and out[2].startswith("same norm")
+
+
+def test_sim_calculator_semantic_parity(tmp_path):
+    """comparable/sim_calculator.py vs our numpy rewrite on synthetic
+    150-dim unit embeddings: per-pair scores agree to 2e-3 — max-cosine
+    sum, dictionary boosts, digit poisoning (-100 rows), --convert digit
+    normalization. Tolerance, not bytes, and uniform-length all-known-word
+    pairs: the reference normalizes only the dst embeddings (its
+    normalized src_embed is computed then UNUSED, sim_calculator.py:150-158)
+    and its padded batch rows leak cosine against a ~0.92-magnitude pad
+    vector (mm[pad_mm].fill_(0) is an advanced-indexing no-op,
+    sim_calculator.py:57-58) — batch-shape-dependent noise we deliberately
+    do not replicate; equal-length inputs void both effects."""
+    import types as _types
+
+    import numpy as np
+
+    pytest.importorskip("torch")
+    sys.modules.setdefault("apex", _types.ModuleType("apex"))
+    sys.modules["apex"].amp = _types.SimpleNamespace(
+        initialize=lambda *a, **k: a)
+
+    rng = np.random.RandomState(3)
+    words_s = ["gato", "perro", "casa", "۱۲", "rojo", "azul"]
+    words_d = ["cat", "dog", "house", "12", "13", "red", "blue"]
+
+    def write_embed(path, words):
+        with open(path, "w") as w:
+            w.write(f"{len(words)} 150\n")
+            for wd in words:
+                v = rng.randn(150)
+                v /= np.linalg.norm(v)
+                w.write(wd + " " + " ".join(f"{x:.6f}" for x in v) + "\n")
+    write_embed(tmp_path / "s.vec", words_s)
+    write_embed(tmp_path / "d.vec", words_d)
+    (tmp_path / "dict.tsv").write_text("gato\tcat\n")
+
+    src_lines = ["gato rojo", "perro ۱۲", "casa ۱۲", "rojo azul",
+                 "perro perro"]
+    dst_lines = ["red cat", "dog 13", "house 12", "red blue", "dog dog"]
+    (tmp_path / "s.txt").write_text("\n".join(src_lines) + "\n")
+    (tmp_path / "d.txt").write_text("\n".join(dst_lines) + "\n")
+
+    comp_dir = os.path.join(os.path.dirname(REF_SCRIPTS), "comparable")
+    base = ["--src", tmp_path / "s.txt", "--dst", tmp_path / "d.txt",
+            "--src-embed", tmp_path / "s.vec", "--dst-embed",
+            tmp_path / "d.vec", "--dict", tmp_path / "dict.tsv", "--convert"]
+    old = sys.argv
+    sys.argv = ["sim_calculator.py"] + \
+        [str(x) for x in base + ["--output", tmp_path / "ref.sc"]]
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            runpy.run_path(os.path.join(comp_dir, "sim_calculator.py"),
+                           run_name="__main__")
+    finally:
+        sys.argv = old
+    import importlib
+    mod = importlib.import_module(
+        "imagetranslate_tpu.comparable.sim_calculator")
+    sys.argv = ["sim_calculator"] + \
+        [str(x) for x in base + ["--output", tmp_path / "our.sc"]]
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            mod.main()
+    finally:
+        sys.argv = old
+
+    ref = [float(x) for x in
+           (tmp_path / "ref.sc").read_text().split()]
+    ours = [float(x) for x in
+            (tmp_path / "our.sc").read_text().split()]
+    assert len(ref) == len(ours) == len(src_lines)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-3)
+    # structure: the digit-mismatch row went hugely negative on both sides,
+    # the dict-boost and converted-digit-match rows stayed positive.
+    assert ref[1] < -50 and ours[1] < -50          # ۱۲ vs 13 poisoned
+    assert ref[0] > 0.9 and ours[0] > 0.9          # dict boost fired
+    assert ref[2] > 0 and ours[2] > 0              # ۱۲ == 12 via --convert
