@@ -12,7 +12,10 @@ def main():
             flipped = []
             for a in aline.strip().split(" "):
                 parts = a.strip().split("-")
-                if len(parts) == 2:
+                # >=2 parts: the reference indexes [1]+"-"+[0], so a
+                # malformed "1-2-3" flips to "2-1" (extra parts dropped),
+                # it does not skip (flip_alignment_dir.py:18-21).
+                if len(parts) >= 2:
                     flipped.append(parts[1] + "-" + parts[0])
             aw.write(" ".join(flipped) + "\n")
 

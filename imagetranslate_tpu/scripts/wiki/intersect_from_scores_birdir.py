@@ -11,9 +11,12 @@ def main():
     with open(sys.argv[1]) as r:
         for line in r:
             try:
-                src, dst, p = line.strip().split("\t")
-                p = float(p)
-            except ValueError:
+                # First three TAB fields; extra trailing fields tolerated
+                # (the reference indexes [0..2], intersect_from_scores_
+                # birdir.py:15-17).
+                fields = line.strip().split("\t")
+                src, dst, p = fields[0], fields[1], float(fields[2])
+            except (ValueError, IndexError):
                 continue
             if (8 <= len(src.split(" ")) <= 50
                     and 8 <= len(dst.split(" ")) <= 50 and p >= lowest):

@@ -358,3 +358,54 @@ def test_sim_calculator_semantic_parity(tmp_path):
     assert ref[1] < -50 and ours[1] < -50          # ۱۲ vs 13 poisoned
     assert ref[0] > 0.9 and ours[0] > 0.9          # dict boost fired
     assert ref[2] > 0 and ours[2] > 0              # ۱۲ == 12 via --convert
+
+
+def test_intersect_from_scores_birdir_bytes(tmp_path):
+    """Bidirectional mutual-best intersection
+    (scripts/wiki/intersect_from_scores_birdir.py): identical output —
+    8..50-word gate, score/sum thresholds, canonical direction by
+    first-word comparison with p1-first score order even when swapped,
+    dedup, and tolerance of extra TSV fields."""
+    w8 = lambda tag, n=8: " ".join([tag] + [f"w{i}" for i in range(n - 1)])
+    A, B = w8("<aa> alpha"), w8("<zz> beta")         # mutual, l1 < l2
+    C, D = w8("<zz> gamma"), w8("<aa> delta")        # mutual, l1 > l2: swap
+    E, F = w8("<mm> eps"), w8("<nn> zeta")           # one-directional only
+    G, H = w8("<aa> eta"), w8("<bb> theta")          # below sum threshold
+    S = "short line"                                  # < 8 words: gated
+    rows = [f"{A}\t{B}\t0.9", f"{B}\t{A}\t0.8\textra\tfields",
+            f"{C}\t{D}\t0.7", f"{D}\t{C}\t0.95",
+            f"{E}\t{F}\t0.9",
+            f"{G}\t{H}\t0.31", f"{H}\t{G}\t0.3",
+            f"{S}\t{B}\t0.99", "malformed"]
+    (tmp_path / "in.tsv").write_text("\n".join(rows) + "\n")
+    args = [tmp_path / "in.tsv", 0.3, 0.7]
+    run_ref("wiki/intersect_from_scores_birdir.py",
+            [*args, tmp_path / "ref.out"])
+    run_ours("wiki.intersect_from_scores_birdir",
+             [*args, tmp_path / "our.out"])
+    assert_files_equal(tmp_path / "ref.out", tmp_path / "our.out")
+    out = (tmp_path / "our.out").read_text().splitlines()
+    assert len(out) == 2
+    assert out[1].startswith("<aa> delta")           # swapped to canonical
+    assert out[1].split("\t")[1:3] == ["0.7", "0.95"]  # p1 stays first
+
+
+def test_flip_alignment_dir_bytes(tmp_path):
+    """Pair + alignment flipper (scripts/wiki/flip_alignment_dir.py):
+    byte-identical outputs, incl. malformed "1-2-3" entries flipping to
+    "2-1" (extra parts dropped, not skipped) and bare tokens skipped."""
+    (tmp_path / "p.txt").write_text(
+        "a b ||| x y\nc d e ||| z\n")
+    (tmp_path / "a.txt").write_text(
+        "0-0 1-1\n0-0 1-2-3 junk 2-0\n")
+    run_ref("wiki/flip_alignment_dir.py",
+            [tmp_path / "p.txt", tmp_path / "a.txt",
+             tmp_path / "ref.p", tmp_path / "ref.a"])
+    run_ours("wiki.flip_alignment_dir",
+             [tmp_path / "p.txt", tmp_path / "a.txt",
+              tmp_path / "our.p", tmp_path / "our.a"])
+    assert_files_equal(tmp_path / "ref.p", tmp_path / "our.p")
+    assert_files_equal(tmp_path / "ref.a", tmp_path / "our.a")
+    assert (tmp_path / "our.p").read_text() == \
+        "x y ||| a b\nz ||| c d e\n"
+    assert (tmp_path / "our.a").read_text() == "0-0 1-1\n0-0 2-1 0-2\n"
