@@ -409,3 +409,41 @@ def test_flip_alignment_dir_bytes(tmp_path):
     assert (tmp_path / "our.p").read_text() == \
         "x y ||| a b\nz ||| c d e\n"
     assert (tmp_path / "our.a").read_text() == "0-0 1-1\n0-0 2-1 0-2\n"
+
+
+def test_fastalign_converters_bytes(tmp_path):
+    """tab2fastalign + fastalign2align round-trip: byte parity incl.
+    malformed-line skips and the multi-"|||" rejoin."""
+    (tmp_path / "in.tsv").write_text(
+        "a b\tx y\nno-tab-line\nc\tz w\t extra\n")
+    run_ref("tab2fastalign.py", [tmp_path / "in.tsv", tmp_path / "ref.fa"])
+    run_ours("tab2fastalign", [tmp_path / "in.tsv", tmp_path / "our.fa"])
+    assert_files_equal(tmp_path / "ref.fa", tmp_path / "our.fa")
+    assert (tmp_path / "our.fa").read_text() == \
+        "a b ||| x y\nc ||| z w\n"
+
+    (tmp_path / "in.fa").write_text(
+        "a b ||| x y\nmalformed\np ||| q ||| r\n")
+    run_ref("fastalign2align.py",
+            [tmp_path / "in.fa", tmp_path / "ref.s", tmp_path / "ref.d"])
+    run_ours("fastalign2align",
+             [tmp_path / "in.fa", tmp_path / "our.s", tmp_path / "our.d"])
+    assert_files_equal(tmp_path / "ref.s", tmp_path / "our.s")
+    assert_files_equal(tmp_path / "ref.d", tmp_path / "our.d")
+    assert (tmp_path / "our.d").read_text() == "x y\nq r\n"
+
+
+def test_extract_parallel_length_limit_bytes(tmp_path):
+    """Both-sides length gate (extract_parallel_based_on_length_limit.py)."""
+    pairs = [("a b c", "x y"), ("a", "x y z"), ("a b c d e f", "x y"),
+             ("p q r s", "u v w")]
+    (tmp_path / "s").write_text("\n".join(p[0] for p in pairs) + "\n")
+    (tmp_path / "t").write_text("\n".join(p[1] for p in pairs) + "\n")
+    args = [tmp_path / "s", tmp_path / "t", 2, 5]
+    run_ref("extract_parallel_based_on_length_limit.py",
+            [*args, tmp_path / "ref.s", tmp_path / "ref.t"])
+    run_ours("extract_parallel_based_on_length_limit",
+             [*args, tmp_path / "our.s", tmp_path / "our.t"])
+    assert_files_equal(tmp_path / "ref.s", tmp_path / "our.s")
+    assert_files_equal(tmp_path / "ref.t", tmp_path / "our.t")
+    assert (tmp_path / "our.s").read_text() == "a b c\np q r s\n"
