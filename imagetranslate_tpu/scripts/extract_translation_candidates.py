@@ -35,7 +35,10 @@ def main():
                              for v in ref_docs]))
     ref_caption_dict = defaultdict(set)
     for v in ref_docs:
-        sens = doc_sentences(v)
+        # Reference side gates sentences to 5..256 words (the 256 cap is
+        # ref-side only: extract_translation_candidates.py:21 vs :35).
+        sens = [s for s in doc_sentences(v)
+                if len(s.strip().split(" ")) <= 256 + 2]
         for im in v["images"]:
             ref_caption_dict[im["img_path"]].add(im["caption"])
             for s in sens:

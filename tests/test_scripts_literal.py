@@ -13,6 +13,7 @@ Same-process execution also makes the set-iteration-order scripts
 
 import io
 import contextlib
+import json
 import os
 import runpy
 import sys
@@ -447,3 +448,95 @@ def test_extract_parallel_length_limit_bytes(tmp_path):
     assert_files_equal(tmp_path / "ref.s", tmp_path / "our.s")
     assert_files_equal(tmp_path / "ref.t", tmp_path / "our.t")
     assert (tmp_path / "our.s").read_text() == "a b c\np q r s\n"
+
+
+def test_extract_translation_candidates_txt_bytes(tmp_path):
+    """Shared-image translation-candidate mining, --txt mode
+    (scripts/extract_translation_candidates.py): byte parity — shared-image
+    doc gating, 5-word minimum both sides + 256-word cap on the ref side,
+    caption+sentence candidate pools, the .9..1.1 ratio OR <=3 length-diff
+    filter, and lang-tag stripping in the output. (The reference's non-txt
+    mode writes str lines to a "wb" file and crashes; its --image --txt
+    combination joins the image path instead of the sentence — defects
+    catalogued in docs/PARITY.md, not replicated.)"""
+    def doc(lang, sents, imgs):
+        return {"content": f"<{lang}> " + " </s> ".join(sents) + " </s>",
+                "lang": lang,
+                "images": [{"img_path": p,
+                            "caption": f"<{lang}> caption about {p} here now </s>"}
+                           for p in imgs]}
+
+    long_sen = " ".join(["w"] * 300)
+    ref_docs = [doc("en", ["the big cat sat on the mat",
+                           "five words here right now", long_sen],
+                    ["a.jpg", "b.jpg"]),
+                doc("en", ["unshared doc sentence here now"], ["z.jpg"])]
+    src_docs = [doc("fa", ["one two three four five six",
+                           "an exactly seven word long sentence here"],
+                    ["a.jpg"]),
+                doc("fa", ["short only"], ["b.jpg"]),       # <5 words: no sens
+                doc("fa", ["no shared images here at all"], ["q.jpg"])]
+    (tmp_path / "src.json").write_text(json.dumps(src_docs))
+    (tmp_path / "ref.json").write_text(json.dumps(ref_docs))
+
+    import importlib
+    argv = lambda out: ["--file", tmp_path / "src.json", "--ref",  # noqa: E731
+                        tmp_path / "ref.json", "--output", out, "--txt"]
+    old = sys.argv
+    sys.argv = ["extract_translation_candidates.py"] + \
+        [str(x) for x in argv(tmp_path / "ref.out")]
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            runpy.run_path(
+                os.path.join(REF_SCRIPTS, "extract_translation_candidates.py"),
+                run_name="__main__")
+    finally:
+        sys.argv = old
+    run_ours("extract_translation_candidates", argv(tmp_path / "our.out"))
+    assert_files_equal(tmp_path / "ref.out", tmp_path / "our.out")
+    out = (tmp_path / "our.out").read_text()
+    assert "|||" in out and "<fa>" not in out and "</s>" not in out
+    assert "w w w" not in out                         # 256-cap held
+
+
+def test_filter_non_matched_numbers_bytes(tmp_path):
+    """Digit-set filter with Persian/Gujarati/Devanagari normalization
+    (comparable/filter_non_matched_numbers_from_parallel_data.py):
+    byte-identical kept-pairs file and removed count."""
+    rows = [("keep ||| a", "price ۱۲.۵ now", "cost 12.5 today"),    # ۱۲٫۵→12.5
+            ("drop ||| b", "has ४२", "has 43"),                      # ४२=42≠43
+            ("keep2 ||| c", "no digits", "none either"),
+            ("keep3 ||| d", "twice 7 and 7", "just 7"),              # sets equal
+            ("drop2 ||| e", "9 here", "none")]
+    (tmp_path / "p").write_text("\n".join(r[0] for r in rows) + "\n")
+    (tmp_path / "s").write_text("\n".join(r[1] for r in rows) + "\n")
+    (tmp_path / "d").write_text("\n".join(r[2] for r in rows) + "\n")
+
+    comp_dir = os.path.join(os.path.dirname(REF_SCRIPTS), "comparable")
+    args = [tmp_path / "p", tmp_path / "s", tmp_path / "d"]
+    old = sys.argv
+    sys.argv = ["f.py"] + [str(x) for x in args + [tmp_path / "ref.out"]]
+    try:
+        with contextlib.redirect_stdout(io.StringIO()) as ref_stdout:
+            runpy.run_path(os.path.join(
+                comp_dir, "filter_non_matched_numbers_from_parallel_data.py"),
+                run_name="__main__")
+    finally:
+        sys.argv = old
+    import importlib
+    mod = importlib.import_module(
+        "imagetranslate_tpu.comparable."
+        "filter_non_matched_numbers_from_parallel_data")
+    old = sys.argv
+    sys.argv = ["f"] + [str(x) for x in args + [tmp_path / "our.out"]]
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            mod.main()
+    finally:
+        sys.argv = old
+    our_stdout = buf.getvalue()
+    assert_files_equal(tmp_path / "ref.out", tmp_path / "our.out")
+    assert ref_stdout.getvalue().strip() == our_stdout.strip() == "2"
+    assert (tmp_path / "our.out").read_text() == \
+        "keep ||| a\nkeep2 ||| c\nkeep3 ||| d\n"
