@@ -14,14 +14,19 @@ def main():
             except ValueError:
                 continue
             sw, dw = src.split(" "), dst.split(" ")
-            for a in alignment.strip().split(" "):
-                parts = a.split("-")
-                if len(parts) != 2:
-                    continue
-                try:
-                    coocs[(sw[int(parts[0])], dw[int(parts[1])])] += 1
-                except (ValueError, IndexError):
-                    continue
+            # A single out-of-range/malformed index drops the WHOLE line's
+            # alignments — the reference materializes the line's pair list
+            # inside one try (extract_alignment_dict.py:19-23), so a
+            # mid-line failure discards even its valid earlier entries.
+            try:
+                line_pairs = [(sw[int(p[0])], dw[int(p[1])])
+                              for p in (a.split("-")
+                                        for a in alignment.strip().split(" "))
+                              if len(p) == 2]
+            except (ValueError, IndexError):
+                continue
+            for sp, dp in line_pairs:
+                coocs[(sp, dp)] += 1
 
     s2d, d2s = {}, {}
     for (s, d), c in coocs.items():

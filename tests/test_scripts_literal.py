@@ -540,3 +540,40 @@ def test_filter_non_matched_numbers_bytes(tmp_path):
     assert ref_stdout.getvalue().strip() == our_stdout.strip() == "2"
     assert (tmp_path / "our.out").read_text() == \
         "keep ||| a\nkeep2 ||| c\nkeep3 ||| d\n"
+
+
+def test_extract_alignment_dict_bytes(tmp_path):
+    """Mutual-best co-occurrence dict from fast_align output
+    (scripts/extract_alignment_dict.py): byte parity — count argmax with
+    first-seen tie keeping, same-word (case-insensitive) skip, capitalized
+    variant emission, and whole-line drop on a malformed alignment index."""
+    pairs = ["der hund ||| the dog",
+             "der hund lief ||| the dog ran",
+             "die katze ||| the cat",
+             "der mann ||| the man",
+             "bad zeile ||| short line"]
+    aligns = ["0-0 1-1", "0-0 1-1 2-2", "0-0 1-2", "0-0 1-1",
+              "0-0 1-9 0-1"]          # index 9 OOR: whole line dropped
+    (tmp_path / "p").write_text("\n".join(pairs) + "\n")
+    (tmp_path / "a").write_text("\n".join(aligns) + "\n")
+    run_ref("extract_alignment_dict.py",
+            [tmp_path / "p", tmp_path / "a", tmp_path / "ref.d"])
+    run_ours("extract_alignment_dict",
+             [tmp_path / "p", tmp_path / "a", tmp_path / "our.d"])
+    assert_files_equal(tmp_path / "ref.d", tmp_path / "our.d")
+    out = (tmp_path / "our.d").read_text().splitlines()
+    assert "der ||| the" in out and "Der ||| The" in out    # cap variant
+    assert "hund ||| dog" in out
+    assert not any(l.startswith("bad") for l in out)        # line dropped
+
+
+def test_count_shared_words_stdout(tmp_path):
+    """Vocabulary-overlap counter (scripts/count_shared_words.py): the two
+    count lines match; the reference additionally dumps raw set reprs
+    (hash-ordered debug noise we drop)."""
+    (tmp_path / "a").write_text("the cat sat\nthe dog ran\n")
+    (tmp_path / "b").write_text("a cat runs\nthe bird sat still\n")
+    ref = run_ref("count_shared_words.py", [tmp_path / "a", tmp_path / "b"])
+    ours = run_ours("count_shared_words", [tmp_path / "a", tmp_path / "b"])
+    assert ours.splitlines()[:2] == ref.splitlines()[:2]
+    assert ours.splitlines()[0].split()[-1] == "3"     # the, cat, sat shared
