@@ -577,3 +577,51 @@ def test_count_shared_words_stdout(tmp_path):
     ours = run_ours("count_shared_words", [tmp_path / "a", tmp_path / "b"])
     assert ours.splitlines()[:2] == ref.splitlines()[:2]
     assert ours.splitlines()[0].split()[-1] == "3"     # the, cat, sat shared
+
+
+def test_remove_punctuation_bytes(tmp_path):
+    """Punctuation→space squeeze incl. Arabic marks
+    (scripts/remove_punctuation.py)."""
+    (tmp_path / "in").write_text(
+        "hello, world! (really)\nwhat؟ yes؛ sure،\nkeep+plus =equals\n"
+        "a\\b back\\slash\n")
+    run_ref("remove_punctuation.py", [tmp_path / "in", tmp_path / "ref"])
+    run_ours("remove_punctuation", [tmp_path / "in", tmp_path / "our"])
+    assert_files_equal(tmp_path / "ref", tmp_path / "our")
+    lines = (tmp_path / "our").read_text().splitlines()
+    assert lines[0] == "hello world really"
+    assert lines[1] == "what yes sure"
+    assert lines[2] == "keep+plus =equals"      # + and = are NOT in the set
+    assert lines[3] == "a b back slash"
+
+
+def test_count_unique_sens_stdout(tmp_path):
+    (tmp_path / "in").write_text("a\nb\na\nc\nb\n")
+    ref = run_ref("count_unique_sens.py", [tmp_path / "in"])
+    ours = run_ours("count_unique_sens", [tmp_path / "in"])
+    assert ref.split()[-1] == ours.strip() == "3"
+
+
+def test_sort_dict_bytes(tmp_path):
+    """Scored-pair dict filter/sort (scripts/sort_dict.py): threshold,
+    same-word (case-insensitive) and dotted-word skips, min_len gate,
+    best-per-source with score-descending stable order."""
+    rows = ["haus\thouse\t0.9",
+            "haus\thome\t0.95",          # later better score overwrites? no:
+            "hund\tdog\t0.8",            # distinct keys; best-per-src at write
+            "Same\tsame\t0.99",          # case-equal: skipped
+            "a.b\tdotted\t0.99",         # dotted: skipped
+            "x\ty\t0.05",                # below threshold
+            "kurz\tk\t0.9",              # min_len ok at 1
+            "tie1\tfoo\t0.8"]            # score tie with hund: stable order
+    (tmp_path / "in").write_text("\n".join(rows) + "\n")
+    args = lambda out: [tmp_path / "in", out, 0.1, 1]      # noqa: E731
+    run_ref("sort_dict.py", args(tmp_path / "ref"))
+    run_ours("sort_dict", args(tmp_path / "our"))
+    assert_files_equal(tmp_path / "ref", tmp_path / "our")
+    out = (tmp_path / "our").read_text().splitlines()
+    srcs = [l.split("\t")[0] for l in out]
+    assert "Same" not in srcs and "a.b" not in srcs and "x" not in srcs
+    assert srcs[0] == "haus"                       # best score first
+    assert srcs.index("hund") < srcs.index("tie1")  # 0.8 tie: stable order
+    assert srcs.count("haus") == 1                  # best-per-source only
