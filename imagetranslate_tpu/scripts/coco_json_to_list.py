@@ -11,7 +11,10 @@ def main():
     d = os.path.abspath(sys.argv[2])
     by_image = defaultdict(list)
     for ann in obj["annotations"]:
-        caption = ann["caption"].replace("\r", " ").replace("\n", " ").strip()
+        # \r\n DELETED, not spaced (reference coco_json_to_list.py:18 —
+        # "line1\nline2" becomes "line1line2"): list files feed binaries
+        # whose captions must match the reference's byte-for-byte.
+        caption = ann["caption"].replace("\r", "").replace("\n", "").strip()
         img = str(ann["image_id"])
         path = os.path.join(d, "0" * (12 - len(img)) + img + ".jpg")
         by_image[path].append(caption)

@@ -625,3 +625,41 @@ def test_sort_dict_bytes(tmp_path):
     assert srcs[0] == "haus"                       # best score first
     assert srcs.index("hund") < srcs.index("tie1")  # 0.8 tie: stable order
     assert srcs.count("haus") == 1                  # best-per-source only
+
+
+def test_get_txt_stat_stdout(tmp_path):
+    """Corpus stats with the lang-tag token discount
+    (scripts/get_txt_stat.py): identical summary line."""
+    (tmp_path / "in").write_text(
+        "<fa> one two three </s>\nplain untagged line\n<en> a b </s>\n")
+    ref = run_ref("get_txt_stat.py", [tmp_path / "in"])
+    ours = run_ours("get_txt_stat", [tmp_path / "in"])
+    assert ref.strip().splitlines()[-1] == ours.strip().splitlines()[-1]
+    assert "3 sens," in ours and "8 tokens" in ours
+
+
+def test_coco_json_to_list_bytes(tmp_path):
+    """COCO → TSV list (scripts/coco_json_to_list.py): byte parity —
+    12-digit zero-padded paths, per-image caption grouping in insertion
+    order, and \\r\\n DELETED from captions (not spaced)."""
+    ann = [{"image_id": 42, "caption": "a cat\non a mat\r\n"},
+           {"image_id": 7, "caption": "  padded  "},
+           {"image_id": 42, "caption": "second caption"}]
+    (tmp_path / "c.json").write_text(json.dumps({"annotations": ann}))
+    args = lambda o: [tmp_path / "c.json", tmp_path / "imgs", o]  # noqa: E731
+    run_ref("coco_json_to_list.py", args(tmp_path / "ref"))
+    run_ours("coco_json_to_list", args(tmp_path / "our"))
+    assert_files_equal(tmp_path / "ref", tmp_path / "our")
+    out = (tmp_path / "our").read_text().splitlines()
+    assert out[0].endswith("000000000042.jpg\ta caton a mat")
+    assert len(out) == 3
+
+
+def test_round_embedding_values_bytes(tmp_path):
+    (tmp_path / "in").write_text(
+        "word 0.123456 -1.999999 2.0 3.14159e-05\nother 0.5 -0.00004\n")
+    run_ref("round_embedding_values.py", [tmp_path / "in", tmp_path / "ref"])
+    run_ours("round_embedding_values", [tmp_path / "in", tmp_path / "our"])
+    assert_files_equal(tmp_path / "ref", tmp_path / "our")
+    assert (tmp_path / "our").read_text().splitlines()[0] == \
+        "word 0.1235 -2.0 2.0 0.0"
