@@ -663,3 +663,79 @@ def test_round_embedding_values_bytes(tmp_path):
     assert_files_equal(tmp_path / "ref", tmp_path / "our")
     assert (tmp_path / "our").read_text().splitlines()[0] == \
         "word 0.1235 -2.0 2.0 0.0"
+
+
+def test_create_caption_list_from_translation_bytes(tmp_path):
+    """Dict join of captions against "src ||| trans" pairs
+    (scripts/create_caption_list_from_translation.py): byte parity —
+    untranslated captions dropped, duplicate sources keep the LAST
+    translation."""
+    (tmp_path / "tr").write_text(
+        "a red cat ||| eine rote katze\n"
+        "a dog ||| ein hund\n"
+        "a dog ||| ein zweiter hund\n")          # later wins
+    (tmp_path / "caps").write_text(
+        "img1.jpg\ta red cat\nimg2.jpg\tuntranslated one\n"
+        "img3.jpg\ta dog\nmalformed-no-tab\n")
+    args = lambda o: [tmp_path / "tr", tmp_path / "caps", o]  # noqa: E731
+    run_ref("create_caption_list_from_translation.py", args(tmp_path / "ref"))
+    run_ours("create_caption_list_from_translation", args(tmp_path / "our"))
+    assert_files_equal(tmp_path / "ref", tmp_path / "our")
+    assert (tmp_path / "our").read_text() == \
+        "img1.jpg\teine rote katze\nimg3.jpg\tein zweiter hund\n"
+
+
+def test_mmiddict2parallel_bytes(tmp_path):
+    """Multi-column MMID dict fan-out (scripts/mmiddict2parallel.py): byte
+    parity, incl. the reference's quirk of gating EVERY column on the
+    first translation's length."""
+    (tmp_path / "d").write_text(
+        "haus\thouse\thome\tdwelling\n"
+        "ab\tx\tlongword\n"          # spl[1]='x' len 1: ALL columns gated
+        "a\thouse\n"                 # src len 1: gated
+        "tier\tanimal\n")
+    args = [tmp_path / "d"]
+    run_ref("mmiddict2parallel.py",
+            [*args, tmp_path / "ref.s", tmp_path / "ref.d"])
+    run_ours("mmiddict2parallel",
+             [*args, tmp_path / "our.s", tmp_path / "our.d"])
+    assert_files_equal(tmp_path / "ref.s", tmp_path / "our.s")
+    assert_files_equal(tmp_path / "ref.d", tmp_path / "our.d")
+    assert (tmp_path / "our.s").read_text() == "haus\nhaus\nhaus\ntier\n"
+    assert (tmp_path / "our.d").read_text() == \
+        "house\nhome\ndwelling\nanimal\n"
+
+
+def test_extract_sens_from_docs_bytes(tmp_path):
+    """Doc-to-sentence splitter with lang re-tagging
+    (scripts/extract_sens_from_docs.py)."""
+    (tmp_path / "in").write_text(
+        "<fa> one two three </s> four five six seven </s> too long "
+        + "x " * 30 + "</s>\n"
+        "\n"
+        "<en> just right here </s> no </s>\n")
+    args = [tmp_path / "in", 3, 8]
+    run_ref("extract_sens_from_docs.py", [*args, tmp_path / "ref"])
+    run_ours("extract_sens_from_docs", [*args, tmp_path / "our"])
+    assert_files_equal(tmp_path / "ref", tmp_path / "our")
+    out = (tmp_path / "our").read_text().splitlines()
+    assert out[0] == "<fa> one two three </s>"
+    assert all(o.split(" ")[0] in ("<fa>", "<en>") and o.endswith("</s>")
+               for o in out)
+
+
+def test_extract_dense_alignments_bytes(tmp_path):
+    """Density gate ∘ length-compatibility filter
+    (scripts/extract_dense_alignments.py)."""
+    rows = [("a b c d e", "v w x y z", "0-0 1-1 2-2 3-3"),      # dense: keep
+            ("a b c d e", "v w x y z", "0-0"),                  # sparse: drop
+            ("a b", "v w", "0-0 1-1"),                          # <5 words
+            ("a b c d e f g h i j k l", "v w x y z", "0-0 1-1 2-2 3-3 4-4")]
+    (tmp_path / "s").write_text("\n".join(r[0] for r in rows) + "\n")
+    (tmp_path / "d").write_text("\n".join(r[1] for r in rows) + "\n")
+    (tmp_path / "a").write_text("\n".join(r[2] for r in rows) + "\n")
+    args = [tmp_path / "s", tmp_path / "d", tmp_path / "a", 0.5]
+    run_ref("extract_dense_alignments.py", [*args, tmp_path / "ref"])
+    run_ours("extract_dense_alignments", [*args, tmp_path / "our"])
+    assert_files_equal(tmp_path / "ref", tmp_path / "our")
+    assert (tmp_path / "our").read_text() == "a b c d e ||| v w x y z\n"
