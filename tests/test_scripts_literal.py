@@ -739,3 +739,28 @@ def test_extract_dense_alignments_bytes(tmp_path):
     run_ours("extract_dense_alignments", [*args, tmp_path / "our"])
     assert_files_equal(tmp_path / "ref", tmp_path / "our")
     assert (tmp_path / "our").read_text() == "a b c d e ||| v w x y z\n"
+
+
+def test_index2image_list_bytes(tmp_path):
+    """Index-to-image-path resolution with extension sniffing
+    (scripts/web_captions/index2image_list.py). Fixture names each match
+    exactly one extension variant: the reference probes a SET of
+    extensions (hash order), ours a deterministic tuple — single-match
+    inputs make the outputs identical."""
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "one.jpg").write_bytes(b"x")
+    (d / "two.JPEG").write_bytes(b"x")
+    (d / "three").write_bytes(b"x")              # extension-less
+    (tmp_path / "idx").write_text(
+        "one\tcap one here\ntwo\tmeta\tcap two\nthree\tcap three\n"
+        "missing\tno file\n")
+    args = [tmp_path / "idx", d]
+    ref = run_ref("web_captions/index2image_list.py",
+                  [*args, tmp_path / "ref"])
+    ours = run_ours("web_captions.index2image_list",
+                    [*args, tmp_path / "our"])
+    assert_files_equal(tmp_path / "ref", tmp_path / "our")
+    assert ref.strip().split()[-1] == ours.strip().split()[-1] == "3"
+    out = (tmp_path / "our").read_text()
+    assert "\tcap two\n" in out                  # spl[-1], not spl[1]
