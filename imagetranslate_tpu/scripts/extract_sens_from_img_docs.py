@@ -10,12 +10,16 @@ def main():
             if not v["images"]:
                 continue
             spl = v["content"].strip().split(" ")
-            lang, content = spl[0], " ".join(spl[1:])
+            # lang carries a trailing space, so the join yields a DOUBLE
+            # space after the tag ("<fa>  sen </s>") — and a doc with
+            # images but no qualifying sentence still writes a blank line
+            # (extract_sens_from_img_docs.py:17-23); both replicated for
+            # byte parity with reference-produced corpora.
+            lang, content = spl[0] + " ", " ".join(spl[1:])
             sens = [" ".join([lang, s.strip(), "</s>"])
                     for s in content.split("</s>")
                     if s.strip() and lo <= len(s.strip().split(" ")) <= hi]
-            if sens:
-                w.write("\n".join(sens) + "\n")
+            w.write("\n".join(sens) + "\n")
     print("Done!")
 
 if __name__ == "__main__":

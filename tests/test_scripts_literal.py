@@ -764,3 +764,46 @@ def test_index2image_list_bytes(tmp_path):
     assert ref.strip().split()[-1] == ours.strip().split()[-1] == "3"
     out = (tmp_path / "our").read_text()
     assert "\tcap two\n" in out                  # spl[-1], not spl[1]
+
+
+def test_count_wiki_json_stat_stdout(tmp_path):
+    """Two-file wiki JSON stats incl. shared images and the reference's
+    character-count-minus-two "caption tokens" quirk
+    (scripts/count_wiki_json_stat.py): identical stdout."""
+    def doc(lang, sents, imgs):
+        return {"content": f"<{lang}> " + " </s> ".join(sents) + " </s>",
+                "images": [{"img_path": p, "caption": f"<{lang}> c {p} </s>"}
+                           for p in imgs]}
+    (tmp_path / "a.json").write_text(json.dumps(
+        [doc("fa", ["x y z", "p q"], ["i1.jpg", "i2.jpg"]),
+         doc("fa", ["solo sen"], ["i3.jpg"])]))
+    (tmp_path / "b.json").write_text(json.dumps(
+        [doc("en", ["one two"], ["i2.jpg", "i9.jpg"])]))
+    args = [tmp_path / "a.json", tmp_path / "b.json"]
+    ref = run_ref("count_wiki_json_stat.py", args)
+    ours = run_ours("count_wiki_json_stat", args)
+    ref_lines = [l for l in ref.replace("\r", "\n").splitlines()
+                 if "docs," in l or "Shared" in l]
+    our_lines = [l for l in ours.splitlines() if l.strip()]
+    assert ref_lines == our_lines
+    assert our_lines[-1] == "Shared images: 1"
+
+
+def test_extract_sens_from_img_docs_bytes(tmp_path):
+    """Tagged-sentence extraction from image-bearing docs
+    (scripts/extract_sens_from_img_docs.py): byte parity incl. the
+    double-space-after-lang-tag and blank-line-for-empty-doc quirks."""
+    docs = [{"content": "<fa> one two three </s> no </s>",
+             "images": [{"img_path": "a.jpg", "caption": "c"}]},
+            {"content": "<fa> imageless doc sentence here </s>",
+             "images": []},
+            {"content": "<en> no </s>",
+             "images": [{"img_path": "b.jpg", "caption": "c"}]}]
+    (tmp_path / "d.json").write_text(json.dumps(docs))
+    args = [tmp_path / "d.json", 3, 10]
+    run_ref("extract_sens_from_img_docs.py", [*args, tmp_path / "ref"])
+    run_ours("extract_sens_from_img_docs", [*args, tmp_path / "our"])
+    assert_files_equal(tmp_path / "ref", tmp_path / "our")
+    out = (tmp_path / "our").read_text()
+    assert out.startswith("<fa>  one two three </s>")   # double space
+    assert out.endswith("</s>\n\n")   # all-filtered doc -> blank line
